@@ -1,0 +1,195 @@
+"""Non-max suppression — static-shape jnp reference implementations.
+
+Replaces the reference's use of the native `tf.image.non_max_suppression`
+kernel inside `core/post_processing.py` (SURVEY.md §3.1, §3.12). TPU-first
+design: greedy NMS as a `lax.fori_loop` over output slots with vectorized
+IoU suppression — fixed shapes, no data-dependent control flow, jit/vmap
+safe. The Pallas kernel in `mtlx.kernels.nms_pallas` is validated against
+these functions.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from mtlx.geometry import box_ops
+
+_NEG = -1e10
+
+
+def non_max_suppression_padded(
+    boxes: Array,
+    scores: Array,
+    max_output_size: int,
+    iou_threshold: float = 0.5,
+    score_threshold: float = float("-inf"),
+    valid_mask: Optional[Array] = None,
+):
+    """Greedy single-class NMS with padded output.
+
+    Args:
+      boxes: [N, 4]; scores: [N]; valid_mask: [N] bool (padding rows False).
+
+    Returns:
+      indices: [max_output_size] int32 indices into boxes (0-padded),
+      keep_mask: [max_output_size] bool validity of each output slot.
+    """
+    n = boxes.shape[0]
+    live = scores
+    if valid_mask is not None:
+        live = jnp.where(valid_mask, live, _NEG)
+    live = jnp.where(live > score_threshold, live, _NEG)
+
+    def body(i, state):
+        live_scores, indices, keep = state
+        best = jnp.argmax(live_scores)
+        best_score = live_scores[best]
+        valid = best_score > _NEG / 2
+        best_box = boxes[best]
+        ious = box_ops.iou(best_box[None, :], boxes)[0]  # [N]
+        suppress = ious > iou_threshold
+        live_scores = jnp.where(
+            valid & (suppress | (jnp.arange(n) == best)), _NEG, live_scores
+        )
+        indices = indices.at[i].set(jnp.where(valid, best, 0).astype(jnp.int32))
+        keep = keep.at[i].set(valid)
+        return live_scores, indices, keep
+
+    indices = jnp.zeros((max_output_size,), dtype=jnp.int32)
+    keep = jnp.zeros((max_output_size,), dtype=bool)
+    _, indices, keep = jax.lax.fori_loop(0, max_output_size, body, (live, indices, keep))
+    return indices, keep
+
+
+class NMSResult(NamedTuple):
+    boxes: Array  # [max_total, 4]
+    scores: Array  # [max_total]
+    classes: Array  # [max_total] int32 (0-based class ids, background removed)
+    valid_mask: Array  # [max_total] bool
+    num_valid: Array  # [] int32
+    extra_fields: dict  # gathered additional per-box fields
+
+
+def multiclass_non_max_suppression(
+    boxes: Array,
+    scores: Array,
+    score_threshold: float,
+    iou_threshold: float,
+    max_size_per_class: int,
+    max_total_size: int,
+    clip_window: Optional[Array] = None,
+    change_coordinate_frame: bool = False,
+    valid_mask: Optional[Array] = None,
+    extra_fields: Optional[dict] = None,
+) -> NMSResult:
+    """Per-class score threshold + NMS + total cap (reference
+    core/post_processing.multiclass_non_max_suppression).
+
+    Args:
+      boxes: [N, Q, 4] with Q == num_classes or Q == 1 (shared boxes).
+      scores: [N, K] per-class scores WITHOUT background column.
+      clip_window: optional [4]; boxes are clipped to it and zero-area
+        clipped boxes dropped, as in the reference.
+      change_coordinate_frame: re-express outputs relative to clip_window.
+      valid_mask: [N] validity of input rows.
+      extra_fields: optional dict of [N, ...] arrays gathered alongside.
+
+    Returns NMSResult with static [max_total_size] shapes.
+    """
+    n, num_classes = scores.shape
+    q = boxes.shape[1]
+    if valid_mask is None:
+        valid_mask = jnp.ones((n,), dtype=bool)
+    extra_fields = extra_fields or {}
+
+    per_class_boxes = jnp.broadcast_to(boxes, (n, num_classes, 4)) if q == 1 else boxes
+
+    if clip_window is not None:
+        per_class_boxes = box_ops.clip_to_window(per_class_boxes, clip_window)
+
+    k = min(max_size_per_class, n)
+
+    def per_class(c_boxes, c_scores):
+        area_ok = box_ops.area(c_boxes) > 0
+        mask = valid_mask & area_ok
+        idx, keep = non_max_suppression_padded(
+            c_boxes,
+            c_scores,
+            max_output_size=k,
+            iou_threshold=iou_threshold,
+            score_threshold=score_threshold,
+            valid_mask=mask,
+        )
+        return (
+            jnp.take(c_boxes, idx, axis=0),
+            jnp.where(keep, jnp.take(c_scores, idx), _NEG),
+            keep,
+            idx,
+        )
+
+    # [K, k, ...]
+    cls_boxes, cls_scores, cls_keep, cls_idx = jax.vmap(
+        per_class, in_axes=(1, 1), out_axes=0
+    )(per_class_boxes, scores)
+
+    class_ids = jnp.broadcast_to(
+        jnp.arange(num_classes, dtype=jnp.int32)[:, None], (num_classes, k)
+    )
+
+    flat_boxes = cls_boxes.reshape(-1, 4)
+    flat_scores = cls_scores.reshape(-1)
+    flat_keep = cls_keep.reshape(-1)
+    flat_classes = class_ids.reshape(-1)
+    flat_src = cls_idx.reshape(-1)
+
+    total = min(max_total_size, flat_scores.shape[0])
+    top_scores, top_i = jax.lax.top_k(flat_scores, total)
+    out_boxes = jnp.take(flat_boxes, top_i, axis=0)
+    out_classes = jnp.take(flat_classes, top_i)
+    out_keep = jnp.take(flat_keep, top_i)
+    out_src = jnp.take(flat_src, top_i)
+
+    if max_total_size > total:  # pad up if fewer candidates than requested
+        pad = max_total_size - total
+        out_boxes = jnp.pad(out_boxes, ((0, pad), (0, 0)))
+        top_scores = jnp.pad(top_scores, (0, pad), constant_values=_NEG)
+        out_classes = jnp.pad(out_classes, (0, pad))
+        out_keep = jnp.pad(out_keep, (0, pad))
+        out_src = jnp.pad(out_src, (0, pad))
+
+    if change_coordinate_frame and clip_window is not None:
+        out_boxes = box_ops.change_coordinate_frame(out_boxes, clip_window)
+
+    out_scores = jnp.where(out_keep, top_scores, 0.0)
+    out_boxes = jnp.where(out_keep[:, None], out_boxes, 0.0)
+    gathered_extras = {
+        key: jnp.where(
+            out_keep.reshape((-1,) + (1,) * (val.ndim - 1)),
+            jnp.take(val, out_src, axis=0),
+            0,
+        )
+        for key, val in extra_fields.items()
+    }
+    return NMSResult(
+        boxes=out_boxes,
+        scores=out_scores,
+        classes=out_classes,
+        valid_mask=out_keep,
+        num_valid=jnp.sum(out_keep).astype(jnp.int32),
+        extra_fields=gathered_extras,
+    )
+
+
+def batch_multiclass_non_max_suppression(
+    boxes: Array, scores: Array, valid_mask: Optional[Array] = None, **kwargs
+) -> NMSResult:
+    """vmap of multiclass NMS over a leading batch dim."""
+    if valid_mask is None:
+        valid_mask = jnp.ones(boxes.shape[:2], dtype=bool)
+    return jax.vmap(
+        lambda b, s, m: multiclass_non_max_suppression(b, s, valid_mask=m, **kwargs)
+    )(boxes, scores, valid_mask)

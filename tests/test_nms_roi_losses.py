@@ -1,0 +1,187 @@
+"""NMS / crop_and_resize / losses vs oracles and hand-computed values."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mtlx.geometry import np_box_ops
+from mtlx.losses import losses
+from mtlx.ops import nms, roi
+
+
+def np_greedy_nms(boxes, scores, iou_thr, max_out, score_thr=-1e30):
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i] or scores[i] <= score_thr:
+            continue
+        keep.append(i)
+        if len(keep) == max_out:
+            break
+        ious = np_box_ops.iou(boxes[i : i + 1], boxes)[0]
+        suppressed |= ious > iou_thr
+    return keep
+
+
+def test_nms_padded_matches_numpy():
+    rng = np.random.RandomState(3)
+    for _ in range(5):
+        n = 40
+        ymin = rng.uniform(0, 80, n)
+        xmin = rng.uniform(0, 80, n)
+        boxes = np.stack(
+            [ymin, xmin, ymin + rng.uniform(5, 40, n), xmin + rng.uniform(5, 40, n)], 1
+        ).astype(np.float32)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        idx, keep = nms.non_max_suppression_padded(
+            jnp.asarray(boxes), jnp.asarray(scores), max_output_size=10, iou_threshold=0.5
+        )
+        got = np.asarray(idx)[np.asarray(keep)]
+        want = np_greedy_nms(boxes, scores, 0.5, 10)
+        assert got.tolist() == want
+
+
+def test_nms_respects_valid_mask_and_score_threshold():
+    boxes = jnp.asarray([[0, 0, 10, 10], [100, 100, 110, 110], [200, 200, 210, 210]], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8, 0.1])
+    idx, keep = nms.non_max_suppression_padded(
+        boxes, scores, 3, iou_threshold=0.5, score_threshold=0.5,
+        valid_mask=jnp.asarray([True, False, True]),
+    )
+    assert np.asarray(idx)[np.asarray(keep)].tolist() == [0]
+
+
+def test_multiclass_nms_shapes_and_classes():
+    n, k = 20, 3
+    rng = np.random.RandomState(0)
+    ymin = rng.uniform(0, 50, n)
+    xmin = rng.uniform(0, 50, n)
+    boxes = np.stack([ymin, xmin, ymin + 10, xmin + 10], 1).astype(np.float32)[:, None, :]
+    scores = rng.uniform(0, 1, (n, k)).astype(np.float32)
+    res = nms.multiclass_non_max_suppression(
+        jnp.asarray(boxes), jnp.asarray(scores),
+        score_threshold=0.3, iou_threshold=0.5,
+        max_size_per_class=5, max_total_size=8,
+    )
+    assert res.boxes.shape == (8, 4)
+    assert res.scores.shape == (8,)
+    assert res.classes.shape == (8,)
+    v = np.asarray(res.valid_mask)
+    s = np.asarray(res.scores)
+    assert (s[v] >= 0.3).all()
+    # scores sorted descending among valid
+    assert (np.diff(s[v]) <= 1e-6).all()
+    # per-class cap respected
+    cls = np.asarray(res.classes)[v]
+    for c in range(k):
+        assert (cls == c).sum() <= 5
+
+
+def test_batch_multiclass_nms():
+    b, n, k = 2, 12, 2
+    rng = np.random.RandomState(1)
+    ymin = rng.uniform(0, 50, (b, n))
+    xmin = rng.uniform(0, 50, (b, n))
+    boxes = np.stack([ymin, xmin, ymin + 8, xmin + 8], -1).astype(np.float32)[:, :, None, :]
+    scores = rng.uniform(0, 1, (b, n, k)).astype(np.float32)
+    res = nms.batch_multiclass_non_max_suppression(
+        jnp.asarray(boxes), jnp.asarray(scores),
+        score_threshold=0.0, iou_threshold=0.6,
+        max_size_per_class=4, max_total_size=6,
+    )
+    assert res.boxes.shape == (b, 6, 4)
+    assert res.num_valid.shape == (b,)
+
+
+def _np_crop_and_resize(image, boxes, crop_size):
+    """Literal numpy transcription of the TF crop_and_resize contract."""
+    h, w, c = image.shape
+    ch, cw = crop_size
+    out = np.zeros((len(boxes), ch, cw, c), np.float32)
+    for n, (y1, x1, y2, x2) in enumerate(boxes):
+        for i in range(ch):
+            in_y = (y1 * (h - 1) + i * (y2 - y1) * (h - 1) / (ch - 1)) if ch > 1 else 0.5 * (y1 + y2) * (h - 1)
+            if in_y < 0 or in_y > h - 1:
+                continue
+            ty = int(np.floor(in_y)); by = min(ty + 1, h - 1); fy = in_y - ty
+            for j in range(cw):
+                in_x = (x1 * (w - 1) + j * (x2 - x1) * (w - 1) / (cw - 1)) if cw > 1 else 0.5 * (x1 + x2) * (w - 1)
+                if in_x < 0 or in_x > w - 1:
+                    continue
+                tx = int(np.floor(in_x)); bx = min(tx + 1, w - 1); fx = in_x - tx
+                top = image[ty, tx] + (image[ty, bx] - image[ty, tx]) * fx
+                bot = image[by, tx] + (image[by, bx] - image[by, tx]) * fx
+                out[n, i, j] = top + (bot - top) * fy
+    return out
+
+
+def test_crop_and_resize_matches_tf_contract():
+    rng = np.random.RandomState(7)
+    image = rng.uniform(0, 1, (9, 11, 3)).astype(np.float32)
+    boxes = np.asarray(
+        [
+            [0.0, 0.0, 1.0, 1.0],
+            [0.2, 0.3, 0.7, 0.9],
+            [-0.1, 0.1, 0.5, 1.2],  # exercises extrapolation
+        ],
+        np.float32,
+    )
+    got = np.asarray(roi.crop_and_resize(jnp.asarray(image), jnp.asarray(boxes), (5, 4)))
+    want = _np_crop_and_resize(image, boxes, (5, 4))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_crop_and_resize_identity():
+    image = np.arange(16, dtype=np.float32).reshape(4, 4, 1)
+    got = np.asarray(
+        roi.crop_and_resize(jnp.asarray(image), jnp.asarray([[0.0, 0.0, 1.0, 1.0]]), (4, 4))
+    )
+    np.testing.assert_allclose(got[0], image, atol=1e-5)
+
+
+def test_position_sensitive_crop_shapes():
+    image = jnp.asarray(np.random.RandomState(0).uniform(0, 1, (8, 8, 2 * 2 * 5)).astype(np.float32))
+    boxes = jnp.asarray([[0.0, 0.0, 1.0, 1.0], [0.1, 0.1, 0.6, 0.6]])
+    pooled = roi.position_sensitive_crop_regions(image, boxes, (4, 4), (2, 2), global_pool=True)
+    assert pooled.shape == (2, 5)
+    full = roi.position_sensitive_crop_regions(image, boxes, (4, 4), (2, 2), global_pool=False)
+    assert full.shape == (2, 4, 4, 5)
+
+
+def test_smooth_l1_hand_computed():
+    pred = jnp.asarray([[0.0, 0.0, 0.5, 2.0]])[None]
+    target = jnp.zeros((1, 1, 4))
+    w = jnp.ones((1, 1))
+    got = float(losses.weighted_smooth_l1_loss(pred, target, w)[0, 0])
+    # 0 + 0 + 0.5*0.25 + (2 - 0.5) = 1.625
+    np.testing.assert_allclose(got, 1.625, rtol=1e-6)
+
+
+def test_softmax_ce_matches_log():
+    logits = jnp.asarray([[2.0, 0.0]])
+    labels = jnp.asarray([[1.0, 0.0]])
+    got = float(losses.softmax_cross_entropy(logits, labels)[0])
+    np.testing.assert_allclose(got, np.log(1 + np.exp(-2.0)), rtol=1e-6)
+
+
+def test_sigmoid_ce_stable_and_correct():
+    logits = jnp.asarray([-100.0, 0.0, 100.0])
+    labels = jnp.asarray([0.0, 1.0, 1.0])
+    got = np.asarray(losses.sigmoid_cross_entropy(logits, labels))
+    np.testing.assert_allclose(got, [0.0, np.log(2.0), 0.0], atol=1e-6)
+    assert np.isfinite(got).all()
+
+
+def test_hard_example_miner_selects_hardest():
+    cls_losses = jnp.asarray([0.1, 5.0, 0.2, 4.0])
+    loc_losses = jnp.zeros(4)
+    boxes = jnp.asarray(
+        [[0, 0, 10, 10], [20, 20, 30, 30], [40, 40, 50, 50], [20, 20, 30, 31]],
+        jnp.float32,
+    )
+    match = jnp.asarray([-1, 0, -1, -1])
+    cfg = losses.HardExampleMinerConfig(num_hard_examples=2, iou_threshold=0.5, loss_type="cls", cls_loss_weight=1.0)
+    keep = np.asarray(losses.hard_example_mining_mask(cls_losses, loc_losses, boxes, match, cfg))
+    # hardest is idx1 (5.0); idx3 overlaps idx1 heavily -> suppressed; next is idx2 (0.2)
+    assert keep.tolist() == [False, True, True, False]
