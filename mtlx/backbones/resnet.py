@@ -1,0 +1,180 @@
+"""ResNet v1 backbones (Flax) with the Faster R-CNN two-part split.
+
+Re-implements the capability of the reference's `slim/nets/resnet_v1.py` +
+`models/faster_rcnn_resnet_v1_feature_extractor.py` (SURVEY.md §3.2, §3.8):
+the network is split into
+
+  * proposal features: conv1 (7x7/2) -> maxpool/2 -> block1 -> block2/2 ->
+    block3/2   (total stride 16, 1024 channels for R50/R101)
+  * box classifier features: block4 with stride 1, applied to cropped
+    14x14 -> maxpooled 7x7 ROI features, then global average pool (2048).
+
+TPU-first details:
+  * bfloat16 compute / float32 params by default (MXU-friendly); BN stats
+    and residual adds in float32
+  * frozen BatchNorm (moving stats folded into a scale/offset affine) —
+    the reference fine-tunes with BN frozen (batch size 1); this is both
+    faithful and removes all batch-stat traffic from the hot path
+  * channels-last NHWC, conv via lax.conv_general_dilated through
+    flax.linen.Conv (XLA tiles these onto the MXU directly)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+Dtype = Any
+
+BLOCK_SIZES = {
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+    152: (3, 8, 36, 3),
+}
+
+
+class FrozenBatchNorm(nn.Module):
+    """Affine y = gamma * (x - mean) / sqrt(var + eps) + beta with
+    non-trainable moving statistics (reference fine-tuning BN semantics).
+
+    `mean`/`var` live in the `batch_stats` collection so a TF checkpoint
+    converter can populate them; they receive no gradient and are never
+    updated by the train step.
+    """
+
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        features = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
+        ).value
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
+        ).value
+        # fold into one multiply-add, computed in fp32 then cast back
+        inv = gamma * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+        y = x.astype(jnp.float32) * inv + (beta - mean * inv)
+        return y.astype(self.dtype)
+
+
+class Bottleneck(nn.Module):
+    """ResNet v1 bottleneck: 1x1 -> 3x3(stride) -> 1x1, post-activation."""
+
+    depth: int  # output channels
+    depth_bottleneck: int
+    stride: int = 1
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        in_depth = x.shape[-1]
+        conv = lambda f, k, s, name: nn.Conv(
+            f, (k, k), strides=(s, s), padding="SAME", use_bias=False,
+            dtype=self.dtype, name=name,
+        )
+        bn = lambda name: FrozenBatchNorm(dtype=self.dtype, name=name)
+
+        y = nn.relu(bn("bn1")(conv(self.depth_bottleneck, 1, 1, "conv1")(x)))
+        y = nn.relu(bn("bn2")(conv(self.depth_bottleneck, 3, self.stride, "conv2")(y)))
+        y = bn("bn3")(conv(self.depth, 1, 1, "conv3")(y))
+
+        if in_depth != self.depth or self.stride != 1:
+            residual = bn("bn_shortcut")(
+                conv(self.depth, 1, self.stride, "conv_shortcut")(x)
+            )
+        return nn.relu(residual + y)
+
+
+class ResNetStage(nn.Module):
+    """A stack of bottleneck units; stride applies to the FIRST unit
+    (torchvision/v1.5 style downsampling inside the stage entry)."""
+
+    num_units: int
+    depth: int
+    stride: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_units):
+            x = Bottleneck(
+                depth=self.depth,
+                depth_bottleneck=self.depth // 4,
+                stride=self.stride if i == 0 else 1,
+                dtype=self.dtype,
+                name=f"unit{i + 1}",
+            )(x)
+        return x
+
+
+class ResNetProposalFeatures(nn.Module):
+    """conv1 + block1..block3 — stride-16 feature map for RPN + ROI crop."""
+
+    depth: int = 50
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        sizes = BLOCK_SIZES[self.depth]
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
+            dtype=self.dtype, name="conv1",
+        )(x)
+        x = nn.relu(FrozenBatchNorm(dtype=self.dtype, name="bn1")(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        x = ResNetStage(sizes[0], 256, 1, self.dtype, name="block1")(x)
+        x = ResNetStage(sizes[1], 512, 2, self.dtype, name="block2")(x)
+        x = ResNetStage(sizes[2], 1024, 2, self.dtype, name="block3")(x)
+        return x
+
+
+class ResNetBoxClassifierFeatures(nn.Module):
+    """block4 at stride 1 on ROI crops -> [N, h, w, 2048]; caller pools."""
+
+    depth: int = 50
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        sizes = BLOCK_SIZES[self.depth]
+        return ResNetStage(sizes[3], 2048, 1, self.dtype, name="block4")(
+            x.astype(self.dtype)
+        )
+
+
+class ResNetClassifier(nn.Module):
+    """Full classification network (the slim-train path that produces
+    ImageNet init checkpoints — SURVEY.md §3.8 slim scripts)."""
+
+    depth: int = 50
+    num_classes: int = 1000
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = ResNetProposalFeatures(self.depth, self.dtype, name="body")(x)
+        x = ResNetStage(BLOCK_SIZES[self.depth][3], 2048, 2, self.dtype, name="block4")(x)
+        x = jnp.mean(x, axis=(1, 2))
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="logits")(
+            x.astype(jnp.float32)
+        )
+
+
+# Canonical per-channel means the reference subtracts in preprocess
+# (R, G, B order, 0-255 scale).
+RGB_MEANS = (123.68, 116.779, 103.939)
+
+
+def preprocess_images(images: jnp.ndarray) -> jnp.ndarray:
+    """Subtract the ImageNet channel means (reference FasterRCNN resnet
+    preprocess). Input [..., H, W, 3] in 0-255 RGB float."""
+    return images - jnp.asarray(RGB_MEANS, dtype=images.dtype)

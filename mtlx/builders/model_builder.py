@@ -1,0 +1,133 @@
+"""model_builder — pipeline proto -> detector instance (reference
+builders/model_builder.py, SURVEY.md §3.4). Reads the MTL options [F]."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from mtlx.detector.faster_rcnn import FasterRCNN, FasterRCNNConfig, MTLConfig
+
+FEATURE_EXTRACTORS = {
+    "faster_rcnn_resnet50": "resnet50",
+    "faster_rcnn_resnet101": "resnet101",
+    "faster_rcnn_resnet152": "resnet152",
+}
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def canvas_from_resizer(image_resizer, stride: int = 16):
+    """Static canvas from the image_resizer proto.
+
+    keep_aspect_ratio_resizer(min, max) -> (max, max) canvas (any resized
+    image fits after keep-aspect scaling); fixed_shape_resizer -> (h, w).
+    Rounded up to a multiple of 2*stride so every backbone stage divides
+    evenly.
+    """
+    mult = 2 * stride
+    kind = image_resizer.WhichOneof("image_resizer_oneof")
+    if kind == "fixed_shape_resizer":
+        r = image_resizer.fixed_shape_resizer
+        return (_round_up(r.height, mult), _round_up(r.width, mult))
+    r = image_resizer.keep_aspect_ratio_resizer
+    side = _round_up(r.max_dimension, mult)
+    return (side, side)
+
+
+def resizer_params(image_resizer):
+    """(kind, params) for the data pipeline's host-side resize."""
+    kind = image_resizer.WhichOneof("image_resizer_oneof") or "keep_aspect_ratio_resizer"
+    if kind == "fixed_shape_resizer":
+        r = image_resizer.fixed_shape_resizer
+        return "fixed", {"height": r.height, "width": r.width}
+    r = image_resizer.keep_aspect_ratio_resizer
+    return "keep_aspect", {
+        "min_dimension": r.min_dimension,
+        "max_dimension": r.max_dimension,
+    }
+
+
+def build(model_proto, is_training: bool, max_gt_boxes: int = 100,
+          dtype=jnp.bfloat16):
+    """Dispatch on the model oneof, mirroring the reference's build()."""
+    which = model_proto.WhichOneof("model")
+    if which == "faster_rcnn":
+        return _build_faster_rcnn(model_proto.faster_rcnn, is_training,
+                                  max_gt_boxes, dtype)
+    if which == "ssd":
+        from mtlx.builders import ssd_builder
+
+        return ssd_builder.build(model_proto.ssd, is_training, max_gt_boxes, dtype)
+    raise ValueError(f"unknown model type {which!r}")
+
+
+def _build_faster_rcnn(fr, is_training: bool, max_gt_boxes: int, dtype):
+    extractor_type = fr.feature_extractor.type or "faster_rcnn_resnet50"
+    if extractor_type not in FEATURE_EXTRACTORS:
+        raise ValueError(f"unknown feature extractor {extractor_type!r}")
+    stride = fr.feature_extractor.first_stage_features_stride or 16
+
+    ag = fr.first_stage_anchor_generator
+    if ag.WhichOneof("anchor_generator_oneof") != "grid_anchor_generator":
+        raise ValueError("faster_rcnn requires grid_anchor_generator")
+    g = ag.grid_anchor_generator
+    scales = tuple(g.scales) or (0.25, 0.5, 1.0, 2.0)
+    aspects = tuple(g.aspect_ratios) or (0.5, 1.0, 2.0)
+
+    sp = fr.second_stage_box_predictor
+    use_dropout, keep_prob = False, 1.0
+    if sp.WhichOneof("box_predictor_oneof") == "mask_rcnn_box_predictor":
+        use_dropout = sp.mask_rcnn_box_predictor.use_dropout
+        keep_prob = sp.mask_rcnn_box_predictor.dropout_keep_probability
+
+    pp = fr.second_stage_post_processing
+    nms = pp.batch_non_max_suppression
+
+    mtl = MTLConfig(
+        multiobject=fr.mtl.window,
+        closeness=fr.mtl.closeness,
+        foreground=fr.mtl.edgemask,
+        multiobject_weight=fr.mtl.window_loss_weight,
+        closeness_weight=fr.mtl.closeness_loss_weight,
+        foreground_weight=fr.mtl.edgemask_loss_weight,
+        window_enlarge_factor=fr.mtl.window_enlarge_factor,
+        closeness_sigma=fr.mtl.closeness_sigma,
+        refine=fr.mtl.refine,
+    )
+
+    cfg = FasterRCNNConfig(
+        num_classes=fr.num_classes,
+        canvas_size=canvas_from_resizer(fr.image_resizer, stride),
+        backbone=FEATURE_EXTRACTORS[extractor_type],
+        feature_stride=stride,
+        anchor_scales=scales,
+        anchor_aspect_ratios=aspects,
+        anchor_base_size=(float(g.height or 256), float(g.width or 256)),
+        rpn_depth=fr.first_stage_box_predictor_depth,
+        first_stage_nms_score_threshold=fr.first_stage_nms_score_threshold,
+        first_stage_nms_iou_threshold=fr.first_stage_nms_iou_threshold,
+        first_stage_max_proposals=fr.first_stage_max_proposals,
+        first_stage_minibatch_size=fr.first_stage_minibatch_size,
+        first_stage_positive_balance_fraction=fr.first_stage_positive_balance_fraction,
+        first_stage_localization_loss_weight=fr.first_stage_localization_loss_weight,
+        first_stage_objectness_loss_weight=fr.first_stage_objectness_loss_weight,
+        initial_crop_size=fr.initial_crop_size or 14,
+        maxpool_kernel_size=fr.maxpool_kernel_size or 2,
+        maxpool_stride=fr.maxpool_stride or 2,
+        second_stage_batch_size=fr.second_stage_batch_size,
+        second_stage_balance_fraction=fr.second_stage_balance_fraction,
+        second_stage_nms_score_threshold=nms.score_threshold,
+        second_stage_nms_iou_threshold=nms.iou_threshold,
+        second_stage_max_detections_per_class=nms.max_detections_per_class,
+        second_stage_max_total_detections=nms.max_total_detections,
+        second_stage_localization_loss_weight=fr.second_stage_localization_loss_weight,
+        second_stage_classification_loss_weight=fr.second_stage_classification_loss_weight,
+        second_stage_dropout=use_dropout and is_training,
+        second_stage_dropout_keep_prob=keep_prob,
+        max_gt_boxes=max_gt_boxes,
+        dtype=dtype,
+        mtl=mtl if is_training else MTLConfig(),
+    )
+    return FasterRCNN(cfg)

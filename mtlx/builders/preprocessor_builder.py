@@ -1,0 +1,53 @@
+"""preprocessor_builder — PreprocessingStep protos -> (name, kwargs) list
+(reference builders/preprocessor_builder.py, SURVEY.md §3.4)."""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+_FIELD_MAPS = {
+    "normalize_image": (
+        "original_minval", "original_maxval", "target_minval", "target_maxval",
+    ),
+    "random_horizontal_flip": (),
+    "random_vertical_flip": (),
+    "random_pixel_value_scale": ("minval", "maxval"),
+    "random_rgb_to_gray": ("probability",),
+    "random_adjust_brightness": ("max_delta",),
+    "random_adjust_contrast": ("min_delta", "max_delta"),
+    "random_adjust_hue": ("max_delta",),
+    "random_adjust_saturation": ("min_delta", "max_delta"),
+    "random_distort_color": ("color_ordering",),
+    "random_jitter_boxes": ("ratio",),
+    "random_crop_image": (
+        "min_object_covered", "min_aspect_ratio", "max_aspect_ratio",
+        "min_area", "max_area", "overlap_thresh", "random_coef",
+    ),
+    "random_black_patches": (
+        "max_black_patches", "probability", "size_to_image_ratio",
+    ),
+    "subtract_channel_mean": ("means",),
+}
+
+
+def build_step(step_proto) -> Tuple[str, dict]:
+    which = step_proto.WhichOneof("preprocessing_step")
+    if which is None:
+        raise ValueError("empty preprocessing step")
+    if which not in _FIELD_MAPS:
+        raise ValueError(
+            f"preprocessing step {which!r} is declared in the config schema "
+            "but not implemented in mtlx.data.preprocessor"
+        )
+    sub = getattr(step_proto, which)
+    kwargs = {}
+    for field in _FIELD_MAPS[which]:
+        value = getattr(sub, field)
+        if hasattr(value, "__len__") and not isinstance(value, str):
+            value = tuple(value)
+        kwargs[field] = value
+    return which, kwargs
+
+
+def build(steps) -> List[Tuple[str, dict]]:
+    return [build_step(s) for s in steps]

@@ -1,0 +1,197 @@
+"""Host input pipeline: TFRecord -> decoded, canvas-shaped batches.
+
+Replaces the reference's CPU queue-runner stack (SURVEY.md §3.1 batcher/
+prefetcher + input_reader_builder): here the host does only what it must —
+JPEG decode (PIL) and keep-aspect resize onto the static canvas — and
+everything else (augmentation, pseudo-labels, target assignment) runs
+on-device inside the jitted step. Batches are padded to static shapes
+([B, H, W, 3] canvas, [B, G, 4] groundtruth + masks) and prefetched to
+device with double buffering.
+
+Multi-host: each process reads records where `index % process_count ==
+process_index` (per-host sharding, SURVEY.md §6.8).
+"""
+
+from __future__ import annotations
+
+import threading
+import queue as queue_lib
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from mtlx.data import tfrecord
+from mtlx.data.example_decoder import InputDataFields, decode_example
+from mtlx.ops.shape_utils import pad_or_clip_along_axis
+
+
+def resize_keep_aspect(
+    image: np.ndarray, min_dimension: int, max_dimension: int
+) -> Tuple[np.ndarray, float]:
+    """Reference keep_aspect_ratio_resizer semantics: scale so the short
+    side reaches min_dimension unless the long side would exceed
+    max_dimension. Returns (resized image, scale)."""
+    from PIL import Image
+
+    h, w = image.shape[:2]
+    scale = min(min_dimension / min(h, w), max_dimension / max(h, w))
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    resized = np.asarray(
+        Image.fromarray(image).resize((nw, nh), Image.BILINEAR), dtype=image.dtype
+    )
+    return resized, scale
+
+
+def resize_fixed(image: np.ndarray, height: int, width: int) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(
+        Image.fromarray(image).resize((width, height), Image.BILINEAR),
+        dtype=image.dtype,
+    )
+
+
+class DetectionDataset:
+    """Random-access TFRecord detection dataset with canvas shaping."""
+
+    def __init__(
+        self,
+        input_paths: Sequence[str],
+        canvas_size: Tuple[int, int],
+        resizer: Tuple[str, dict] = ("keep_aspect", {"min_dimension": 600, "max_dimension": 1024}),
+        max_boxes: int = 100,
+        process_index: int = 0,
+        process_count: int = 1,
+        keep_difficult: bool = True,
+    ):
+        self.canvas_size = canvas_size
+        self.resizer = resizer
+        self.max_boxes = max_boxes
+        self.keep_difficult = keep_difficult
+        self._files: List[Tuple[str, int]] = []
+        for path in input_paths:
+            for off in tfrecord.record_index(path):
+                self._files.append((path, off))
+        # per-host shard
+        self._files = self._files[process_index::process_count]
+        self._handles: Dict[str, object] = {}
+
+    def __len__(self) -> int:
+        return len(self._files)
+
+    def _read(self, i: int) -> bytes:
+        path, off = self._files[i]
+        f = self._handles.get(path)
+        if f is None:
+            f = open(path, "rb")
+            self._handles[path] = f
+        return tfrecord.read_record_at(f, off)
+
+    def get(self, i: int) -> Dict[str, np.ndarray]:
+        """One canvas-shaped sample (numpy)."""
+        ex = decode_example(self._read(i))
+        image = ex[InputDataFields.image]
+        boxes_norm = ex[InputDataFields.groundtruth_boxes]
+        classes = ex[InputDataFields.groundtruth_classes].astype(np.int32) - 1
+        difficult = ex[InputDataFields.groundtruth_difficult]
+        if not self.keep_difficult and len(difficult) == len(classes):
+            keep = difficult == 0
+            boxes_norm, classes = boxes_norm[keep], classes[keep]
+
+        h0, w0 = image.shape[:2]
+        kind, params = self.resizer
+        if kind == "keep_aspect":
+            image, _ = resize_keep_aspect(image, **params)
+        else:
+            image = resize_fixed(image, **params)
+        th, tw = image.shape[:2]
+        ch, cw = self.canvas_size
+        if th > ch or tw > cw:  # canvas chosen from resizer, shouldn't happen
+            image = image[:ch, :cw]
+            th, tw = image.shape[:2]
+        canvas = np.zeros((ch, cw, 3), np.uint8)
+        canvas[:th, :tw] = image
+
+        # normalized boxes -> absolute canvas pixels of the resized image
+        boxes_abs = boxes_norm * np.asarray([th, tw, th, tw], np.float32)
+        n = len(boxes_abs)
+        mask = np.zeros((self.max_boxes,), bool)
+        mask[: min(n, self.max_boxes)] = True
+        return {
+            "image": canvas,
+            "true_shape": np.asarray([th, tw], np.int32),
+            "original_shape": np.asarray([h0, w0], np.int32),
+            "gt_boxes": pad_or_clip_along_axis(
+                boxes_abs.astype(np.float32), self.max_boxes
+            ),
+            "gt_classes": pad_or_clip_along_axis(classes, self.max_boxes),
+            "gt_difficult": pad_or_clip_along_axis(
+                difficult.astype(np.int32), self.max_boxes
+            ),
+            "gt_mask": mask,
+            "source_id": ex.get(InputDataFields.source_id, str(i)),
+        }
+
+
+def _collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
+    out = {}
+    for key in samples[0]:
+        if key == "source_id":
+            out[key] = [s[key] for s in samples]
+        else:
+            out[key] = np.stack([s[key] for s in samples])
+    return out
+
+
+def batches(
+    dataset: DetectionDataset,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    epochs: Optional[int] = None,
+    drop_remainder: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Host batch iterator (shuffled each epoch with a fixed seed —
+    deterministic data order, SURVEY.md §6.2)."""
+    rng = np.random.RandomState(seed)
+    epoch = 0
+    n = len(dataset)
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        for start in range(0, n, batch_size):
+            idx = order[start : start + batch_size]
+            if len(idx) < batch_size:
+                if drop_remainder:
+                    break
+                idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+            yield _collate([dataset.get(int(i)) for i in idx])
+        epoch += 1
+
+
+def device_prefetch(iterator, size: int = 2, sharding=None):
+    """Background-thread prefetch + device_put (double buffering) —
+    replaces the reference's prefetch queue (SURVEY.md §3.1 prefetcher)."""
+    import jax
+
+    q: queue_lib.Queue = queue_lib.Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        for batch in iterator:
+            ids = batch.pop("source_id", None)
+            if sharding is not None:
+                batch = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, sharding), batch
+                )
+            else:
+                batch = jax.tree_util.tree_map(jax.device_put, batch)
+            q.put((batch, ids))
+        q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item

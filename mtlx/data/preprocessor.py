@@ -1,0 +1,336 @@
+"""Device-side data augmentation — jitted, PRNG-keyed, static-shape.
+
+Capability match for the reference's `core/preprocessor.py` (SURVEY.md
+§3.1: ~30 augmentations keyed by config). TPU-first redesign: every
+transform is a pure function of (rng, sample) on the FIXED canvas —
+augmentation runs on device inside the input pipeline's jitted prefix,
+not in CPU queue threads.
+
+A `sample` dict: image [H, W, 3] float (0-255), boxes [G, 4] in absolute
+canvas pixels, classes [G], mask [G], true_shape [2] (h, w of the real
+image within the canvas).
+
+Geometric ops respect the true image region (e.g. horizontal flip mirrors
+only the first true_w columns). Crop-family ops produce fixed shapes by
+resampling the cropped window back onto the same canvas geometry (the
+reference emits variable-size crops and pads later; a static-shape
+pipeline cannot, so crop == crop+resize here — documented deviation).
+Photometric ops act on the whole canvas; the padding region stays ~black
+and is masked out of every loss by true_shape anyway.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mtlx.geometry import box_ops
+from mtlx.ops import roi as roi_lib
+
+
+def _split(rng, n=2):
+    return jax.random.split(rng, n)
+
+
+# ---------------------------------------------------------------------------
+# geometric
+# ---------------------------------------------------------------------------
+
+
+def random_horizontal_flip(rng, sample, probability: float = 0.5):
+    """Mirror the true-image region and its boxes with prob 0.5."""
+    do = jax.random.bernoulli(rng, probability)
+    img = sample["image"]
+    w = sample["true_shape"][1]
+    width = img.shape[1]
+    cols = jnp.arange(width)
+    src = jnp.where(cols < w, w - 1 - cols, cols)
+    flipped = jnp.take(img, src, axis=1)
+    boxes = sample["boxes"]
+    wf = w.astype(boxes.dtype)
+    fboxes = jnp.stack(
+        [boxes[:, 0], wf - boxes[:, 3], boxes[:, 2], wf - boxes[:, 1]], axis=1
+    )
+    out = dict(sample)
+    out["image"] = jnp.where(do, flipped, img)
+    out["boxes"] = jnp.where(do, fboxes, boxes)
+    return out
+
+
+def random_vertical_flip(rng, sample, probability: float = 0.5):
+    do = jax.random.bernoulli(rng, probability)
+    img = sample["image"]
+    h = sample["true_shape"][0]
+    rows = jnp.arange(img.shape[0])
+    src = jnp.where(rows < h, h - 1 - rows, rows)
+    flipped = jnp.take(img, src, axis=0)
+    boxes = sample["boxes"]
+    hf = h.astype(boxes.dtype)
+    fboxes = jnp.stack(
+        [hf - boxes[:, 2], boxes[:, 1], hf - boxes[:, 0], boxes[:, 3]], axis=1
+    )
+    out = dict(sample)
+    out["image"] = jnp.where(do, flipped, img)
+    out["boxes"] = jnp.where(do, fboxes, boxes)
+    return out
+
+
+def random_jitter_boxes(rng, sample, ratio: float = 0.05):
+    boxes = sample["boxes"]
+    h = boxes[:, 2] - boxes[:, 0]
+    w = boxes[:, 3] - boxes[:, 1]
+    noise = jax.random.uniform(rng, boxes.shape, minval=-ratio, maxval=ratio)
+    delta = noise * jnp.stack([h, w, h, w], axis=1)
+    out = dict(sample)
+    out["boxes"] = boxes + delta
+    return out
+
+
+def random_crop_image(
+    rng,
+    sample,
+    min_object_covered: float = 1.0,
+    min_aspect_ratio: float = 0.75,
+    max_aspect_ratio: float = 1.33,
+    min_area: float = 0.1,
+    max_area: float = 1.0,
+    overlap_thresh: float = 0.3,
+    random_coef: float = 0.0,
+):
+    """Sample a crop window inside the true image; resample it onto the
+    full canvas (static shape). Boxes are clipped to the window; boxes
+    whose IoA with the window falls below overlap_thresh are masked out.
+    With prob `random_coef` the image is kept unchanged."""
+    rng_keep, rng_area, rng_aspect, rng_y, rng_x = jax.random.split(rng, 5)
+    keep_original = jax.random.bernoulli(rng_keep, random_coef)
+
+    th = sample["true_shape"][0].astype(jnp.float32)
+    tw = sample["true_shape"][1].astype(jnp.float32)
+    area_frac = jax.random.uniform(rng_area, minval=min_area, maxval=max_area)
+    aspect = jax.random.uniform(rng_aspect, minval=min_aspect_ratio, maxval=max_aspect_ratio)
+    # window h*w = area_frac * th * tw, w/h = aspect * (tw/th)-neutral form
+    ch = jnp.sqrt(area_frac * th * tw / aspect)
+    cw = ch * aspect
+    ch = jnp.minimum(ch, th)
+    cw = jnp.minimum(cw, tw)
+    y0 = jax.random.uniform(rng_y) * (th - ch)
+    x0 = jax.random.uniform(rng_x) * (tw - cw)
+    window = jnp.stack([y0, x0, y0 + ch, x0 + cw])
+
+    img = sample["image"]
+    canvas_h, canvas_w = img.shape[0], img.shape[1]
+    norm = jnp.asarray(
+        [canvas_h, canvas_w, canvas_h, canvas_w], jnp.float32
+    )
+    crop = roi_lib.crop_and_resize(
+        img, (window / norm)[None, :], (canvas_h, canvas_w)
+    )[0]
+
+    boxes = sample["boxes"]
+    ioa = box_ops.ioa(window[None, :], boxes)[0]  # coverage of each box by window
+    keep_box = ioa >= overlap_thresh
+    clipped = box_ops.clip_to_window(boxes, window)
+    # re-express in the resampled canvas: window -> full canvas
+    scale_y = canvas_h / ch
+    scale_x = canvas_w / cw
+    moved = jnp.stack(
+        [
+            (clipped[:, 0] - y0) * scale_y,
+            (clipped[:, 1] - x0) * scale_x,
+            (clipped[:, 2] - y0) * scale_y,
+            (clipped[:, 3] - x0) * scale_x,
+        ],
+        axis=1,
+    )
+    out = dict(sample)
+    out["image"] = jnp.where(keep_original, img, crop)
+    out["boxes"] = jnp.where(keep_original, boxes, moved)
+    out["mask"] = jnp.where(keep_original, sample["mask"], sample["mask"] & keep_box)
+    out["true_shape"] = jnp.where(
+        keep_original,
+        sample["true_shape"],
+        jnp.asarray([canvas_h, canvas_w], sample["true_shape"].dtype),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# photometric (image in 0-255 float)
+# ---------------------------------------------------------------------------
+
+
+def normalize_image(rng, sample, original_minval=0.0, original_maxval=255.0,
+                    target_minval=0.0, target_maxval=1.0):
+    img = sample["image"]
+    img = (img - original_minval) / (original_maxval - original_minval)
+    out = dict(sample)
+    out["image"] = img * (target_maxval - target_minval) + target_minval
+    return out
+
+
+def random_pixel_value_scale(rng, sample, minval=0.9, maxval=1.1):
+    scale = jax.random.uniform(rng, sample["image"].shape, minval=minval, maxval=maxval)
+    out = dict(sample)
+    out["image"] = jnp.clip(sample["image"] * scale, 0.0, 255.0)
+    return out
+
+
+def random_adjust_brightness(rng, sample, max_delta=0.2):
+    delta = jax.random.uniform(rng, minval=-max_delta, maxval=max_delta) * 255.0
+    out = dict(sample)
+    out["image"] = jnp.clip(sample["image"] + delta, 0.0, 255.0)
+    return out
+
+
+def random_adjust_contrast(rng, sample, min_delta=0.8, max_delta=1.25):
+    factor = jax.random.uniform(rng, minval=min_delta, maxval=max_delta)
+    mean = jnp.mean(sample["image"], axis=(0, 1), keepdims=True)
+    out = dict(sample)
+    out["image"] = jnp.clip((sample["image"] - mean) * factor + mean, 0.0, 255.0)
+    return out
+
+
+def _rgb_to_hsv(img):
+    return jnp.stack(jax.vmap(jax.vmap(_px_rgb_to_hsv))(img / 255.0), axis=-1) \
+        if False else _hsv_vec(img / 255.0)
+
+
+def _hsv_vec(rgb):
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    diff = mx - mn + 1e-12
+    h = jnp.where(
+        mx == r, (g - b) / diff % 6.0,
+        jnp.where(mx == g, (b - r) / diff + 2.0, (r - g) / diff + 4.0),
+    ) / 6.0
+    s = jnp.where(mx > 0, diff / (mx + 1e-12), 0.0)
+    return jnp.stack([h, s, mx], axis=-1)
+
+
+def _hsv_to_rgb_vec(hsv):
+    h, s, v = hsv[..., 0] * 6.0, hsv[..., 1], hsv[..., 2]
+    c = v * s
+    x = c * (1.0 - jnp.abs(h % 2.0 - 1.0))
+    m = v - c
+    z = jnp.zeros_like(c)
+    idx = jnp.floor(h).astype(jnp.int32) % 6
+    r = jnp.choose(idx, [c, x, z, z, x, c], mode="clip")
+    g = jnp.choose(idx, [x, c, c, x, z, z], mode="clip")
+    b = jnp.choose(idx, [z, z, x, c, c, x], mode="clip")
+    return jnp.stack([r + m, g + m, b + m], axis=-1)
+
+
+def random_adjust_hue(rng, sample, max_delta=0.02):
+    delta = jax.random.uniform(rng, minval=-max_delta, maxval=max_delta)
+    hsv = _hsv_vec(sample["image"] / 255.0)
+    hsv = hsv.at[..., 0].set((hsv[..., 0] + delta) % 1.0)
+    out = dict(sample)
+    out["image"] = jnp.clip(_hsv_to_rgb_vec(hsv) * 255.0, 0.0, 255.0)
+    return out
+
+
+def random_adjust_saturation(rng, sample, min_delta=0.8, max_delta=1.25):
+    factor = jax.random.uniform(rng, minval=min_delta, maxval=max_delta)
+    hsv = _hsv_vec(sample["image"] / 255.0)
+    hsv = hsv.at[..., 1].set(jnp.clip(hsv[..., 1] * factor, 0.0, 1.0))
+    out = dict(sample)
+    out["image"] = jnp.clip(_hsv_to_rgb_vec(hsv) * 255.0, 0.0, 255.0)
+    return out
+
+
+def random_rgb_to_gray(rng, sample, probability=0.1):
+    do = jax.random.bernoulli(rng, probability)
+    img = sample["image"]
+    gray = jnp.sum(
+        img * jnp.asarray([0.2989, 0.587, 0.114]), axis=-1, keepdims=True
+    )
+    out = dict(sample)
+    out["image"] = jnp.where(do, jnp.broadcast_to(gray, img.shape), img)
+    return out
+
+
+def random_distort_color(rng, sample, color_ordering=0):
+    r1, r2, r3, r4 = jax.random.split(rng, 4)
+    s = random_adjust_brightness(r1, sample, 32.0 / 255.0)
+    if color_ordering == 0:
+        s = random_adjust_saturation(r2, s, 0.5, 1.5)
+        s = random_adjust_hue(r3, s, 0.2)
+        s = random_adjust_contrast(r4, s, 0.5, 1.5)
+    else:
+        s = random_adjust_contrast(r2, s, 0.5, 1.5)
+        s = random_adjust_saturation(r3, s, 0.5, 1.5)
+        s = random_adjust_hue(r4, s, 0.2)
+    return s
+
+
+def random_black_patches(rng, sample, max_black_patches=10, probability=0.5,
+                         size_to_image_ratio=0.1):
+    img = sample["image"]
+    h, w = img.shape[0], img.shape[1]
+    size = int(size_to_image_ratio * max(h, w))
+    rows = jnp.arange(h)[:, None]
+    cols = jnp.arange(w)[None, :]
+
+    def one_patch(i, img):
+        r = jax.random.fold_in(rng, i)
+        r1, r2, r3 = jax.random.split(r, 3)
+        do = jax.random.bernoulli(r1, probability)
+        y0 = jax.random.randint(r2, (), 0, max(h - size, 1))
+        x0 = jax.random.randint(r3, (), 0, max(w - size, 1))
+        inside = (
+            (rows >= y0) & (rows < y0 + size) & (cols >= x0) & (cols < x0 + size)
+        )
+        return jnp.where(do & inside[..., None], 0.0, img)
+
+    out = dict(sample)
+    out["image"] = jax.lax.fori_loop(0, max_black_patches, one_patch, img)
+    return out
+
+
+def subtract_channel_mean(rng, sample, means=(0.0, 0.0, 0.0)):
+    out = dict(sample)
+    out["image"] = sample["image"] - jnp.asarray(means)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# dispatcher
+# ---------------------------------------------------------------------------
+
+TRANSFORMS: Dict[str, Callable] = {
+    "normalize_image": normalize_image,
+    "random_horizontal_flip": random_horizontal_flip,
+    "random_vertical_flip": random_vertical_flip,
+    "random_pixel_value_scale": random_pixel_value_scale,
+    "random_rgb_to_gray": random_rgb_to_gray,
+    "random_adjust_brightness": random_adjust_brightness,
+    "random_adjust_contrast": random_adjust_contrast,
+    "random_adjust_hue": random_adjust_hue,
+    "random_adjust_saturation": random_adjust_saturation,
+    "random_distort_color": random_distort_color,
+    "random_jitter_boxes": random_jitter_boxes,
+    "random_crop_image": random_crop_image,
+    "random_black_patches": random_black_patches,
+    "subtract_channel_mean": subtract_channel_mean,
+}
+
+
+def preprocess(rng, sample, options: List[Tuple[str, dict]]):
+    """Apply a list of (transform_name, kwargs) steps (the reference's
+    preprocessor.preprocess dispatcher)."""
+    for i, (name, kwargs) in enumerate(options):
+        fn = TRANSFORMS.get(name)
+        if fn is None:
+            raise ValueError(f"unimplemented preprocessing step {name!r}")
+        sample = fn(jax.random.fold_in(rng, i), sample, **kwargs)
+    return sample
+
+
+def batch_preprocess(rng, batch, options: List[Tuple[str, dict]]):
+    """vmap preprocess over the batch with per-sample keys."""
+    b = batch["image"].shape[0]
+    rngs = jax.random.split(rng, b)
+    return jax.vmap(lambda r, s: preprocess(r, s, options))(rngs, batch)

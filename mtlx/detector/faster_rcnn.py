@@ -1,0 +1,616 @@
+"""Faster R-CNN meta-architecture — TPU-native two-stage detector.
+
+Capability match for the reference's
+`meta_architectures/faster_rcnn_meta_arch.py` (SURVEY.md §3.3, §4.2) plus
+the MTL-SSL auxiliary heads [F], redesigned for XLA:
+
+  * the whole predict/loss path is ONE jitted program: static shapes,
+    padded proposal sets with validity masks, `vmap` over the batch
+  * training-time proposal sampling and RPN minibatch sampling are pure
+    functions of explicit PRNG keys
+  * anchors are trace-time constants (computed from the static canvas)
+  * bfloat16 backbone compute, fp32 losses
+
+Coordinate convention: absolute pixels on the fixed padded canvas
+everywhere inside predict/loss; `postprocess` re-expresses detections
+normalized to each image's true (pre-padding) extent, matching the
+reference's output contract.
+
+DetectionModel API parity (reference core/model.py): `preprocess`,
+`predict`, `loss`, `postprocess`, `provide_groundtruth` (groundtruth is
+passed explicitly as a `GroundTruth` pytree — no object state in a
+functional framework), `restore_map` (see mtlx/train/checkpoints.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from jax import Array
+
+from mtlx.anchors.grid import GridAnchorGenerator
+from mtlx.assign import samplers, target_assigner
+from mtlx.backbones import resnet
+from mtlx.coders import box_coders
+from mtlx.geometry import box_ops
+from mtlx.heads import aux_heads, box_predictors
+from mtlx.labels import recycle
+from mtlx.losses import losses as loss_lib
+from mtlx.ops import nms as nms_lib
+from mtlx.ops import roi as roi_lib
+
+
+# --------------------------------------------------------------------------
+# Config
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class MTLConfig:
+    """MTL-SSL auxiliary task switches + loss weights (SURVEY.md §3.11)."""
+
+    multiobject: bool = False
+    closeness: bool = False
+    foreground: bool = False
+    multiobject_weight: float = 1.0
+    closeness_weight: float = 1.0
+    foreground_weight: float = 1.0
+    window_enlarge_factor: float = 2.0
+    closeness_sigma: float = 0.5
+    refine: bool = False  # paper's feature-refinement path
+
+    @property
+    def any(self) -> bool:
+        return self.multiobject or self.closeness or self.foreground
+
+
+@dataclasses.dataclass(frozen=True)
+class FasterRCNNConfig:
+    num_classes: int = 20
+    canvas_size: Tuple[int, int] = (1024, 1024)  # static padded canvas
+    backbone: str = "resnet50"  # resnet50 | resnet101 | resnet152
+    feature_stride: int = 16
+    # first stage (RPN)
+    anchor_scales: Tuple[float, ...] = (0.25, 0.5, 1.0, 2.0)
+    anchor_aspect_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    anchor_base_size: Tuple[float, float] = (256.0, 256.0)
+    rpn_depth: int = 512
+    first_stage_nms_score_threshold: float = 0.0
+    first_stage_nms_iou_threshold: float = 0.7
+    first_stage_pre_nms_top_k: int = 6000
+    first_stage_max_proposals: int = 300
+    first_stage_minibatch_size: int = 256
+    first_stage_positive_balance_fraction: float = 0.5
+    first_stage_localization_loss_weight: float = 2.0
+    first_stage_objectness_loss_weight: float = 1.0
+    # ROI pooling
+    initial_crop_size: int = 14
+    maxpool_kernel_size: int = 2
+    maxpool_stride: int = 2
+    # second stage
+    second_stage_batch_size: int = 64
+    second_stage_balance_fraction: float = 0.25
+    second_stage_nms_score_threshold: float = 0.0
+    second_stage_nms_iou_threshold: float = 0.6
+    second_stage_max_detections_per_class: int = 100
+    second_stage_max_total_detections: int = 300
+    second_stage_localization_loss_weight: float = 2.0
+    second_stage_classification_loss_weight: float = 1.0
+    second_stage_dropout: bool = False
+    second_stage_dropout_keep_prob: float = 1.0
+    # misc
+    max_gt_boxes: int = 100
+    dtype: Any = jnp.bfloat16
+    mtl: MTLConfig = dataclasses.field(default_factory=MTLConfig)
+
+    @property
+    def resnet_depth(self) -> int:
+        return {"resnet50": 50, "resnet101": 101, "resnet152": 152}[self.backbone]
+
+    @property
+    def feature_map_shape(self) -> Tuple[int, int]:
+        h, w = self.canvas_size
+        s = self.feature_stride
+        return (-(-h // s), -(-w // s))
+
+
+class GroundTruth(dict):
+    """Pytree of padded groundtruth:
+    boxes [B, G, 4] (absolute canvas px), classes [B, G] int32 0-based,
+    mask [B, G] bool, optional weights [B, G]."""
+
+
+# --------------------------------------------------------------------------
+# Learnable modules
+# --------------------------------------------------------------------------
+
+
+class FasterRCNNModules(nn.Module):
+    """All parameters of the detector, one Flax module with named methods."""
+
+    cfg: FasterRCNNConfig
+
+    def setup(self):
+        c = self.cfg
+        depth = c.resnet_depth
+        self.proposal_features = resnet.ResNetProposalFeatures(
+            depth=depth, dtype=c.dtype, name="backbone"
+        )
+        num_anchors = len(c.anchor_scales) * len(c.anchor_aspect_ratios)
+        self.rpn = box_predictors.RPNHead(
+            num_anchors_per_location=num_anchors, depth=c.rpn_depth,
+            dtype=c.dtype, name="rpn",
+        )
+        self.classifier_features = resnet.ResNetBoxClassifierFeatures(
+            depth=depth, dtype=c.dtype, name="classifier_backbone"
+        )
+        self.box_predictor = box_predictors.MaskRCNNBoxPredictor(
+            num_classes=c.num_classes,
+            use_dropout=c.second_stage_dropout,
+            dropout_keep_prob=c.second_stage_dropout_keep_prob,
+            dtype=c.dtype,
+            name="box_predictor",
+        )
+        if c.mtl.foreground:
+            self.foreground_head = aux_heads.ForegroundHead(dtype=c.dtype, name="fg_head")
+        if c.mtl.multiobject:
+            self.multiobject_head = aux_heads.MultiObjectHead(
+                num_classes=c.num_classes, dtype=c.dtype, name="mo_head"
+            )
+        if c.mtl.closeness:
+            self.closeness_head = aux_heads.ClosenessHead(
+                num_classes=c.num_classes, dtype=c.dtype, name="cl_head"
+            )
+
+    def __call__(self, images):
+        # init-only path: touch every submodule once so `init` creates all
+        # params (never used in the hot path)
+        feats = self.proposal_features(images)
+        obj, enc = self.rpn(feats)
+        b = images.shape[0]
+        cs = self.cfg.initial_crop_size
+        pooled_sz = cs // self.cfg.maxpool_stride
+        dummy_roi = jnp.zeros(
+            (1, pooled_sz, pooled_sz, feats.shape[-1]), feats.dtype
+        )
+        roi_out = self.classifier_features(dummy_roi)
+        pooled = jnp.mean(roi_out, axis=(1, 2))
+        cls, box = self.box_predictor(pooled)
+        # aux heads consume 7x7-avg-pooled RPN features (C channels, not
+        # the 2048-dim classifier pool) — init must match the real path
+        aux_pooled = jnp.mean(feats, axis=(1, 2)).astype(jnp.float32)
+        extras = []
+        if self.cfg.mtl.foreground:
+            extras.append(jnp.sum(self.foreground_head(feats)))
+        if self.cfg.mtl.multiobject:
+            extras.append(jnp.sum(self.multiobject_head(aux_pooled)[0]))
+        if self.cfg.mtl.closeness:
+            extras.append(jnp.sum(self.closeness_head(aux_pooled)[0]))
+        return obj, enc, cls, box
+
+    # --- named-method entry points (model.apply(..., method=...)) ---
+
+    def features(self, images):
+        return self.proposal_features(images)
+
+    def rpn_predictions(self, feats):
+        return self.rpn(feats)
+
+    def classify_rois(self, roi_crops, deterministic: bool = True):
+        """[N, h, w, C] ROI crops -> (pooled [N, 2048], cls, box_refine)."""
+        x = self.classifier_features(roi_crops)
+        pooled = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+        cls, box = self.box_predictor(pooled, deterministic=deterministic)
+        return pooled, cls, box
+
+    def foreground(self, feats):
+        return self.foreground_head(feats)
+
+    def multiobject(self, pooled):
+        return self.multiobject_head(pooled)
+
+    def closeness(self, pooled):
+        return self.closeness_head(pooled)
+
+
+# --------------------------------------------------------------------------
+# The detector
+# --------------------------------------------------------------------------
+
+
+class FasterRCNN:
+    """Functional two-stage detector around FasterRCNNModules."""
+
+    def __init__(self, cfg: FasterRCNNConfig):
+        self.cfg = cfg
+        self.modules = FasterRCNNModules(cfg)
+        gen = GridAnchorGenerator(
+            scales=cfg.anchor_scales,
+            aspect_ratios=cfg.anchor_aspect_ratios,
+            base_anchor_size=cfg.anchor_base_size,
+            anchor_stride=(float(cfg.feature_stride),) * 2,
+        )
+        raw = gen.generate(cfg.feature_map_shape)
+        # clip anchors to the canvas: static-shape stand-in for the
+        # reference's prune-outside-window (see module docstring)
+        canvas = jnp.asarray(
+            [0.0, 0.0, float(cfg.canvas_size[0]), float(cfg.canvas_size[1])]
+        )
+        self.anchors = box_ops.clip_to_window(raw, canvas)
+        self.box_coder = box_coders.make_faster_rcnn_coder()
+        self._proposal_assigner = target_assigner.create_target_assigner(
+            "FasterRCNN", "proposal"
+        )
+        self._detection_assigner = target_assigner.create_target_assigner(
+            "FasterRCNN", "detection"
+        )
+
+    # ---- parameter init ----
+
+    def init_variables(self, rng, batch_size: int = 1):
+        h, w = self.cfg.canvas_size
+        dummy = jnp.zeros((batch_size, h, w, 3), jnp.float32)
+        return self.modules.init(rng, dummy)
+
+    # ---- DetectionModel API ----
+
+    @staticmethod
+    def preprocess(images: Array) -> Array:
+        """Channel-mean subtraction; resize/pad happens in the data layer."""
+        return resnet.preprocess_images(images)
+
+    def predict(
+        self,
+        variables,
+        images: Array,
+        true_shapes: Array,
+        training: bool = False,
+        rng: Optional[Array] = None,
+        groundtruth: Optional[GroundTruth] = None,
+    ) -> Dict[str, Array]:
+        """Run both stages. images: [B, H, W, 3] preprocessed on the static
+        canvas; true_shapes: [B, 2] (true h, w) of each image pre-padding.
+
+        In training mode proposals are sampled against groundtruth
+        (second_stage_batch_size of them) exactly as the reference does
+        inside predict; at eval all max_proposals go forward.
+        """
+        c = self.cfg
+        b = images.shape[0]
+        apply = self.modules.apply
+
+        feats = apply(variables, images, method=FasterRCNNModules.features)
+        obj_logits, box_enc = apply(
+            variables, feats, method=FasterRCNNModules.rpn_predictions
+        )
+
+        proposals, proposal_scores, proposal_mask = self._postprocess_rpn(
+            obj_logits, box_enc, true_shapes
+        )
+
+        pred: Dict[str, Any] = {
+            "rpn_features": feats,
+            "rpn_objectness_logits": obj_logits,
+            "rpn_box_encodings": box_enc,
+            "anchors": self.anchors,
+        }
+
+        if training:
+            if rng is None or groundtruth is None:
+                raise ValueError("training predict needs rng and groundtruth")
+            proposals, proposal_mask = self._sample_proposals(
+                rng, proposals, proposal_mask, groundtruth
+            )
+
+        pred["proposal_boxes"] = proposals  # [B, P, 4] canvas px
+        pred["proposal_mask"] = proposal_mask
+        if not training:
+            pred["proposal_scores"] = proposal_scores
+
+        # ---- stage 2: ROI crop -> block4 -> heads ----
+        canvas = jnp.asarray(
+            [c.canvas_size[0], c.canvas_size[1], c.canvas_size[0], c.canvas_size[1]],
+            jnp.float32,
+        )
+        norm_proposals = proposals / canvas
+        crops = roi_lib.batch_crop_and_resize(
+            feats, norm_proposals, (c.initial_crop_size, c.initial_crop_size)
+        )  # [B, P, cs, cs, C]
+        p = crops.shape[1]
+        crops = crops.reshape((b * p,) + crops.shape[2:])
+        crops = nn.max_pool(
+            crops,
+            (c.maxpool_kernel_size,) * 2,
+            strides=(c.maxpool_stride,) * 2,
+        )
+        pooled, cls_logits, box_refine = apply(
+            variables, crops, not training, method=FasterRCNNModules.classify_rois,
+            rngs={"dropout": rng} if (training and c.second_stage_dropout) else None,
+        )
+        pred["class_predictions"] = cls_logits.reshape(b, p, -1)
+        pred["refined_box_encodings"] = box_refine.reshape(b, p, -1, 4)
+
+        # ---- MTL aux predictions (training only; zero inference cost) ----
+        if training and c.mtl.any:
+            self._predict_aux(variables, pred, feats, groundtruth)
+        return pred
+
+    def _predict_aux(self, variables, pred, feats, gt: GroundTruth):
+        """Aux heads on groundtruth-derived windows (annotation recycling)."""
+        c = self.cfg
+        apply = self.modules.apply
+        canvas = jnp.asarray(
+            [c.canvas_size[0], c.canvas_size[1], c.canvas_size[0], c.canvas_size[1]],
+            jnp.float32,
+        )
+        if c.mtl.foreground:
+            pred["foreground_logits"] = apply(
+                variables, feats, method=FasterRCNNModules.foreground
+            )
+        pool_roi = lambda boxes_norm: jax.vmap(
+            lambda f, bx: jnp.mean(
+                roi_lib.crop_and_resize(f, bx, (7, 7)), axis=(1, 2)
+            )
+        )(feats.astype(jnp.float32), boxes_norm)
+        if c.mtl.multiobject:
+            windows = recycle.enlarged_windows(gt["boxes"], c.mtl.window_enlarge_factor)
+            pred["multiobject_windows"] = windows
+            pooled = pool_roi(windows / canvas)  # [B, G, C]
+            logits, _ = apply(
+                variables, pooled, method=FasterRCNNModules.multiobject
+            )
+            pred["multiobject_logits"] = logits
+        if c.mtl.closeness:
+            pooled = pool_roi(gt["boxes"] / canvas)
+            logits, _ = apply(variables, pooled, method=FasterRCNNModules.closeness)
+            pred["closeness_logits"] = logits
+
+    def _postprocess_rpn(self, obj_logits, box_enc, true_shapes):
+        """Decode anchors -> clip to true image -> top-K -> NMS."""
+        c = self.cfg
+
+        def per_image(obj, enc, true_hw):
+            scores = jax.nn.softmax(obj, axis=-1)[:, 1]
+            boxes = self.box_coder.decode(enc, self.anchors)
+            window = jnp.concatenate([jnp.zeros(2), true_hw.astype(jnp.float32)])
+            boxes = box_ops.clip_to_window(boxes, window)
+            k = min(c.first_stage_pre_nms_top_k, boxes.shape[0])
+            top_scores, top_idx = jax.lax.top_k(scores, k)
+            top_boxes = jnp.take(boxes, top_idx, axis=0)
+            area_ok = box_ops.area(top_boxes) > 0
+            idx, keep = nms_lib.non_max_suppression_padded(
+                top_boxes,
+                top_scores,
+                max_output_size=c.first_stage_max_proposals,
+                iou_threshold=c.first_stage_nms_iou_threshold,
+                score_threshold=c.first_stage_nms_score_threshold,
+                valid_mask=area_ok,
+            )
+            return (
+                jnp.take(top_boxes, idx, axis=0),
+                jnp.where(keep, jnp.take(top_scores, idx), 0.0),
+                keep,
+            )
+
+        return jax.vmap(per_image)(obj_logits, box_enc, true_shapes)
+
+    def _sample_proposals(self, rng, proposals, proposal_mask, gt: GroundTruth):
+        """Balanced-sample second_stage_batch_size proposals per image."""
+        c = self.cfg
+
+        def per_image(rng, props, mask, gt_boxes, gt_classes, gt_mask):
+            res = self._detection_assigner.assign(
+                props, gt_boxes, gt_mask=gt_mask
+            )
+            positive = (res.match >= 0) & mask
+            indicator = mask & (res.match != -2)
+            sampled = samplers.balanced_subsample(
+                rng, indicator, positive,
+                c.second_stage_batch_size, c.second_stage_balance_fraction,
+            )
+            # compact the <=batch_size sampled rows to the front (static)
+            order = jnp.argsort(~sampled)  # True first, stable
+            idx = order[: c.second_stage_batch_size]
+            return jnp.take(props, idx, axis=0), jnp.take(sampled, idx)
+
+        rngs = jax.random.split(rng, proposals.shape[0])
+        return jax.vmap(per_image)(
+            rngs, proposals, proposal_mask, gt["boxes"], gt["classes"], gt["mask"]
+        )
+
+    # ---- losses ----
+
+    def loss(
+        self, pred: Dict[str, Array], groundtruth: GroundTruth, rng: Array
+    ) -> Dict[str, Array]:
+        c = self.cfg
+        out: Dict[str, Array] = {}
+        out.update(self._first_stage_loss(pred, groundtruth, rng))
+        out.update(self._second_stage_loss(pred, groundtruth))
+        if c.mtl.any:
+            out.update(self._aux_loss(pred, groundtruth))
+        out["total_loss"] = sum(
+            v for k, v in out.items() if k.startswith("Loss/")
+        )
+        return out
+
+    def _first_stage_loss(self, pred, gt: GroundTruth, rng):
+        c = self.cfg
+
+        def per_image(rng, obj, enc, gt_boxes, gt_mask):
+            res = self._proposal_assigner.assign(
+                self.anchors, gt_boxes, gt_mask=gt_mask
+            )
+            indicator = res.cls_weights > 0  # drops ignored anchors
+            positive = res.match >= 0
+            sampled = samplers.balanced_subsample(
+                rng, indicator, positive,
+                c.first_stage_minibatch_size,
+                c.first_stage_positive_balance_fraction,
+            )
+            normalizer = jnp.maximum(jnp.sum(sampled.astype(jnp.float32)), 1.0)
+            t = res.cls_targets[:, 0]
+            onehot = jnp.stack([1.0 - t, t], axis=-1)
+            obj_loss = loss_lib.weighted_softmax_classification_loss(
+                obj, onehot, sampled.astype(jnp.float32)
+            )
+            loc_loss = loss_lib.weighted_smooth_l1_loss(
+                enc, res.reg_targets, res.reg_weights * sampled
+            )
+            return jnp.sum(obj_loss) / normalizer, jnp.sum(loc_loss) / normalizer
+
+        rngs = jax.random.split(rng, pred["rpn_objectness_logits"].shape[0])
+        obj_l, loc_l = jax.vmap(per_image)(
+            rngs,
+            pred["rpn_objectness_logits"],
+            pred["rpn_box_encodings"],
+            gt["boxes"],
+            gt["mask"],
+        )
+        return {
+            "Loss/RPNLoss/objectness_loss": jnp.mean(obj_l)
+            * c.first_stage_objectness_loss_weight,
+            "Loss/RPNLoss/localization_loss": jnp.mean(loc_l)
+            * c.first_stage_localization_loss_weight,
+        }
+
+    def _second_stage_loss(self, pred, gt: GroundTruth):
+        c = self.cfg
+        k = c.num_classes
+
+        def per_image(props, mask, cls_logits, box_refine, gt_boxes, gt_classes, gt_mask):
+            onehot = jax.nn.one_hot(gt_classes + 1, k + 1)  # col 0 = background
+            res = self._detection_assigner.assign(
+                props, gt_boxes, gt_labels=onehot, gt_mask=gt_mask,
+                unmatched_cls_target=jax.nn.one_hot(0, k + 1),
+            )
+            w = mask.astype(jnp.float32)
+            normalizer = jnp.maximum(jnp.sum(w), 1.0)
+            cls_loss = loss_lib.weighted_softmax_classification_loss(
+                cls_logits, res.cls_targets, res.cls_weights * w
+            )
+            # per-class box refinement: pick the target class row
+            target_class = jnp.argmax(res.cls_targets[:, 1:], axis=-1)
+            num_box = box_refine.shape[1]
+            row = jnp.where(num_box == 1, 0, jnp.clip(target_class, 0, num_box - 1))
+            enc = jnp.take_along_axis(
+                box_refine, row[:, None, None].repeat(4, axis=2), axis=1
+            )[:, 0, :]
+            loc_loss = loss_lib.weighted_smooth_l1_loss(
+                enc, res.reg_targets, res.reg_weights * w
+            )
+            return jnp.sum(cls_loss) / normalizer, jnp.sum(loc_loss) / normalizer
+
+        cls_l, loc_l = jax.vmap(per_image)(
+            pred["proposal_boxes"],
+            pred["proposal_mask"],
+            pred["class_predictions"],
+            pred["refined_box_encodings"],
+            gt["boxes"],
+            gt["classes"],
+            gt["mask"],
+        )
+        return {
+            "Loss/BoxClassifierLoss/classification_loss": jnp.mean(cls_l)
+            * c.second_stage_classification_loss_weight,
+            "Loss/BoxClassifierLoss/localization_loss": jnp.mean(loc_l)
+            * c.second_stage_localization_loss_weight,
+        }
+
+    def _aux_loss(self, pred, gt: GroundTruth):
+        c = self.cfg
+        out = {}
+        canvas_h, canvas_w = c.canvas_size
+        if c.mtl.foreground and "foreground_logits" in pred:
+            logits = pred["foreground_logits"]  # [B, Hf, Wf]
+            fh, fw = logits.shape[1:]
+            norm = jnp.asarray([canvas_h, canvas_w, canvas_h, canvas_w], jnp.float32)
+            target = jax.vmap(
+                lambda bx, m: recycle.foreground_mask(bx / norm, m, (fh, fw))
+            )(gt["boxes"], gt["mask"])
+            ce = loss_lib.sigmoid_cross_entropy(logits, target)
+            out["Loss/MTL/foreground_loss"] = (
+                jnp.mean(ce) * c.mtl.foreground_weight
+            )
+        if c.mtl.multiobject and "multiobject_logits" in pred:
+            labels = jax.vmap(
+                lambda w, bx, cl, m: recycle.multiobject_labels(
+                    w, bx, cl, m, c.num_classes
+                )
+            )(pred["multiobject_windows"], gt["boxes"], gt["classes"], gt["mask"])
+            valid = gt["mask"] & (jnp.sum(labels, -1) > 0)
+            ce = loss_lib.softmax_cross_entropy(pred["multiobject_logits"], labels)
+            denom = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+            out["Loss/MTL/multiobject_loss"] = (
+                jnp.sum(ce * valid) / denom * c.mtl.multiobject_weight
+            )
+        if c.mtl.closeness and "closeness_logits" in pred:
+            labels = jax.vmap(
+                lambda bx, cl, m: recycle.closeness_labels(
+                    bx, cl, m, c.num_classes, c.mtl.closeness_sigma
+                )
+            )(gt["boxes"], gt["classes"], gt["mask"])
+            valid = gt["mask"] & (jnp.sum(labels, -1) > 0)
+            ce = loss_lib.softmax_cross_entropy(pred["closeness_logits"], labels)
+            denom = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+            out["Loss/MTL/closeness_loss"] = (
+                jnp.sum(ce * valid) / denom * c.mtl.closeness_weight
+            )
+        return out
+
+    # ---- postprocess ----
+
+    def postprocess(self, pred: Dict[str, Array], true_shapes: Array):
+        """Second-stage decode + per-class NMS -> final detections.
+
+        Returns dict with detection_boxes (normalized to the TRUE image),
+        detection_scores, detection_classes (0-based), num_detections —
+        the reference's output contract (SURVEY.md §4.4).
+        """
+        c = self.cfg
+
+        def per_image(props, mask, cls_logits, box_refine, true_hw):
+            scores = jax.nn.softmax(cls_logits, axis=-1)[:, 1:]  # drop background
+            num_box = box_refine.shape[1]
+            anchors = jnp.broadcast_to(
+                props[:, None, :], (props.shape[0], c.num_classes, 4)
+            )
+            refine = (
+                jnp.broadcast_to(box_refine, anchors.shape)
+                if num_box == 1
+                else box_refine
+            )
+            decoded = self.box_coder.decode(
+                refine.reshape(-1, 4), anchors.reshape(-1, 4)
+            ).reshape(anchors.shape)
+            window = jnp.concatenate([jnp.zeros(2), true_hw.astype(jnp.float32)])
+            res = nms_lib.multiclass_non_max_suppression(
+                decoded,
+                scores,
+                score_threshold=c.second_stage_nms_score_threshold,
+                iou_threshold=c.second_stage_nms_iou_threshold,
+                max_size_per_class=c.second_stage_max_detections_per_class,
+                max_total_size=c.second_stage_max_total_detections,
+                clip_window=window,
+                change_coordinate_frame=True,
+                valid_mask=mask,
+            )
+            return res.boxes, res.scores, res.classes, res.num_valid
+
+        boxes, scores, classes, num = jax.vmap(per_image)(
+            pred["proposal_boxes"],
+            pred["proposal_mask"],
+            pred["class_predictions"],
+            pred["refined_box_encodings"],
+            true_shapes,
+        )
+        return {
+            "detection_boxes": boxes,
+            "detection_scores": scores,
+            "detection_classes": classes,
+            "num_detections": num,
+        }

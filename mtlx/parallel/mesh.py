@@ -1,0 +1,53 @@
+"""Device mesh + sharding helpers — the framework's parallelism layer.
+
+Replaces the reference's entire distribution stack (SURVEY.md §3.9:
+model_deploy clones for in-graph data parallelism, gRPC parameter servers
+for multi-host) with the TPU-native single-program model:
+
+  * one `jax.sharding.Mesh` over all chips; axis "data" for batch
+    data-parallelism (the detector fits one chip, so TP/PP/EP axes are
+    intentionally absent — documented in SURVEY.md §6.7/§3.9)
+  * parameters replicated, batch sharded on "data"
+  * gradients all-reduced by XLA over ICI (psum inserted by jit from the
+    sharding annotations — no hand-written collectives, no PS, and sync
+    SGD semantics matching the reference's sync_replicas=true mode)
+  * multi-host: same program on every process; each host feeds its local
+    shard (see mtlx/data/loader.py process sharding)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def create_mesh(devices: Optional[Sequence[Any]] = None) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """device_put every leaf with its batch dim sharded over `mesh`."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    r = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), tree)

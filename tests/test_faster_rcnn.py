@@ -1,0 +1,152 @@
+"""Faster R-CNN meta-arch: shape/finiteness contracts in train + eval modes
+(reference test pattern: meta_architectures/faster_rcnn_meta_arch_test.py
+uses fake extractors; here a tiny canvas keeps the real backbone cheap)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mtlx.detector.faster_rcnn import (
+    FasterRCNN,
+    FasterRCNNConfig,
+    MTLConfig,
+)
+
+
+def tiny_config(**kw):
+    defaults = dict(
+        num_classes=3,
+        canvas_size=(64, 64),
+        anchor_scales=(0.5, 1.0),
+        anchor_aspect_ratios=(1.0,),
+        anchor_base_size=(32.0, 32.0),
+        rpn_depth=32,
+        first_stage_pre_nms_top_k=24,
+        first_stage_max_proposals=12,
+        first_stage_minibatch_size=16,
+        second_stage_batch_size=8,
+        max_gt_boxes=4,
+        dtype=jnp.float32,
+    )
+    defaults.update(kw)
+    return FasterRCNNConfig(**defaults)
+
+
+def make_gt(b=2, g=4):
+    boxes = np.zeros((b, g, 4), np.float32)
+    boxes[:, 0] = [8, 8, 40, 40]
+    boxes[:, 1] = [20, 28, 56, 60]
+    classes = np.zeros((b, g), np.int32)
+    classes[:, 1] = 2
+    mask = np.zeros((b, g), bool)
+    mask[:, :2] = True
+    return {
+        "boxes": jnp.asarray(boxes),
+        "classes": jnp.asarray(classes),
+        "mask": jnp.asarray(mask),
+    }
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    cfg = tiny_config(mtl=MTLConfig(multiobject=True, closeness=True, foreground=True))
+    model = FasterRCNN(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    return model, variables
+
+
+def test_anchor_count(model_and_vars):
+    model, _ = model_and_vars
+    # 64/16 = 4x4 grid, 2 anchors per loc
+    assert model.anchors.shape == (4 * 4 * 2, 4)
+
+
+def test_eval_predict_and_postprocess(model_and_vars):
+    model, variables = model_and_vars
+    images = model.preprocess(jnp.full((2, 64, 64, 3), 128.0))
+    true_shapes = jnp.asarray([[64, 64], [48, 64]])
+    pred = jax.jit(lambda v, im, ts: model.predict(v, im, ts, training=False))(
+        variables, images, true_shapes
+    )
+    assert pred["rpn_objectness_logits"].shape == (2, 32, 2)
+    assert pred["proposal_boxes"].shape == (2, 12, 4)
+    det = jax.jit(model.postprocess)(pred, true_shapes)
+    assert det["detection_boxes"].shape[0] == 2
+    db = np.asarray(det["detection_boxes"])
+    assert np.isfinite(db).all()
+    assert (db >= -1e-5).all() and (db <= 1.0 + 1e-5).all()  # normalized to true image
+    assert det["num_detections"].shape == (2,)
+
+
+def test_train_predict_loss_all_tasks(model_and_vars):
+    model, variables = model_and_vars
+    gt = make_gt()
+    images = model.preprocess(jnp.full((2, 64, 64, 3), 128.0))
+    true_shapes = jnp.asarray([[64, 64], [64, 64]])
+    rng = jax.random.PRNGKey(1)
+
+    @jax.jit
+    def run(v, im):
+        pred = model.predict(v, im, true_shapes, training=True, rng=rng, groundtruth=gt)
+        return pred, model.loss(pred, gt, rng)
+
+    pred, loss = run(variables, images)
+    assert pred["proposal_boxes"].shape == (2, 8, 4)  # second_stage_batch_size
+    expected = {
+        "Loss/RPNLoss/objectness_loss",
+        "Loss/RPNLoss/localization_loss",
+        "Loss/BoxClassifierLoss/classification_loss",
+        "Loss/BoxClassifierLoss/localization_loss",
+        "Loss/MTL/foreground_loss",
+        "Loss/MTL/multiobject_loss",
+        "Loss/MTL/closeness_loss",
+        "total_loss",
+    }
+    assert expected == set(loss.keys())
+    for k, v in loss.items():
+        assert np.isfinite(float(v)), k
+    assert float(loss["total_loss"]) > 0
+
+
+def test_gradients_flow_everywhere(model_and_vars):
+    model, variables = model_and_vars
+    gt = make_gt()
+    images = model.preprocess(jnp.full((2, 64, 64, 3), 100.0))
+    true_shapes = jnp.asarray([[64, 64], [64, 64]])
+    rng = jax.random.PRNGKey(2)
+
+    def loss_fn(params):
+        v = {"params": params, "batch_stats": variables["batch_stats"]}
+        pred = model.predict(v, images, true_shapes, training=True, rng=rng, groundtruth=gt)
+        return model.loss(pred, gt, rng)["total_loss"]
+
+    grads = jax.jit(jax.grad(loss_fn))(variables["params"])
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # every head receives gradient signal
+    gnorms = {
+        k: float(
+            sum(jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(v))
+        )
+        for k, v in grads.items()
+    }
+    for head in ["rpn", "box_predictor", "fg_head", "mo_head", "cl_head", "backbone"]:
+        assert gnorms[head] > 0, f"no gradient into {head}: {gnorms}"
+
+
+def test_no_groundtruth_image_trains(model_and_vars):
+    """Zero valid GT must not produce NaNs (SURVEY.md §8 hard part 2)."""
+    model, variables = model_and_vars
+    gt = {
+        "boxes": jnp.zeros((1, 4, 4)),
+        "classes": jnp.zeros((1, 4), jnp.int32),
+        "mask": jnp.zeros((1, 4), bool),
+    }
+    images = model.preprocess(jnp.full((1, 64, 64, 3), 90.0))
+    ts = jnp.asarray([[64, 64]])
+    rng = jax.random.PRNGKey(3)
+    pred = model.predict(variables, images, ts, training=True, rng=rng, groundtruth=gt)
+    loss = model.loss(pred, gt, rng)
+    for k, v in loss.items():
+        assert np.isfinite(float(v)), (k, float(v))

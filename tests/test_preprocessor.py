@@ -1,0 +1,114 @@
+"""Device-side augmentation: box/image consistency (reference
+core/preprocessor_test.py pattern — seeded ops, invariants)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mtlx.data import preprocessor
+
+
+def make_sample(h=32, w=32, tw=None, th=None):
+    img = np.zeros((h, w, 3), np.float32)
+    img[:, : w // 2] = 255.0  # left half white
+    return {
+        "image": jnp.asarray(img),
+        "boxes": jnp.asarray([[4.0, 2.0, 12.0, 10.0]]),
+        "classes": jnp.asarray([1]),
+        "mask": jnp.asarray([True]),
+        "true_shape": jnp.asarray([th or h, tw or w], jnp.int32),
+    }
+
+
+def _flip_always(sample):
+    # probability 1 => always flips
+    return preprocessor.random_horizontal_flip(jax.random.PRNGKey(0), sample, 1.0)
+
+
+def test_horizontal_flip_boxes_and_pixels():
+    s = make_sample()
+    out = _flip_always(s)
+    np.testing.assert_allclose(out["boxes"], [[4.0, 22.0, 12.0, 30.0]])
+    img = np.asarray(out["image"])
+    assert img[0, 0, 0] == 0.0 and img[0, -1, 0] == 255.0
+
+
+def test_horizontal_flip_respects_true_width():
+    s = make_sample(tw=16)  # only first 16 cols are real
+    img0 = np.zeros((32, 32, 3), np.float32)
+    img0[:, :8] = 255.0  # white strip inside the real region
+    img0[:, 20:24] = 99.0  # marker in the padding region
+    s["image"] = jnp.asarray(img0)
+    out = _flip_always(s)
+    img = np.asarray(out["image"])
+    # real region [0:16) mirrored: white strip moves to cols 8..15
+    assert img[0, 0, 0] == 0.0 and img[0, 15, 0] == 255.0
+    # padding region beyond true width untouched
+    np.testing.assert_allclose(img[:, 16:], img0[:, 16:])
+    np.testing.assert_allclose(out["boxes"], [[4.0, 6.0, 12.0, 14.0]])
+
+
+def test_flip_probability_zero_noop():
+    s = make_sample()
+    out = preprocessor.random_horizontal_flip(jax.random.PRNGKey(0), s, 0.0)
+    np.testing.assert_allclose(out["image"], s["image"])
+    np.testing.assert_allclose(out["boxes"], s["boxes"])
+
+
+def test_photometric_ops_bounded():
+    s = make_sample()
+    rng = jax.random.PRNGKey(3)
+    for name in [
+        "random_adjust_brightness",
+        "random_adjust_contrast",
+        "random_adjust_hue",
+        "random_adjust_saturation",
+        "random_pixel_value_scale",
+        "random_rgb_to_gray",
+        "random_distort_color",
+    ]:
+        out = preprocessor.TRANSFORMS[name](rng, s)
+        img = np.asarray(out["image"])
+        assert img.shape == (32, 32, 3)
+        assert np.isfinite(img).all()
+        assert img.min() >= -1e-3 and img.max() <= 255.001, name
+        np.testing.assert_allclose(out["boxes"], s["boxes"])  # boxes untouched
+
+
+def test_hue_zero_delta_identity():
+    s = make_sample()
+    out = preprocessor.random_adjust_hue(jax.random.PRNGKey(0), s, max_delta=0.0)
+    np.testing.assert_allclose(out["image"], s["image"], atol=0.5)
+
+
+def test_random_crop_masks_uncovered_boxes():
+    s = make_sample(h=64, w=64)
+    s["boxes"] = jnp.asarray([[0.0, 0.0, 8.0, 8.0], [30.0, 30.0, 60.0, 60.0]])
+    s["mask"] = jnp.asarray([True, True])
+    s["classes"] = jnp.asarray([0, 1])
+    out = preprocessor.random_crop_image(
+        jax.random.PRNGKey(5), s, min_area=0.2, max_area=0.4, overlap_thresh=0.9
+    )
+    assert out["image"].shape == (64, 64, 3)
+    assert np.asarray(out["mask"]).dtype == bool
+    # boxes stay finite and ordered
+    b = np.asarray(out["boxes"])
+    assert np.isfinite(b).all()
+
+
+def test_batch_preprocess_and_dispatcher():
+    batch = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), make_sample(), make_sample()
+    )
+    out = preprocessor.batch_preprocess(
+        jax.random.PRNGKey(0), batch,
+        [("random_horizontal_flip", {}), ("random_adjust_brightness", {"max_delta": 0.1})],
+    )
+    assert out["image"].shape == (2, 32, 32, 3)
+
+
+def test_unknown_transform_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="unimplemented"):
+        preprocessor.preprocess(jax.random.PRNGKey(0), make_sample(), [("nope", {})])
