@@ -14,6 +14,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 import json
 import time
 
+# NOTE: do NOT set JAX_COMPILATION_CACHE_DIR here — the persistent
+# compilation cache deadlocks the remote-compile TPU backend in this
+# environment (verified empirically).
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,0 +1,73 @@
+"""MobileNet v1 backbone (reference slim/nets/mobilenet_v1.py, SURVEY.md
+§3.8) — depthwise-separable conv stack in Flax, bf16, frozen BN, exposing
+the two SSD feature endpoints (conv11 stride-16, conv13 stride-32)."""
+
+from __future__ import annotations
+
+from typing import Any, List, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from mtlx.backbones.resnet import FrozenBatchNorm
+
+Dtype = Any
+
+# (stride, out_channels) per depthwise-separable block, after the conv0 stem
+_MOBILENET_V1_DEFS = [
+    (1, 64), (2, 128), (1, 128), (2, 256), (1, 256),
+    (2, 512), (1, 512), (1, 512), (1, 512), (1, 512), (1, 512),  # conv11
+    (2, 1024), (1, 1024),  # conv13
+]
+
+
+def _depth(channels: int, multiplier: float, min_depth: int) -> int:
+    return max(int(channels * multiplier), min_depth)
+
+
+class MobileNetV1(nn.Module):
+    """Returns [conv11, conv13] feature maps (strides 16 and 32)."""
+
+    depth_multiplier: float = 1.0
+    min_depth: int = 8
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x) -> List[jnp.ndarray]:
+        x = x.astype(self.dtype)
+        out = nn.Conv(
+            _depth(32, self.depth_multiplier, self.min_depth), (3, 3),
+            strides=(2, 2), padding="SAME", use_bias=False, dtype=self.dtype,
+            name="conv0",
+        )(x)
+        out = nn.relu6(FrozenBatchNorm(dtype=self.dtype, name="conv0_bn")(out))
+        endpoints = []
+        for i, (stride, channels) in enumerate(_MOBILENET_V1_DEFS):
+            c = _depth(channels, self.depth_multiplier, self.min_depth)
+            dw = nn.Conv(
+                out.shape[-1], (3, 3), strides=(stride, stride), padding="SAME",
+                feature_group_count=out.shape[-1], use_bias=False,
+                dtype=self.dtype, name=f"conv{i + 1}_dw",
+            )(out)
+            dw = nn.relu6(FrozenBatchNorm(dtype=self.dtype, name=f"conv{i + 1}_dw_bn")(dw))
+            out = nn.Conv(
+                c, (1, 1), use_bias=False, dtype=self.dtype, name=f"conv{i + 1}_pw"
+            )(dw)
+            out = nn.relu6(FrozenBatchNorm(dtype=self.dtype, name=f"conv{i + 1}_pw_bn")(out))
+            if i in (10, 12):  # conv11, conv13
+                endpoints.append(out)
+        return endpoints
+
+
+class MobileNetV1Classifier(nn.Module):
+    """Classification variant (ImageNet-init source, slim parity)."""
+
+    num_classes: int = 1000
+    depth_multiplier: float = 1.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        feats = MobileNetV1(self.depth_multiplier, dtype=self.dtype, name="body")(x)
+        pooled = jnp.mean(feats[-1], axis=(1, 2)).astype(jnp.float32)
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="logits")(pooled)

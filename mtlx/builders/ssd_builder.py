@@ -1,0 +1,77 @@
+"""SSD model builder — Ssd proto -> SSD instance (part of the reference's
+model_builder dispatch, SURVEY.md §3.4)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+SSD_FEATURE_EXTRACTORS = {"ssd_mobilenet_v1", "ssd_inception_v2"}
+
+
+def build(ssd_proto, is_training: bool, max_gt_boxes: int = 100, dtype=jnp.bfloat16):
+    from mtlx.builders.model_builder import canvas_from_resizer
+    from mtlx.detector.ssd import SSD, SSDConfig
+
+    fe = ssd_proto.feature_extractor
+    if fe.type and fe.type not in SSD_FEATURE_EXTRACTORS:
+        raise ValueError(f"unknown ssd feature extractor {fe.type!r}")
+
+    ag = ssd_proto.anchor_generator
+    if ag.WhichOneof("anchor_generator_oneof") == "ssd_anchor_generator":
+        g = ag.ssd_anchor_generator
+        num_layers = g.num_layers
+        min_scale, max_scale = g.min_scale, g.max_scale
+        aspects = tuple(g.aspect_ratios) or (1.0, 2.0, 0.5, 3.0, 1.0 / 3.0)
+        reduce_lowest = g.reduce_boxes_in_lowest_layer
+    else:
+        num_layers, min_scale, max_scale = 6, 0.2, 0.95
+        aspects = (1.0, 2.0, 0.5, 3.0, 1.0 / 3.0)
+        reduce_lowest = True
+
+    m = ssd_proto.matcher.argmax_matcher
+    pp = ssd_proto.post_processing
+    nms = pp.batch_non_max_suppression
+    score_converter = {0: "identity", 1: "sigmoid", 2: "softmax"}[pp.score_converter]
+
+    loss = ssd_proto.loss
+    cls_kind = loss.classification_loss.WhichOneof("classification_loss")
+    cls_loss = (
+        "weighted_softmax" if cls_kind == "weighted_softmax" else "weighted_sigmoid"
+    )
+    miner = loss.hard_example_miner
+    neg_per_pos = float(miner.max_negatives_per_positive or 3)
+    min_neg = miner.min_negatives_per_image or 3
+
+    kernel_size = 3
+    bp = ssd_proto.box_predictor
+    if bp.WhichOneof("box_predictor_oneof") == "convolutional_box_predictor":
+        kernel_size = bp.convolutional_box_predictor.kernel_size or 3
+
+    cfg = SSDConfig(
+        num_classes=ssd_proto.num_classes,
+        canvas_size=canvas_from_resizer(ssd_proto.image_resizer, stride=16),
+        depth_multiplier=fe.depth_multiplier or 1.0,
+        min_depth=fe.min_depth or 8,
+        num_layers=num_layers,
+        min_scale=min_scale,
+        max_scale=max_scale,
+        aspect_ratios=aspects,
+        reduce_boxes_in_lowest_layer=reduce_lowest,
+        matched_threshold=m.matched_threshold if ssd_proto.HasField("matcher") else 0.5,
+        unmatched_threshold=m.unmatched_threshold if ssd_proto.HasField("matcher") else 0.5,
+        classification_loss=cls_loss,
+        localization_weight=loss.localization_weight,
+        classification_weight=loss.classification_weight,
+        negatives_per_positive=neg_per_pos,
+        min_negatives_per_image=min_neg,
+        normalize_loss_by_num_matches=ssd_proto.normalize_loss_by_num_matches,
+        score_converter=score_converter,
+        nms_score_threshold=nms.score_threshold,
+        nms_iou_threshold=nms.iou_threshold,
+        max_detections_per_class=nms.max_detections_per_class,
+        max_total_detections=nms.max_total_detections,
+        kernel_size=kernel_size,
+        max_gt_boxes=max_gt_boxes,
+        dtype=dtype,
+    )
+    return SSD(cfg)

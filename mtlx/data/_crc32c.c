@@ -1,0 +1,75 @@
+/* CRC32C (Castagnoli) CPython extension — the native fast path for
+ * TFRecord I/O (mtlx/data/tfrecord.py falls back to a Python table loop).
+ * Slicing-by-8 table implementation; built by tools/build_native.py.
+ */
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include <stdint.h>
+
+static uint32_t table[8][256];
+static int table_ready = 0;
+
+static void init_tables(void) {
+    const uint32_t poly = 0x82F63B78u;
+    for (int n = 0; n < 256; n++) {
+        uint32_t c = (uint32_t)n;
+        for (int k = 0; k < 8; k++)
+            c = (c & 1) ? (poly ^ (c >> 1)) : (c >> 1);
+        table[0][n] = c;
+    }
+    for (int n = 0; n < 256; n++) {
+        uint32_t c = table[0][n];
+        for (int k = 1; k < 8; k++) {
+            c = table[0][c & 0xFF] ^ (c >> 8);
+            table[k][n] = c;
+        }
+    }
+    table_ready = 1;
+}
+
+static uint32_t crc32c_update(uint32_t crc, const unsigned char *buf, Py_ssize_t len) {
+    crc = crc ^ 0xFFFFFFFFu;
+    while (len >= 8) {
+        uint32_t lo, hi;
+        memcpy(&lo, buf, 4);
+        memcpy(&hi, buf + 4, 4);
+        lo ^= crc;
+        crc = table[7][lo & 0xFF] ^ table[6][(lo >> 8) & 0xFF] ^
+              table[5][(lo >> 16) & 0xFF] ^ table[4][lo >> 24] ^
+              table[3][hi & 0xFF] ^ table[2][(hi >> 8) & 0xFF] ^
+              table[1][(hi >> 16) & 0xFF] ^ table[0][hi >> 24];
+        buf += 8;
+        len -= 8;
+    }
+    while (len-- > 0)
+        crc = table[0][(crc ^ *buf++) & 0xFF] ^ (crc >> 8);
+    return crc ^ 0xFFFFFFFFu;
+}
+
+static PyObject *py_crc32c(PyObject *self, PyObject *args) {
+    Py_buffer view;
+    unsigned int value = 0;
+    if (!PyArg_ParseTuple(args, "y*|I", &view, &value))
+        return NULL;
+    if (!table_ready) init_tables();
+    uint32_t crc;
+    Py_BEGIN_ALLOW_THREADS
+    crc = crc32c_update((uint32_t)value, (const unsigned char *)view.buf, view.len);
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&view);
+    return PyLong_FromUnsignedLong(crc);
+}
+
+static PyMethodDef methods[] = {
+    {"crc32c", py_crc32c, METH_VARARGS, "crc32c(data, value=0) -> int"},
+    {NULL, NULL, 0, NULL},
+};
+
+static struct PyModuleDef module = {
+    PyModuleDef_HEAD_INIT, "_crc32c_ext", NULL, -1, methods,
+};
+
+PyMODINIT_FUNC PyInit__crc32c_ext(void) {
+    init_tables();
+    return PyModule_Create(&module);
+}

@@ -177,16 +177,19 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
     _END = object()
 
     def producer():
-        for batch in iterator:
-            ids = batch.pop("source_id", None)
-            if sharding is not None:
-                batch = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, sharding), batch
-                )
-            else:
-                batch = jax.tree_util.tree_map(jax.device_put, batch)
-            q.put((batch, ids))
-        q.put(_END)
+        try:
+            for batch in iterator:
+                ids = batch.pop("source_id", None)
+                if sharding is not None:
+                    batch = jax.tree_util.tree_map(
+                        lambda x: jax.device_put(x, sharding), batch
+                    )
+                else:
+                    batch = jax.tree_util.tree_map(jax.device_put, batch)
+                q.put((batch, ids))
+            q.put(_END)
+        except BaseException as e:  # surface errors to the consumer
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -194,4 +197,6 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item

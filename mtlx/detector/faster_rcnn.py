@@ -29,6 +29,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 from jax import Array
 
@@ -252,9 +253,22 @@ class FasterRCNN:
     # ---- parameter init ----
 
     def init_variables(self, rng, batch_size: int = 1):
-        h, w = self.cfg.canvas_size
-        dummy = jnp.zeros((batch_size, h, w, 3), jnp.float32)
-        return self.modules.init(rng, dummy)
+        """Initialize parameters ON HOST CPU, then transfer.
+
+        The init program is hundreds of tiny RNG ops — a terrible TPU
+        program (80s+ via remote compile vs ~2s on host). Init on the CPU
+        backend and let the first jitted step transfer the (uncommitted)
+        arrays to the accelerator. Parameter shapes are independent of the
+        image spatial dims, so a tiny 64x64 dummy keeps the init graph
+        (which traces a full forward) cheap to compile.
+        """
+        del batch_size  # param shapes are batch-independent too
+        dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            variables = jax.jit(self.modules.init)(rng, dummy)
+        # uncommitted host arrays: jit on the accelerator picks them up
+        return jax.tree_util.tree_map(np.asarray, variables)
 
     # ---- DetectionModel API ----
 
@@ -291,6 +305,11 @@ class FasterRCNN:
         proposals, proposal_scores, proposal_mask = self._postprocess_rpn(
             obj_logits, box_enc, true_shapes
         )
+        # Proposal coordinates are training-time constants for stage 2
+        # (reference applies stop_gradient to RPN proposals): no gradient
+        # flows back through NMS/decode, which also keeps the backward
+        # graph free of the sequential NMS loop.
+        proposals = jax.lax.stop_gradient(proposals)
 
         pred: Dict[str, Any] = {
             "rpn_features": feats,
@@ -311,7 +330,24 @@ class FasterRCNN:
         if not training:
             pred["proposal_scores"] = proposal_scores
 
-        # ---- stage 2: ROI crop -> block4 -> heads ----
+        cls_logits, box_refine = self._predict_second_stage(
+            variables, feats, proposals, training, rng
+        )
+        pred["class_predictions"] = cls_logits
+        pred["refined_box_encodings"] = box_refine
+
+        # ---- MTL aux predictions (training only; zero inference cost) ----
+        if training and c.mtl.any:
+            self._predict_aux(variables, pred, feats, groundtruth)
+        return pred
+
+    def _predict_second_stage(self, variables, feats, proposals, training, rng):
+        """ROI crop -> maxpool -> block4 -> FC heads. Returns
+        (class_predictions [B, P, K+1], refined_box_encodings
+        [B, P, num_box, 4]). R-FCN overrides this with position-sensitive
+        score maps (reference rfcn_meta_arch, SURVEY.md §3.3)."""
+        c = self.cfg
+        b, p = proposals.shape[:2]
         canvas = jnp.asarray(
             [c.canvas_size[0], c.canvas_size[1], c.canvas_size[0], c.canvas_size[1]],
             jnp.float32,
@@ -320,24 +356,20 @@ class FasterRCNN:
         crops = roi_lib.batch_crop_and_resize(
             feats, norm_proposals, (c.initial_crop_size, c.initial_crop_size)
         )  # [B, P, cs, cs, C]
-        p = crops.shape[1]
         crops = crops.reshape((b * p,) + crops.shape[2:])
         crops = nn.max_pool(
             crops,
             (c.maxpool_kernel_size,) * 2,
             strides=(c.maxpool_stride,) * 2,
         )
-        pooled, cls_logits, box_refine = apply(
+        pooled, cls_logits, box_refine = self.modules.apply(
             variables, crops, not training, method=FasterRCNNModules.classify_rois,
             rngs={"dropout": rng} if (training and c.second_stage_dropout) else None,
         )
-        pred["class_predictions"] = cls_logits.reshape(b, p, -1)
-        pred["refined_box_encodings"] = box_refine.reshape(b, p, -1, 4)
-
-        # ---- MTL aux predictions (training only; zero inference cost) ----
-        if training and c.mtl.any:
-            self._predict_aux(variables, pred, feats, groundtruth)
-        return pred
+        return (
+            cls_logits.reshape(b, p, -1),
+            box_refine.reshape(b, p, -1, 4),
+        )
 
     def _predict_aux(self, variables, pred, feats, gt: GroundTruth):
         """Aux heads on groundtruth-derived windows (annotation recycling)."""

@@ -1,0 +1,166 @@
+"""Evaluation CLI — `python -m mtlx.eval.eval --pipeline_config_path=...
+--checkpoint_dir=... --eval_dir=...` (reference object_detection/eval.py +
+evaluator.py + eval_util.py, SURVEY.md §4.3).
+
+Polls checkpoint_dir for new checkpoints (repeated_checkpoint_run), runs
+eval_config.num_examples images through the jitted predict+postprocess,
+feeds the numpy Pascal evaluator, writes per-class AP / mAP / CorLoc to
+stdout and TensorBoard event files. `--run_once` evaluates the latest
+checkpoint and exits.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pipeline_config_path", required=True)
+    p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--eval_dir", required=True)
+    p.add_argument("--run_once", action="store_true")
+    p.add_argument("--platform", default=None)
+    return p.parse_args(argv)
+
+
+def evaluate_checkpoint(model, state, dataset, eval_config, categories,
+                        batch_size: int = 1, writer=None, step: int = 0):
+    """One full evaluation pass; returns the metrics dict."""
+    import jax
+
+    from mtlx.eval.object_detection_evaluation import PascalDetectionEvaluator
+    from mtlx.train.train_step import make_eval_step
+
+    evaluator = PascalDetectionEvaluator(categories)
+    eval_step = jax.jit(make_eval_step(model))
+    num = min(
+        eval_config.num_examples or len(dataset), len(dataset)
+    )
+    t0 = time.time()
+    done = 0
+    for start in range(0, num, batch_size):
+        idx = list(range(start, min(start + batch_size, num)))
+        samples = [dataset.get(i) for i in idx]
+        batch = {
+            "image": np.stack([s["image"] for s in samples]).astype(np.float32),
+            "true_shape": np.stack([s["true_shape"] for s in samples]),
+        }
+        if len(idx) < batch_size:  # pad the tail batch
+            pad = batch_size - len(idx)
+            batch = {
+                k: np.concatenate([v, np.repeat(v[-1:], pad, 0)]) for k, v in batch.items()
+            }
+        det = jax.device_get(eval_step(state, batch))
+        for j, s in enumerate(samples):
+            th, tw = s["true_shape"]
+            gt_n = int(s["gt_mask"].sum())
+            # evaluator works in absolute TRUE-image pixel coords
+            gt_boxes = s["gt_boxes"][:gt_n]
+            evaluator.add_single_ground_truth_image_info(
+                s["source_id"],
+                {
+                    "groundtruth_boxes": gt_boxes,
+                    "groundtruth_classes": s["gt_classes"][:gt_n] + 1,
+                    "groundtruth_difficult": s["gt_difficult"][:gt_n].astype(bool),
+                },
+            )
+            n_det = int(det["num_detections"][j])
+            boxes_norm = det["detection_boxes"][j][:n_det]
+            scale = np.asarray([th, tw, th, tw], np.float32)
+            evaluator.add_single_detected_image_info(
+                s["source_id"],
+                {
+                    "detection_boxes": boxes_norm * scale,
+                    "detection_scores": det["detection_scores"][j][:n_det],
+                    "detection_classes": det["detection_classes"][j][:n_det] + 1,
+                },
+            )
+            done += 1
+    metrics = evaluator.evaluate()
+    metrics["eval/images_per_sec"] = done / (time.time() - t0)
+    if writer is not None:
+        for k, v in metrics.items():
+            if np.isfinite(v):
+                writer.scalar(k, float(v), step)
+        writer.flush()
+    return metrics
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    from mtlx.builders import model_builder
+    from mtlx.builders.model_builder import resizer_params
+    from mtlx.config import config_util
+    from mtlx.data.loader import DetectionDataset
+    from mtlx.train import checkpoints as ckpt_lib
+    from mtlx.train.train_step import create_train_state, make_optimizer
+    from mtlx.utils import label_map_util
+    from mtlx.utils.summary_writer import SummaryWriter
+
+    configs = config_util.get_configs_from_pipeline_file(args.pipeline_config_path)
+    eval_config = configs["eval_config"]
+    input_config = configs["eval_input_config"]
+    model = model_builder.build(configs["model"], is_training=False)
+
+    dataset = DetectionDataset(
+        list(input_config.tf_record_input_reader.input_path),
+        canvas_size=model.cfg.canvas_size,
+        resizer=resizer_params(_image_resizer(configs["model"])),
+        max_boxes=100,
+    )
+    if input_config.label_map_path:
+        categories = list(
+            label_map_util.create_category_index_from_labelmap(
+                input_config.label_map_path
+            ).values()
+        )
+    else:
+        categories = [
+            {"id": i + 1, "name": f"class_{i + 1}"}
+            for i in range(model.cfg.num_classes)
+        ]
+
+    state = create_train_state(model, jax.random.PRNGKey(0), make_optimizer())
+    manager = ckpt_lib.CheckpointManager(args.checkpoint_dir)
+    writer = SummaryWriter(args.eval_dir)
+
+    last_step = None
+    evals = 0
+    while True:
+        step = manager.latest_step()
+        if step is not None and step != last_step:
+            restored = manager.restore(state, step)
+            metrics = evaluate_checkpoint(
+                model, restored, dataset, eval_config, categories,
+                writer=writer, step=step,
+            )
+            print(f"[eval] step {step}: " + json.dumps(
+                {k: round(float(v), 4) for k, v in metrics.items()}
+            ), flush=True)
+            last_step = step
+            evals += 1
+        if args.run_once or (eval_config.max_evals and evals >= eval_config.max_evals):
+            break
+        time.sleep(eval_config.eval_interval_secs or 300)
+    writer.close()
+
+
+def _image_resizer(model_proto):
+    which = model_proto.WhichOneof("model")
+    return getattr(model_proto, which).image_resizer
+
+
+if __name__ == "__main__":
+    main()

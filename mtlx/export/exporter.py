@@ -1,0 +1,177 @@
+"""Model export + standalone inference (reference exporter.py /
+export_inference_graph.py, SURVEY.md §4.4).
+
+The frozen-graph/SavedModel concept maps to: a self-contained export
+directory holding the pipeline config + an orbax checkpoint of
+{params, batch_stats}. `InferenceModel.load` rebuilds the eval-mode
+detector and serves the reference's three input types:
+
+  * image_tensor            — [B, H, W, 3] uint8/float arrays
+  * encoded_image_string    — list of JPEG/PNG bytes (host decode)
+  * tf_example              — list of serialized tf.train.Example
+
+Outputs match the reference contract: detection_boxes (normalized to the
+original image), detection_scores, detection_classes (1-based),
+num_detections.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from mtlx.config import config_util
+from mtlx.train import checkpoints as ckpt_lib
+
+
+def export_inference_graph(
+    pipeline_config_path: str,
+    trained_checkpoint_dir: str,
+    output_directory: str,
+    checkpoint_step: int | None = None,
+) -> str:
+    """Bundle config + trained weights into `output_directory`."""
+    import jax
+
+    from mtlx.builders import model_builder
+    from mtlx.train.train_step import create_train_state, make_optimizer
+
+    configs = config_util.get_configs_from_pipeline_file(pipeline_config_path)
+    model = model_builder.build(configs["model"], is_training=False)
+    state = create_train_state(model, jax.random.PRNGKey(0), make_optimizer())
+    manager = ckpt_lib.CheckpointManager(trained_checkpoint_dir)
+    restored = manager.restore(state, checkpoint_step)
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint in {trained_checkpoint_dir}")
+
+    os.makedirs(output_directory, exist_ok=True)
+    config_util.save_pipeline_config(
+        config_util.create_pipeline_proto_from_configs(configs), output_directory
+    )
+    ckpt_lib.save_variables(
+        os.path.join(output_directory, "variables"),
+        {"params": restored.params, "batch_stats": restored.batch_stats},
+    )
+    with open(os.path.join(output_directory, "export_metadata.json"), "w") as f:
+        json.dump({"step": int(restored.step), "format": "mtlx-v1"}, f)
+    return output_directory
+
+
+class InferenceModel:
+    """Standalone detector loaded from an export directory."""
+
+    def __init__(self, model, variables, resizer):
+        import jax
+
+        self.model = model
+        self.variables = variables
+        self.resizer = resizer
+
+        def fn(variables, images, true_shapes):
+            pre = model.preprocess(images.astype(np.float32))
+            pred = model.predict(variables, pre, true_shapes, training=False)
+            return model.postprocess(pred, true_shapes)
+
+        self._fn = jax.jit(fn)
+
+    @classmethod
+    def load(cls, export_dir: str) -> "InferenceModel":
+        import orbax.checkpoint as ocp
+
+        from mtlx.builders import model_builder
+        from mtlx.builders.model_builder import resizer_params
+
+        configs = config_util.get_configs_from_pipeline_file(
+            os.path.join(export_dir, "pipeline.config")
+        )
+        model = model_builder.build(configs["model"], is_training=False)
+        variables = ocp.StandardCheckpointer().restore(
+            os.path.join(os.path.abspath(export_dir), "variables")
+        )
+        which = configs["model"].WhichOneof("model")
+        resizer = resizer_params(getattr(configs["model"], which).image_resizer)
+        return cls(model, variables, resizer)
+
+    # ---- the three reference input types ----
+
+    def predict_image_tensor(self, images: np.ndarray) -> Dict[str, np.ndarray]:
+        """[B, H, W, 3] images already on the model canvas."""
+        b, h, w, _ = images.shape
+        true_shapes = np.tile([[h, w]], (b, 1)).astype(np.int32)
+        return self._postprocess_output(
+            self._fn(self.variables, images, true_shapes)
+        )
+
+    def predict_encoded_images(self, blobs: Sequence[bytes]) -> Dict[str, np.ndarray]:
+        import io
+
+        from PIL import Image
+
+        arrays = [np.asarray(Image.open(io.BytesIO(b)).convert("RGB")) for b in blobs]
+        return self._predict_decoded(arrays)
+
+    def predict_tf_examples(self, serialized: Sequence[bytes]) -> Dict[str, np.ndarray]:
+        from mtlx.data.example_decoder import decode_example
+
+        arrays = [decode_example(s)["image"] for s in serialized]
+        return self._predict_decoded(arrays)
+
+    def _predict_decoded(self, arrays: List[np.ndarray]) -> Dict[str, np.ndarray]:
+        from mtlx.data.loader import resize_fixed, resize_keep_aspect
+
+        canvas_h, canvas_w = self.model.cfg.canvas_size
+        kind, params = self.resizer
+        images, true_shapes = [], []
+        for a in arrays:
+            if kind == "keep_aspect":
+                a, _ = resize_keep_aspect(a, **params)
+            else:
+                a = resize_fixed(a, **params)
+            th, tw = a.shape[:2]
+            canvas = np.zeros((canvas_h, canvas_w, 3), a.dtype)
+            canvas[:th, :tw] = a[:canvas_h, :canvas_w]
+            images.append(canvas)
+            true_shapes.append([min(th, canvas_h), min(tw, canvas_w)])
+        out = self._fn(
+            self.variables,
+            np.stack(images),
+            np.asarray(true_shapes, np.int32),
+        )
+        return self._postprocess_output(out)
+
+    @staticmethod
+    def _postprocess_output(out) -> Dict[str, np.ndarray]:
+        import jax
+
+        out = jax.device_get(out)
+        return {
+            "detection_boxes": out["detection_boxes"],
+            "detection_scores": out["detection_scores"],
+            "detection_classes": out["detection_classes"] + 1,  # 1-based ids
+            "num_detections": out["num_detections"],
+        }
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pipeline_config_path", required=True)
+    p.add_argument("--trained_checkpoint_dir", required=True)
+    p.add_argument("--output_directory", required=True)
+    p.add_argument("--checkpoint_step", type=int, default=None)
+    args = p.parse_args(argv)
+    out = export_inference_graph(
+        args.pipeline_config_path,
+        args.trained_checkpoint_dir,
+        args.output_directory,
+        args.checkpoint_step,
+    )
+    print(f"[export] wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -44,8 +44,12 @@ class MultiObjectHead(nn.Module):
 
     @nn.compact
     def __call__(self, pooled):
+        # LayerNorm: pooled backbone features are unnormalized (frozen-BN
+        # backbone); without it the logits start at O(30) and the CE
+        # saturates at init
+        x = nn.LayerNorm(dtype=jnp.float32, name="ln")(pooled.astype(jnp.float32))
         x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name="fc")(
-            pooled.astype(self.dtype)
+            x.astype(self.dtype)
         ))
         logits = nn.Dense(self.num_classes, dtype=self.dtype, name="logits")(x)
         return logits.astype(jnp.float32), x
@@ -58,8 +62,9 @@ class ClosenessHead(nn.Module):
 
     @nn.compact
     def __call__(self, pooled):
+        x = nn.LayerNorm(dtype=jnp.float32, name="ln")(pooled.astype(jnp.float32))
         x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name="fc")(
-            pooled.astype(self.dtype)
+            x.astype(self.dtype)
         ))
         logits = nn.Dense(self.num_classes, dtype=self.dtype, name="logits")(x)
         return logits.astype(jnp.float32), x

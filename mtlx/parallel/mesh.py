@@ -33,6 +33,18 @@ def create_mesh(devices: Optional[Sequence[Any]] = None) -> Mesh:
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def create_mesh_for_batch(batch_size: int,
+                          devices: Optional[Sequence[Any]] = None) -> Mesh:
+    """Data-parallel mesh using the largest device count that divides
+    batch_size (a batch must shard evenly over the data axis)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return Mesh(np.asarray(devices[:n]), (DATA_AXIS,))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

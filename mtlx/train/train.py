@@ -1,0 +1,191 @@
+"""Training CLI — `python -m mtlx.train.train --pipeline_config_path=...
+--train_dir=...` (reference object_detection/train.py CLI parity,
+SURVEY.md §4.1).
+
+The reference's trainer stack (input queues, model_deploy clones, PS
+devices, slim.learning.train) collapses into: host loader -> device
+prefetch -> ONE jitted train step (forward both stages + aux heads, loss,
+grad, update) data-parallel over the mesh. Checkpoints via orbax (async),
+metrics to stdout + TensorBoard event files.
+
+Distribution flags (--num_clones, --ps_tasks, --worker_replicas) have no
+equivalent: a single SPMD program spans all local devices, and multi-host
+runs launch the same command per host (jax.distributed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pipeline_config_path", required=True)
+    p.add_argument("--train_dir", required=True)
+    p.add_argument("--num_steps", type=int, default=None,
+                   help="override train_config.num_steps")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log_every", type=int, default=20)
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu) before backend init")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from mtlx.builders import (
+        model_builder,
+        optimizer_builder,
+        preprocessor_builder,
+    )
+    from mtlx.builders.model_builder import resizer_params
+    from mtlx.config import config_util
+    from mtlx.data import preprocessor as prep
+    from mtlx.data.loader import DetectionDataset, batches, device_prefetch
+    from mtlx.parallel import mesh as mesh_lib
+    from mtlx.train import checkpoints as ckpt_lib
+    from mtlx.train.train_step import create_train_state, make_train_step
+    from mtlx.utils.summary_writer import SummaryWriter
+
+    configs = config_util.get_configs_from_pipeline_file(args.pipeline_config_path)
+    train_config = configs["train_config"]
+    model = model_builder.build(
+        configs["model"], is_training=True,
+        max_gt_boxes=train_config.max_number_of_boxes or 100,
+    )
+    num_steps = args.num_steps or train_config.num_steps or 200000
+    batch_size = train_config.batch_size or 1
+
+    os.makedirs(args.train_dir, exist_ok=True)
+    config_util.save_pipeline_config(
+        config_util.create_pipeline_proto_from_configs(configs), args.train_dir
+    )
+
+    tx, lr_schedule = optimizer_builder.build(train_config.optimizer, train_config)
+    aug_options = preprocessor_builder.build(train_config.data_augmentation_options)
+
+    # data
+    input_config = configs["train_input_config"]
+    paths = list(input_config.tf_record_input_reader.input_path)
+    dataset = DetectionDataset(
+        paths,
+        canvas_size=model.cfg.canvas_size,
+        resizer=resizer_params(_image_resizer(configs["model"])),
+        max_boxes=model.cfg.max_gt_boxes,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+    print(f"[train] {len(dataset)} examples, batch {batch_size}, "
+          f"canvas {model.cfg.canvas_size}, {num_steps} steps", flush=True)
+
+    # state (+ resume / warm start, reference §6.4 two modes)
+    state = create_train_state(model, jax.random.PRNGKey(args.seed), tx)
+    manager = ckpt_lib.CheckpointManager(args.train_dir)
+    latest = manager.latest_step()
+    if latest is not None:
+        state = manager.restore(state)
+        print(f"[train] resumed from step {latest}", flush=True)
+    elif train_config.fine_tune_checkpoint:
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        variables, restored, skipped = ckpt_lib.restore_warm_start(
+            variables,
+            train_config.fine_tune_checkpoint,
+            train_config.from_detection_checkpoint,
+        )
+        state = state.replace(
+            params=variables["params"], batch_stats=variables["batch_stats"]
+        )
+        print(f"[train] warm start: {restored} restored, {skipped} skipped", flush=True)
+
+    mesh = mesh_lib.create_mesh_for_batch(batch_size)
+    state = mesh_lib.replicate(mesh, state)
+    raw_step = make_train_step(model)
+
+    def step_fn(state, batch, rng):
+        if aug_options:
+            sample = {
+                "image": batch["image"].astype(jnp.float32),
+                "boxes": batch["gt_boxes"],
+                "classes": batch["gt_classes"],
+                "mask": batch["gt_mask"],
+                "true_shape": batch["true_shape"],
+            }
+            out = prep.batch_preprocess(rng, sample, aug_options)
+            batch = dict(
+                batch, image=out["image"], gt_boxes=out["boxes"], gt_mask=out["mask"],
+                true_shape=out["true_shape"],
+            )
+        return raw_step(state, batch, jax.random.fold_in(rng, 1))
+
+    step = jax.jit(
+        step_fn,
+        in_shardings=(
+            mesh_lib.replicated(mesh),
+            mesh_lib.batch_sharding(mesh),
+            mesh_lib.replicated(mesh),
+        ),
+        donate_argnums=(0,),
+    )
+
+    writer = SummaryWriter(args.train_dir)
+    rng = jax.random.PRNGKey(args.seed + 1)
+    data_iter = device_prefetch(
+        batches(dataset, batch_size, shuffle=input_config.shuffle, seed=args.seed),
+        sharding=mesh_lib.batch_sharding(mesh),
+    )
+    save_every = train_config.save_checkpoints_steps or 1000
+    start_step = int(state.step)
+    t_log = time.time()
+    for batch, _ in data_iter:
+        cur = int(state.step)
+        if cur >= num_steps:
+            break
+        drop = {"gt_difficult", "original_shape"}
+        batch = {k: v for k, v in batch.items() if k not in drop}
+        state, metrics = step(state, batch, rng)
+        cur += 1
+        if cur % args.log_every == 0 or cur == 1:
+            metrics = jax.device_get(metrics)
+            dt = time.time() - t_log
+            ips = args.log_every * batch_size / dt if cur > 1 else 0.0
+            t_log = time.time()
+            lr = lr_schedule(cur) if callable(lr_schedule) else lr_schedule
+            line = {
+                "step": cur,
+                "images_per_sec": round(float(ips), 2),
+                "learning_rate": float(lr),
+                **{k: round(float(v), 4) for k, v in metrics.items()},
+            }
+            print("[train] " + json.dumps(line), flush=True)
+            for k, v in metrics.items():
+                writer.scalar(k, float(v), cur)
+            writer.scalar("learning_rate", float(lr), cur)
+            writer.scalar("global_step/sec", ips / max(batch_size, 1), cur)
+            writer.flush()
+        if cur % save_every == 0 or cur >= num_steps:
+            manager.save(cur, jax.device_get(state))
+    manager.save(int(state.step), jax.device_get(state))
+    manager.wait()
+    writer.close()
+    print(f"[train] done at step {int(state.step)}", flush=True)
+
+
+def _image_resizer(model_proto):
+    which = model_proto.WhichOneof("model")
+    return getattr(model_proto, which).image_resizer
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""VOC evaluator stack: hand-computed AP/precision/recall/CorLoc
+(reference utils/object_detection_evaluation_test.py pattern)."""
+
+import numpy as np
+
+from mtlx.eval import metrics
+from mtlx.eval.object_detection_evaluation import (
+    ObjectDetectionEvaluation,
+    PascalDetectionEvaluator,
+)
+
+
+def test_precision_recall_simple():
+    scores = np.asarray([0.9, 0.8, 0.7])
+    labels = np.asarray([1.0, 0.0, 1.0])
+    p, r = metrics.compute_precision_recall(scores, labels, num_gt=3)
+    np.testing.assert_allclose(p, [1.0, 0.5, 2 / 3])
+    np.testing.assert_allclose(r, [1 / 3, 1 / 3, 2 / 3])
+
+
+def test_average_precision_hand_computed():
+    p = np.asarray([1.0, 0.5, 2 / 3])
+    r = np.asarray([1 / 3, 1 / 3, 2 / 3])
+    ap = metrics.compute_average_precision(p, r)
+    # monotonic envelope: p=1 up to r=1/3, then 2/3 up to r=2/3
+    want = 1 / 3 * 1.0 + (2 / 3 - 1 / 3) * (2 / 3)
+    np.testing.assert_allclose(ap, want, rtol=1e-6)
+
+
+def test_perfect_detection_ap_one():
+    ev = ObjectDetectionEvaluation(num_classes=2)
+    gt_boxes = np.asarray([[0, 0, 10, 10], [20, 20, 30, 30]], np.float32)
+    ev.add_single_ground_truth_image_info("im0", gt_boxes, np.asarray([0, 1]))
+    ev.add_single_detected_image_info(
+        "im0", gt_boxes, np.asarray([0.9, 0.8], np.float32), np.asarray([0, 1])
+    )
+    aps, mean_ap, _, _, corloc, mean_corloc = ev.evaluate()
+    np.testing.assert_allclose(aps, [1.0, 1.0])
+    assert mean_ap == 1.0 and mean_corloc == 1.0
+
+
+def test_false_positive_lowers_precision():
+    ev = ObjectDetectionEvaluation(num_classes=1)
+    ev.add_single_ground_truth_image_info(
+        "im0", np.asarray([[0, 0, 10, 10]], np.float32), np.asarray([0])
+    )
+    dets = np.asarray([[0, 0, 10, 10], [50, 50, 60, 60]], np.float32)
+    ev.add_single_detected_image_info(
+        "im0", dets, np.asarray([0.9, 0.95], np.float32), np.asarray([0, 0])
+    )
+    aps, mean_ap, *_ = ev.evaluate()
+    # fp ranked first: precision at the tp is 1/2, recall 1 -> AP 0.5
+    np.testing.assert_allclose(aps, [0.5])
+
+
+def test_duplicate_detection_is_fp():
+    ev = ObjectDetectionEvaluation(num_classes=1)
+    ev.add_single_ground_truth_image_info(
+        "im0", np.asarray([[0, 0, 10, 10]], np.float32), np.asarray([0])
+    )
+    dets = np.asarray([[0, 0, 10, 10], [0.5, 0.5, 10, 10]], np.float32)
+    ev.add_single_detected_image_info(
+        "im0", dets, np.asarray([0.9, 0.8], np.float32), np.asarray([0, 0])
+    )
+    aps, *_ = ev.evaluate()
+    np.testing.assert_allclose(aps, [1.0])  # second match doesn't count as tp
+    # and doesn't hurt AP since it ranks after the tp at full recall
+
+
+def test_difficult_gt_excluded():
+    ev = ObjectDetectionEvaluation(num_classes=1)
+    ev.add_single_ground_truth_image_info(
+        "im0",
+        np.asarray([[0, 0, 10, 10], [20, 20, 30, 30]], np.float32),
+        np.asarray([0, 0]),
+        groundtruth_is_difficult=np.asarray([False, True]),
+    )
+    assert ev.num_gt_per_class[0] == 1  # difficult box not counted
+    # detection matching the difficult box is dropped entirely
+    ev.add_single_detected_image_info(
+        "im0",
+        np.asarray([[20, 20, 30, 30]], np.float32),
+        np.asarray([0.9], np.float32),
+        np.asarray([0]),
+    )
+    aps, *_ = ev.evaluate()
+    np.testing.assert_allclose(aps, [0.0])  # no tp, but also no fp recorded
+    assert len(ev.scores_per_class[0][0]) == 0
+
+
+def test_pascal_evaluator_metric_names():
+    cats = [{"id": 1, "name": "cat"}, {"id": 2, "name": "dog"}]
+    ev = PascalDetectionEvaluator(cats)
+    gt = np.asarray([[0, 0, 10, 10]], np.float32)
+    ev.add_single_ground_truth_image_info(
+        "im0", {"groundtruth_boxes": gt, "groundtruth_classes": np.asarray([1])}
+    )
+    ev.add_single_detected_image_info(
+        "im0",
+        {
+            "detection_boxes": gt,
+            "detection_scores": np.asarray([0.9], np.float32),
+            "detection_classes": np.asarray([1]),
+        },
+    )
+    m = ev.evaluate()
+    assert m["Precision/mAP@0.5IOU"] == 1.0
+    assert m["PerformanceByCategory/AP@0.5IOU/cat"] == 1.0
+    assert np.isnan(m["PerformanceByCategory/AP@0.5IOU/dog"])
+    assert "CorLoc/CorLoc@0.5IOU" in m
+
+
+def test_iou_threshold_boundary():
+    ev = ObjectDetectionEvaluation(num_classes=1, matching_iou_threshold=0.5)
+    ev.add_single_ground_truth_image_info(
+        "im0", np.asarray([[0, 0, 10, 10]], np.float32), np.asarray([0])
+    )
+    # box with IoU exactly 1/3 < 0.5 -> fp
+    ev.add_single_detected_image_info(
+        "im0",
+        np.asarray([[0, 5, 10, 15]], np.float32),
+        np.asarray([0.9], np.float32),
+        np.asarray([0]),
+    )
+    aps, *_ = ev.evaluate()
+    np.testing.assert_allclose(aps, [0.0])

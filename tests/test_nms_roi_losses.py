@@ -185,3 +185,34 @@ def test_hard_example_miner_selects_hardest():
     keep = np.asarray(losses.hard_example_mining_mask(cls_losses, loc_losses, boxes, match, cfg))
     # hardest is idx1 (5.0); idx3 overlaps idx1 heavily -> suppressed; next is idx2 (0.2)
     assert keep.tolist() == [False, True, True, False]
+
+
+def test_crop_and_resize_mxu_matches_gather():
+    rng = np.random.RandomState(11)
+    image = rng.uniform(0, 1, (13, 17, 5)).astype(np.float32)
+    boxes = np.asarray(
+        [
+            [0.0, 0.0, 1.0, 1.0],
+            [0.25, 0.1, 0.8, 0.7],
+            [-0.2, 0.4, 0.6, 1.3],  # out-of-range taps
+            [0.5, 0.5, 0.5, 0.5],   # degenerate
+        ],
+        np.float32,
+    )
+    ref = np.asarray(roi.crop_and_resize(jnp.asarray(image), jnp.asarray(boxes), (7, 9)))
+    mxu = np.asarray(
+        roi.crop_and_resize_mxu(jnp.asarray(image), jnp.asarray(boxes), (7, 9))
+    )
+    np.testing.assert_allclose(mxu, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_crop_and_resize_mxu_gradients():
+    image = jnp.asarray(np.random.RandomState(0).uniform(0, 1, (8, 8, 2)).astype(np.float32))
+    boxes = jnp.asarray([[0.1, 0.1, 0.9, 0.9]])
+
+    def f(img):
+        return jnp.sum(roi.crop_and_resize_mxu(img, boxes, (4, 4)))
+
+    g = jax.grad(f)(image)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.sum(jnp.abs(g))) > 0
