@@ -1,0 +1,152 @@
+"""Inception-ResNet-v2 backbone with the Faster R-CNN split (reference
+slim/nets/inception_resnet_v2.py +
+models/faster_rcnn_inception_resnet_v2_feature_extractor.py, SURVEY.md
+§3.2/§3.8): proposal features = stem + 10x block35 + mixed_6a + 20x
+block17 (stride 16, 1088ch); box classifier features = mixed_7a + 9x
+block8 + final block8 + conv7b (1536ch), stride 1 on ROI crops."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from mtlx.backbones.resnet import FrozenBatchNorm
+
+Dtype = Any
+
+
+class ConvBN(nn.Module):
+    features: int
+    kernel: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    padding: str = "SAME"
+    relu: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features, self.kernel, strides=self.strides, padding=self.padding,
+            use_bias=False, dtype=self.dtype, name="conv",
+        )(x)
+        x = FrozenBatchNorm(dtype=self.dtype, name="bn")(x)
+        return nn.relu(x) if self.relu else x
+
+
+class Block35(nn.Module):
+    """35x35 inception-resnet block, scale 0.17."""
+
+    scale: float = 0.17
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        b0 = ConvBN(32, (1, 1), dtype=self.dtype, name="b0")(x)
+        b1 = ConvBN(32, (1, 1), dtype=self.dtype, name="b1a")(x)
+        b1 = ConvBN(32, (3, 3), dtype=self.dtype, name="b1b")(b1)
+        b2 = ConvBN(32, (1, 1), dtype=self.dtype, name="b2a")(x)
+        b2 = ConvBN(48, (3, 3), dtype=self.dtype, name="b2b")(b2)
+        b2 = ConvBN(64, (3, 3), dtype=self.dtype, name="b2c")(b2)
+        mixed = jnp.concatenate([b0, b1, b2], axis=-1)
+        up = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="up")(mixed)
+        return nn.relu(x + self.scale * up)
+
+
+class Block17(nn.Module):
+    """17x17 block, scale 0.10."""
+
+    scale: float = 0.10
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        b0 = ConvBN(192, (1, 1), dtype=self.dtype, name="b0")(x)
+        b1 = ConvBN(128, (1, 1), dtype=self.dtype, name="b1a")(x)
+        b1 = ConvBN(160, (1, 7), dtype=self.dtype, name="b1b")(b1)
+        b1 = ConvBN(192, (7, 1), dtype=self.dtype, name="b1c")(b1)
+        mixed = jnp.concatenate([b0, b1], axis=-1)
+        up = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="up")(mixed)
+        return nn.relu(x + self.scale * up)
+
+
+class Block8(nn.Module):
+    """8x8 block, scale 0.20."""
+
+    scale: float = 0.20
+    relu: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        b0 = ConvBN(192, (1, 1), dtype=self.dtype, name="b0")(x)
+        b1 = ConvBN(192, (1, 1), dtype=self.dtype, name="b1a")(x)
+        b1 = ConvBN(224, (1, 3), dtype=self.dtype, name="b1b")(b1)
+        b1 = ConvBN(256, (3, 1), dtype=self.dtype, name="b1c")(b1)
+        mixed = jnp.concatenate([b0, b1], axis=-1)
+        up = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="up")(mixed)
+        out = x + self.scale * up
+        return nn.relu(out) if self.relu else out
+
+
+class InceptionResnetV2ProposalFeatures(nn.Module):
+    """Stem through block17 repeats — stride 16, 1088 channels."""
+
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        x = ConvBN(32, (3, 3), (2, 2), dtype=self.dtype, name="conv1")(x)
+        x = ConvBN(32, (3, 3), dtype=self.dtype, name="conv2")(x)
+        x = ConvBN(64, (3, 3), dtype=self.dtype, name="conv3")(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = ConvBN(80, (1, 1), dtype=self.dtype, name="conv4")(x)
+        x = ConvBN(192, (3, 3), dtype=self.dtype, name="conv5")(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        # mixed_5b
+        b0 = ConvBN(96, (1, 1), dtype=self.dtype, name="m5b_b0")(x)
+        b1 = ConvBN(48, (1, 1), dtype=self.dtype, name="m5b_b1a")(x)
+        b1 = ConvBN(64, (5, 5), dtype=self.dtype, name="m5b_b1b")(b1)
+        b2 = ConvBN(64, (1, 1), dtype=self.dtype, name="m5b_b2a")(x)
+        b2 = ConvBN(96, (3, 3), dtype=self.dtype, name="m5b_b2b")(b2)
+        b2 = ConvBN(96, (3, 3), dtype=self.dtype, name="m5b_b2c")(b2)
+        b3 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+        b3 = ConvBN(64, (1, 1), dtype=self.dtype, name="m5b_b3")(b3)
+        x = jnp.concatenate([b0, b1, b2, b3], axis=-1)  # 320
+        for i in range(10):
+            x = Block35(dtype=self.dtype, name=f"block35_{i + 1}")(x)
+        # mixed_6a (stride 2 -> /16)
+        b0 = ConvBN(384, (3, 3), (2, 2), dtype=self.dtype, name="m6a_b0")(x)
+        b1 = ConvBN(256, (1, 1), dtype=self.dtype, name="m6a_b1a")(x)
+        b1 = ConvBN(256, (3, 3), dtype=self.dtype, name="m6a_b1b")(b1)
+        b1 = ConvBN(384, (3, 3), (2, 2), dtype=self.dtype, name="m6a_b1c")(b1)
+        b2 = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = jnp.concatenate([b0, b1, b2], axis=-1)  # 1088
+        for i in range(20):
+            x = Block17(dtype=self.dtype, name=f"block17_{i + 1}")(x)
+        return x
+
+
+class InceptionResnetV2BoxClassifierFeatures(nn.Module):
+    """mixed_7a + block8 repeats + conv7b on ROI crops (stride 1)."""
+
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        # mixed_7a at stride 1 (detector fine-tuning keeps ROI resolution)
+        b0 = ConvBN(256, (1, 1), dtype=self.dtype, name="m7a_b0a")(x)
+        b0 = ConvBN(384, (3, 3), dtype=self.dtype, name="m7a_b0b")(b0)
+        b1 = ConvBN(256, (1, 1), dtype=self.dtype, name="m7a_b1a")(x)
+        b1 = ConvBN(288, (3, 3), dtype=self.dtype, name="m7a_b1b")(b1)
+        b2 = ConvBN(256, (1, 1), dtype=self.dtype, name="m7a_b2a")(x)
+        b2 = ConvBN(288, (3, 3), dtype=self.dtype, name="m7a_b2b")(b2)
+        b2 = ConvBN(320, (3, 3), dtype=self.dtype, name="m7a_b2c")(b2)
+        x = jnp.concatenate([b0, b1, b2, x], axis=-1)
+        for i in range(9):
+            x = Block8(dtype=self.dtype, name=f"block8_{i + 1}")(x)
+        x = Block8(relu=False, dtype=self.dtype, name="block8_10")(x)
+        return ConvBN(1536, (1, 1), dtype=self.dtype, name="conv7b")(x)

@@ -11,6 +11,7 @@ FEATURE_EXTRACTORS = {
     "faster_rcnn_resnet50": "resnet50",
     "faster_rcnn_resnet101": "resnet101",
     "faster_rcnn_resnet152": "resnet152",
+    "faster_rcnn_inception_resnet_v2": "inception_resnet_v2",
 }
 
 

@@ -110,7 +110,9 @@ class FasterRCNNConfig:
 
     @property
     def resnet_depth(self) -> int:
-        return {"resnet50": 50, "resnet101": 101, "resnet152": 152}[self.backbone]
+        return {"resnet50": 50, "resnet101": 101, "resnet152": 152}.get(
+            self.backbone, 50
+        )
 
     @property
     def feature_map_shape(self) -> Tuple[int, int]:
@@ -137,17 +139,32 @@ class FasterRCNNModules(nn.Module):
 
     def setup(self):
         c = self.cfg
+        if c.backbone == "inception_resnet_v2":
+            from mtlx.backbones import inception_resnet_v2 as irv2
+
+            self.proposal_features = irv2.InceptionResnetV2ProposalFeatures(
+                dtype=c.dtype, name="backbone"
+            )
+            self.classifier_features = irv2.InceptionResnetV2BoxClassifierFeatures(
+                dtype=c.dtype, name="classifier_backbone"
+            )
+            self._setup_heads()
+            return
         depth = c.resnet_depth
         self.proposal_features = resnet.ResNetProposalFeatures(
             depth=depth, dtype=c.dtype, name="backbone"
         )
+        self.classifier_features = resnet.ResNetBoxClassifierFeatures(
+            depth=depth, dtype=c.dtype, name="classifier_backbone"
+        )
+        self._setup_heads()
+
+    def _setup_heads(self):
+        c = self.cfg
         num_anchors = len(c.anchor_scales) * len(c.anchor_aspect_ratios)
         self.rpn = box_predictors.RPNHead(
             num_anchors_per_location=num_anchors, depth=c.rpn_depth,
             dtype=c.dtype, name="rpn",
-        )
-        self.classifier_features = resnet.ResNetBoxClassifierFeatures(
-            depth=depth, dtype=c.dtype, name="classifier_backbone"
         )
         self.box_predictor = box_predictors.MaskRCNNBoxPredictor(
             num_classes=c.num_classes,
@@ -302,14 +319,16 @@ class FasterRCNN:
             variables, feats, method=FasterRCNNModules.rpn_predictions
         )
 
+        # Proposal selection is a training-time constant for stage 2
+        # (reference applies stop_gradient to RPN proposals): gradients
+        # reach the RPN heads only through the stage-1 losses, never
+        # through NMS/decode — which also keeps the backward graph free of
+        # the sequential NMS loop (and the Pallas kernel un-differentiated).
         proposals, proposal_scores, proposal_mask = self._postprocess_rpn(
-            obj_logits, box_enc, true_shapes
+            jax.lax.stop_gradient(obj_logits),
+            jax.lax.stop_gradient(box_enc),
+            true_shapes,
         )
-        # Proposal coordinates are training-time constants for stage 2
-        # (reference applies stop_gradient to RPN proposals): no gradient
-        # flows back through NMS/decode, which also keeps the backward
-        # graph free of the sequential NMS loop.
-        proposals = jax.lax.stop_gradient(proposals)
 
         pred: Dict[str, Any] = {
             "rpn_features": feats,

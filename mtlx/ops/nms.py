@@ -20,6 +20,16 @@ from mtlx.geometry import box_ops
 
 _NEG = -1e10
 
+# None = auto (Pallas kernel on TPU backends, jnp elsewhere);
+# True/False force it for benchmarking and debugging.
+USE_PALLAS: Optional[bool] = None
+
+
+def _pallas_enabled() -> bool:
+    if USE_PALLAS is not None:
+        return USE_PALLAS
+    return jax.default_backend() in ("tpu", "axon")
+
 
 def non_max_suppression_padded(
     boxes: Array,
@@ -31,6 +41,10 @@ def non_max_suppression_padded(
 ):
     """Greedy single-class NMS with padded output.
 
+    Dispatches to the Pallas TPU kernel (mtlx.kernels.nms_pallas — same
+    selection order, VMEM-resident loop) on TPU backends; the jnp
+    implementation below is the reference and the CPU path.
+
     Args:
       boxes: [N, 4]; scores: [N]; valid_mask: [N] bool (padding rows False).
 
@@ -38,6 +52,17 @@ def non_max_suppression_padded(
       indices: [max_output_size] int32 indices into boxes (0-padded),
       keep_mask: [max_output_size] bool validity of each output slot.
     """
+    if _pallas_enabled():
+        from mtlx.kernels import nms_pallas
+
+        return nms_pallas.non_max_suppression_pallas(
+            boxes,
+            scores,
+            max_output_size,
+            iou_threshold=iou_threshold,
+            score_threshold=score_threshold,
+            valid_mask=valid_mask,
+        )
     n = boxes.shape[0]
     live = scores
     if valid_mask is not None:

@@ -33,6 +33,16 @@ def parse_args(argv=None):
     p.add_argument("--log_every", type=int, default=20)
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu) before backend init")
+    p.add_argument("--profile_from", type=int, default=0,
+                   help="start a jax.profiler trace at this step (0 = off); "
+                        "trace is written under <train_dir>/profile "
+                        "(reference trace_every_n_steps equivalent, "
+                        "SURVEY.md §6.1)")
+    p.add_argument("--profile_steps", type=int, default=5,
+                   help="number of steps to trace")
+    p.add_argument("--deterministic", action="store_true",
+                   help="fixed data order + PRNG keys (always true for the "
+                        "PRNG; this additionally disables shuffling)")
     return p.parse_args(argv)
 
 
@@ -141,17 +151,24 @@ def main(argv=None):
 
     writer = SummaryWriter(args.train_dir)
     rng = jax.random.PRNGKey(args.seed + 1)
+    shuffle = input_config.shuffle and not args.deterministic
     data_iter = device_prefetch(
-        batches(dataset, batch_size, shuffle=input_config.shuffle, seed=args.seed),
+        batches(dataset, batch_size, shuffle=shuffle, seed=args.seed),
         sharding=mesh_lib.batch_sharding(mesh),
     )
     save_every = train_config.save_checkpoints_steps or 1000
-    start_step = int(state.step)
     t_log = time.time()
+    profiling = False
     for batch, _ in data_iter:
         cur = int(state.step)
         if cur >= num_steps:
             break
+        if args.profile_from and cur == args.profile_from:
+            jax.profiler.start_trace(os.path.join(args.train_dir, "profile"))
+            profiling = True
+        if profiling and cur >= args.profile_from + args.profile_steps:
+            jax.profiler.stop_trace()
+            profiling = False
         drop = {"gt_difficult", "original_shape"}
         batch = {k: v for k, v in batch.items() if k not in drop}
         state, metrics = step(state, batch, rng)
@@ -176,6 +193,8 @@ def main(argv=None):
             writer.flush()
         if cur % save_every == 0 or cur >= num_steps:
             manager.save(cur, jax.device_get(state))
+    if profiling:
+        jax.profiler.stop_trace()
     manager.save(int(state.step), jax.device_get(state))
     manager.wait()
     writer.close()

@@ -1,0 +1,87 @@
+"""Keypoint ops + alternative backbone smoke tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mtlx.geometry import keypoint_ops
+
+
+def test_keypoint_scale_clip_roundtrip():
+    kp = jnp.asarray([[[10.0, 20.0], [50.0, 80.0]]])
+    scaled = keypoint_ops.scale(kp, 2.0, 0.5)
+    np.testing.assert_allclose(scaled, [[[20.0, 10.0], [100.0, 40.0]]])
+    clipped = keypoint_ops.clip_to_window(scaled, jnp.asarray([0.0, 0.0, 60.0, 60.0]))
+    np.testing.assert_allclose(clipped, [[[20.0, 10.0], [60.0, 40.0]]])
+
+
+def test_keypoint_prune_outside():
+    kp = jnp.asarray([[[10.0, 10.0], [200.0, 10.0]]])
+    out = keypoint_ops.prune_outside_window(kp, jnp.asarray([0.0, 0.0, 100.0, 100.0]))
+    assert np.isfinite(np.asarray(out[0, 0])).all()
+    assert np.isnan(np.asarray(out[0, 1])).all()
+
+
+def test_keypoint_flip_with_permutation():
+    # two keypoints: left(0), right(1); horizontal flip swaps identities
+    kp = jnp.asarray([[[0.5, 0.2], [0.5, 0.9]]])
+    flipped = keypoint_ops.flip_horizontal(kp, 0.5, flip_permutation=[1, 0])
+    np.testing.assert_allclose(flipped, [[[0.5, 0.1], [0.5, 0.8]]], atol=1e-6)
+
+
+def test_keypoint_change_frame_and_normalize():
+    kp = jnp.asarray([[[20.0, 30.0]]])
+    win = jnp.asarray([10.0, 10.0, 110.0, 210.0])
+    rel = keypoint_ops.change_coordinate_frame(kp, win)
+    np.testing.assert_allclose(rel, [[[0.1, 0.1]]], atol=1e-6)
+    norm = keypoint_ops.to_normalized_coordinates(kp, 100.0, 300.0)
+    np.testing.assert_allclose(norm, [[[0.2, 0.1]]], atol=1e-6)
+
+
+def test_keypoint_rot90():
+    kp = jnp.asarray([[[0.25, 0.75]]])
+    np.testing.assert_allclose(keypoint_ops.rot90(kp), [[[0.25, 0.25]]])
+
+
+def test_mobilenet_endpoints():
+    from mtlx.backbones.mobilenet import MobileNetV1
+
+    m = MobileNetV1(depth_multiplier=0.25, dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    feats = m.apply(v, jnp.zeros((1, 64, 64, 3)))
+    assert feats[0].shape == (1, 4, 4, 128)  # conv11, stride 16, 512*0.25
+    assert feats[1].shape == (1, 2, 2, 256)  # conv13, stride 32
+
+
+def test_vgg16_feature_stride():
+    from mtlx.backbones.vgg import VGG16Features
+
+    m = VGG16Features(dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    out = m.apply(v, jnp.zeros((1, 64, 64, 3)))
+    assert out.shape == (1, 4, 4, 512)  # stride 16
+
+
+def test_inception_resnet_v2_shapes():
+    from mtlx.backbones.inception_resnet_v2 import (
+        InceptionResnetV2BoxClassifierFeatures,
+        InceptionResnetV2ProposalFeatures,
+    )
+
+    m = InceptionResnetV2ProposalFeatures(dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    out = m.apply(v, jnp.zeros((1, 64, 64, 3)))
+    assert out.shape == (1, 4, 4, 1088)  # stride 16, 1088ch
+    head = InceptionResnetV2BoxClassifierFeatures(dtype=jnp.float32)
+    hv = head.init(jax.random.PRNGKey(0), jnp.zeros((1, 7, 7, 1088)))
+    hout = head.apply(hv, jnp.zeros((1, 7, 7, 1088)))
+    assert hout.shape == (1, 7, 7, 1536)  # stride 1 on ROI crops
+
+
+def test_resnet_classifier_logits():
+    from mtlx.backbones.resnet import ResNetClassifier
+
+    m = ResNetClassifier(depth=50, num_classes=10, dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    out = m.apply(v, jnp.zeros((2, 64, 64, 3)))
+    assert out.shape == (2, 10)
