@@ -24,7 +24,7 @@ import numpy as np
 
 A100_REFERENCE_IMG_PER_SEC = 20.0
 
-BATCH = 8
+BATCH = 16
 CANVAS = (640, 640)
 STEPS = 10
 
