@@ -78,8 +78,9 @@ def _build_faster_rcnn(fr, is_training: bool, max_gt_boxes: int, dtype):
     aspects = tuple(g.aspect_ratios) or (0.5, 1.0, 2.0)
 
     sp = fr.second_stage_box_predictor
+    predictor_kind = sp.WhichOneof("box_predictor_oneof")
     use_dropout, keep_prob = False, 1.0
-    if sp.WhichOneof("box_predictor_oneof") == "mask_rcnn_box_predictor":
+    if predictor_kind == "mask_rcnn_box_predictor":
         use_dropout = sp.mask_rcnn_box_predictor.use_dropout
         keep_prob = sp.mask_rcnn_box_predictor.dropout_keep_probability
 
@@ -97,6 +98,45 @@ def _build_faster_rcnn(fr, is_training: bool, max_gt_boxes: int, dtype):
         closeness_sigma=fr.mtl.closeness_sigma,
         refine=fr.mtl.refine,
     )
+
+    # R-FCN is selected by the rfcn_box_predictor oneof (reference
+    # model_builder behavior): same config surface, different stage 2.
+    if predictor_kind == "rfcn_box_predictor":
+        from mtlx.detector.rfcn import RFCN, RFCNConfig
+
+        r = sp.rfcn_box_predictor
+        cfg = RFCNConfig(
+            num_classes=fr.num_classes,
+            canvas_size=canvas_from_resizer(fr.image_resizer, stride),
+            backbone=FEATURE_EXTRACTORS[extractor_type],
+            feature_stride=stride,
+            anchor_scales=scales,
+            anchor_aspect_ratios=aspects,
+            anchor_base_size=(float(g.height or 256), float(g.width or 256)),
+            rpn_depth=fr.first_stage_box_predictor_depth,
+            first_stage_nms_score_threshold=fr.first_stage_nms_score_threshold,
+            first_stage_nms_iou_threshold=fr.first_stage_nms_iou_threshold,
+            first_stage_max_proposals=fr.first_stage_max_proposals,
+            first_stage_minibatch_size=fr.first_stage_minibatch_size,
+            first_stage_positive_balance_fraction=fr.first_stage_positive_balance_fraction,
+            first_stage_localization_loss_weight=fr.first_stage_localization_loss_weight,
+            first_stage_objectness_loss_weight=fr.first_stage_objectness_loss_weight,
+            second_stage_batch_size=fr.second_stage_batch_size,
+            second_stage_balance_fraction=fr.second_stage_balance_fraction,
+            second_stage_nms_score_threshold=nms.score_threshold,
+            second_stage_nms_iou_threshold=nms.iou_threshold,
+            second_stage_max_detections_per_class=nms.max_detections_per_class,
+            second_stage_max_total_detections=nms.max_total_detections,
+            second_stage_localization_loss_weight=fr.second_stage_localization_loss_weight,
+            second_stage_classification_loss_weight=fr.second_stage_classification_loss_weight,
+            num_spatial_bins=(r.num_spatial_bins_height, r.num_spatial_bins_width),
+            rfcn_depth=r.depth,
+            rfcn_crop_size=(r.crop_height, r.crop_width),
+            max_gt_boxes=max_gt_boxes,
+            dtype=dtype,
+            mtl=mtl if is_training else MTLConfig(),
+        )
+        return RFCN(cfg)
 
     cfg = FasterRCNNConfig(
         num_classes=fr.num_classes,
@@ -129,6 +169,8 @@ def _build_faster_rcnn(fr, is_training: bool, max_gt_boxes: int, dtype):
         second_stage_dropout_keep_prob=keep_prob,
         max_gt_boxes=max_gt_boxes,
         dtype=dtype,
-        mtl=mtl if is_training else MTLConfig(),
+        # eval drops the training-only aux heads UNLESS the refine path
+        # fuses them into inference features
+        mtl=mtl if (is_training or mtl.refine) else MTLConfig(),
     )
     return FasterRCNN(cfg)

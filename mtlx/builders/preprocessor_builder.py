@@ -27,6 +27,7 @@ _FIELD_MAPS = {
         "max_black_patches", "probability", "size_to_image_ratio",
     ),
     "subtract_channel_mean": ("means",),
+    "ssd_random_crop": (),
 }
 
 

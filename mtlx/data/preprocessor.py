@@ -290,6 +290,28 @@ def random_black_patches(rng, sample, max_black_patches=10, probability=0.5,
     return out
 
 
+def ssd_random_crop(rng, sample, operations=()):
+    """Classic SSD patch sampling (reference ssd_random_crop): uniformly
+    pick one of 7 strategies — keep the image, or crop with a minimum
+    object coverage in {0.1, 0.3, 0.5, 0.7, 0.9, any}. Implemented as a
+    lax.switch over jitted random_crop_image branches (static shapes)."""
+    del operations  # the standard 7-way schedule; custom ops use random_crop_image
+    rng_pick, rng_crop = jax.random.split(rng)
+    branch = jax.random.randint(rng_pick, (), 0, 7)
+
+    def make_branch(thresh):
+        def fn(s):
+            return random_crop_image(
+                rng_crop, s,
+                min_area=0.1, max_area=1.0,
+                overlap_thresh=thresh, random_coef=0.0,
+            )
+        return fn
+
+    branches = [lambda s: s] + [make_branch(t) for t in (0.1, 0.3, 0.5, 0.7, 0.9, 0.0)]
+    return jax.lax.switch(branch, branches, sample)
+
+
 def subtract_channel_mean(rng, sample, means=(0.0, 0.0, 0.0)):
     out = dict(sample)
     out["image"] = sample["image"] - jnp.asarray(means)
@@ -313,6 +335,7 @@ TRANSFORMS: Dict[str, Callable] = {
     "random_distort_color": random_distort_color,
     "random_jitter_boxes": random_jitter_boxes,
     "random_crop_image": random_crop_image,
+    "ssd_random_crop": ssd_random_crop,
     "random_black_patches": random_black_patches,
     "subtract_channel_mean": subtract_channel_mean,
 }

@@ -196,7 +196,12 @@ class FasterRCNNModules(nn.Module):
             (1, pooled_sz, pooled_sz, feats.shape[-1]), feats.dtype
         )
         roi_out = self.classifier_features(dummy_roi)
-        pooled = jnp.mean(roi_out, axis=(1, 2))
+        pooled = jnp.mean(roi_out, axis=(1, 2)).astype(jnp.float32)
+        if self.cfg.mtl.refine and (self.cfg.mtl.multiobject or self.cfg.mtl.closeness):
+            rpn_pooled = jnp.mean(feats, axis=(1, 2)).astype(jnp.float32)[:1]
+            pooled = jnp.concatenate(
+                [pooled, self.aux_hidden_for_rois(rpn_pooled)], axis=-1
+            )
         cls, box = self.box_predictor(pooled)
         # aux heads consume 7x7-avg-pooled RPN features (C channels, not
         # the 2048-dim classifier pool) — init must match the real path
@@ -218,12 +223,32 @@ class FasterRCNNModules(nn.Module):
     def rpn_predictions(self, feats):
         return self.rpn(feats)
 
-    def classify_rois(self, roi_crops, deterministic: bool = True):
-        """[N, h, w, C] ROI crops -> (pooled [N, 2048], cls, box_refine)."""
+    def classify_rois(self, roi_crops, deterministic: bool = True,
+                      aux_hidden=None):
+        """[N, h, w, C] ROI crops -> (pooled [N, 2048], cls, box_refine).
+
+        aux_hidden: optional [N, D] auxiliary-task hidden features fused in
+        before the box predictor (the MTL-SSL refine path, SURVEY.md §3.11
+        'Feature refinement')."""
         x = self.classifier_features(roi_crops)
         pooled = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
-        cls, box = self.box_predictor(pooled, deterministic=deterministic)
+        features = (
+            jnp.concatenate([pooled, aux_hidden], axis=-1)
+            if aux_hidden is not None
+            else pooled
+        )
+        cls, box = self.box_predictor(features, deterministic=deterministic)
         return pooled, cls, box
+
+    def aux_hidden_for_rois(self, pooled_rpn):
+        """Aux heads' hidden activations on per-ROI pooled RPN features;
+        concatenated refine vector [N, D]."""
+        hiddens = []
+        if self.cfg.mtl.multiobject:
+            hiddens.append(self.multiobject_head(pooled_rpn)[1].astype(jnp.float32))
+        if self.cfg.mtl.closeness:
+            hiddens.append(self.closeness_head(pooled_rpn)[1].astype(jnp.float32))
+        return jnp.concatenate(hiddens, axis=-1)
 
     def foreground(self, feats):
         return self.foreground_head(feats)
@@ -381,8 +406,23 @@ class FasterRCNN:
             (c.maxpool_kernel_size,) * 2,
             strides=(c.maxpool_stride,) * 2,
         )
+        aux_hidden = None
+        if c.mtl.refine and (c.mtl.multiobject or c.mtl.closeness):
+            # refine path: aux heads run on per-ROI pooled RPN features and
+            # their hidden activations augment the detection features
+            pooled_rpn = jax.vmap(
+                lambda f, bx: jnp.mean(
+                    roi_lib.crop_and_resize_mxu(f, bx, (7, 7)), axis=(1, 2)
+                )
+            )(feats, norm_proposals).astype(jnp.float32)
+            aux_hidden = self.modules.apply(
+                variables,
+                pooled_rpn.reshape(b * p, -1),
+                method=FasterRCNNModules.aux_hidden_for_rois,
+            )
         pooled, cls_logits, box_refine = self.modules.apply(
-            variables, crops, not training, method=FasterRCNNModules.classify_rois,
+            variables, crops, not training, aux_hidden,
+            method=FasterRCNNModules.classify_rois,
             rngs={"dropout": rng} if (training and c.second_stage_dropout) else None,
         )
         return (

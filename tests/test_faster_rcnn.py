@@ -150,3 +150,50 @@ def test_no_groundtruth_image_trains(model_and_vars):
     loss = model.loss(pred, gt, rng)
     for k, v in loss.items():
         assert np.isfinite(float(v)), (k, float(v))
+
+
+def test_refine_path_train_and_eval():
+    """MTL refine: aux hidden features fused into stage-2 (SURVEY.md §3.11
+    feature-refinement row); heads participate at eval too."""
+    cfg = tiny_config(
+        mtl=MTLConfig(multiobject=True, closeness=True, foreground=True, refine=True)
+    )
+    model = FasterRCNN(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    # box predictor consumes 2048 + 1024 + 1024 features
+    kernel = variables["params"]["box_predictor"]["class_logits"]["kernel"]
+    assert kernel.shape[0] == 2048 + 1024 + 1024
+    gt = make_gt()
+    images = model.preprocess(jnp.full((2, 64, 64, 3), 128.0))
+    ts = jnp.asarray([[64, 64], [64, 64]])
+    rng = jax.random.PRNGKey(1)
+    pred = model.predict(variables, images, ts, training=True, rng=rng, groundtruth=gt)
+    loss = model.loss(pred, gt, rng)
+    assert np.isfinite(float(loss["total_loss"]))
+    # eval predict also runs the refine path (heads active at inference)
+    det = model.postprocess(
+        model.predict(variables, images, ts, training=False), ts
+    )
+    assert np.isfinite(np.asarray(det["detection_boxes"])).all()
+
+
+def test_refine_gradients_into_aux_heads_from_detection_loss():
+    cfg = tiny_config(
+        mtl=MTLConfig(multiobject=True, closeness=False, foreground=False, refine=True)
+    )
+    model = FasterRCNN(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    gt = make_gt()
+    images = model.preprocess(jnp.full((2, 64, 64, 3), 90.0))
+    ts = jnp.asarray([[64, 64], [64, 64]])
+    rng = jax.random.PRNGKey(2)
+
+    def det_only_loss(params):
+        v = {"params": params, "batch_stats": variables["batch_stats"]}
+        pred = model.predict(v, images, ts, training=True, rng=rng, groundtruth=gt)
+        l = model._second_stage_loss(pred, gt)
+        return sum(l.values())
+
+    grads = jax.grad(det_only_loss)(variables["params"])
+    gn = float(sum(jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(grads["mo_head"])))
+    assert gn > 0  # detection loss reaches the aux head through refine
