@@ -104,6 +104,7 @@ class FasterRCNNConfig:
     second_stage_dropout: bool = False
     second_stage_dropout_keep_prob: float = 1.0
     # misc
+    number_of_stages: int = 2  # 1 = RPN-only (reference number_of_stages)
     max_gt_boxes: int = 100
     dtype: Any = jnp.bfloat16
     mtl: MTLConfig = dataclasses.field(default_factory=MTLConfig)
@@ -374,6 +375,11 @@ class FasterRCNN:
         if not training:
             pred["proposal_scores"] = proposal_scores
 
+        if c.number_of_stages == 1:
+            # RPN-only mode (reference number_of_stages=1): proposals ARE
+            # the detections; no second stage, no aux heads
+            return pred
+
         cls_logits, box_refine = self._predict_second_stage(
             variables, feats, proposals, training, rng
         )
@@ -523,6 +529,9 @@ class FasterRCNN:
         c = self.cfg
         out: Dict[str, Array] = {}
         out.update(self._first_stage_loss(pred, groundtruth, rng))
+        if c.number_of_stages == 1:
+            out["total_loss"] = sum(v for k, v in out.items() if k.startswith("Loss/"))
+            return out
         out.update(self._second_stage_loss(pred, groundtruth))
         if c.mtl.any:
             out.update(self._aux_loss(pred, groundtruth))
@@ -662,9 +671,32 @@ class FasterRCNN:
 
         Returns dict with detection_boxes (normalized to the TRUE image),
         detection_scores, detection_classes (0-based), num_detections —
-        the reference's output contract (SURVEY.md §4.4).
+        the reference's output contract (SURVEY.md §4.4). In RPN-only mode
+        (number_of_stages=1) the proposals themselves are returned as
+        class-agnostic detections, as in the reference.
         """
         c = self.cfg
+        if c.number_of_stages == 1:
+            def rpn_only(props, scores, mask, true_hw):
+                window = jnp.concatenate([jnp.zeros(2), true_hw.astype(jnp.float32)])
+                boxes = box_ops.change_coordinate_frame(props, window)
+                return (
+                    jnp.where(mask[:, None], boxes, 0.0),
+                    jnp.where(mask, scores, 0.0),
+                    jnp.zeros(props.shape[0], jnp.int32),
+                    jnp.sum(mask).astype(jnp.int32),
+                )
+
+            boxes, scores, classes, num = jax.vmap(rpn_only)(
+                pred["proposal_boxes"], pred["proposal_scores"],
+                pred["proposal_mask"], true_shapes,
+            )
+            return {
+                "detection_boxes": boxes,
+                "detection_scores": scores,
+                "detection_classes": classes,
+                "num_detections": num,
+            }
 
         def per_image(props, mask, cls_logits, box_refine, true_hw):
             scores = jax.nn.softmax(cls_logits, axis=-1)[:, 1:]  # drop background

@@ -43,6 +43,9 @@ def parse_args(argv=None):
     p.add_argument("--deterministic", action="store_true",
                    help="fixed data order + PRNG keys (always true for the "
                         "PRNG; this additionally disables shuffling)")
+    p.add_argument("--grain_workers", type=int, default=0,
+                   help=">0 uses the grain multiprocess loader with this "
+                        "many workers (production host input parallelism)")
     return p.parse_args(argv)
 
 
@@ -152,8 +155,19 @@ def main(argv=None):
     writer = SummaryWriter(args.train_dir)
     rng = jax.random.PRNGKey(args.seed + 1)
     shuffle = input_config.shuffle and not args.deterministic
+    if args.grain_workers > 0:
+        from mtlx.data.grain_loader import make_grain_loader
+
+        host_iter = (
+            dict(b) for b in make_grain_loader(
+                dataset, batch_size, seed=args.seed, shuffle=shuffle,
+                worker_count=args.grain_workers,
+            )
+        )
+    else:
+        host_iter = batches(dataset, batch_size, shuffle=shuffle, seed=args.seed)
     data_iter = device_prefetch(
-        batches(dataset, batch_size, shuffle=shuffle, seed=args.seed),
+        host_iter,
         sharding=mesh_lib.batch_sharding(mesh),
     )
     save_every = train_config.save_checkpoints_steps or 1000

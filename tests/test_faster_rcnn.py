@@ -197,3 +197,31 @@ def test_refine_gradients_into_aux_heads_from_detection_loss():
     grads = jax.grad(det_only_loss)(variables["params"])
     gn = float(sum(jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(grads["mo_head"])))
     assert gn > 0  # detection loss reaches the aux head through refine
+
+
+def test_number_of_stages_one_rpn_only():
+    """RPN-only mode (reference number_of_stages=1): proposals are the
+    detections, loss has only stage-1 terms."""
+    cfg = tiny_config(number_of_stages=1)
+    model = FasterRCNN(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    images = model.preprocess(jnp.full((1, 64, 64, 3), 128.0))
+    ts = jnp.asarray([[64, 64]])
+    gt = {
+        "boxes": jnp.asarray([[[8.0, 8.0, 40.0, 40.0]] + [[0.0] * 4] * 3]),
+        "classes": jnp.zeros((1, 4), jnp.int32),
+        "mask": jnp.asarray([[True, False, False, False]]),
+    }
+    rng = jax.random.PRNGKey(1)
+    pred = model.predict(variables, images, ts, training=True, rng=rng, groundtruth=gt)
+    assert "class_predictions" not in pred
+    loss = model.loss(pred, gt, rng)
+    assert set(loss) == {
+        "Loss/RPNLoss/objectness_loss",
+        "Loss/RPNLoss/localization_loss",
+        "total_loss",
+    }
+    eval_pred = model.predict(variables, images, ts, training=False)
+    det = model.postprocess(eval_pred, ts)
+    assert det["detection_boxes"].shape == (1, cfg.first_stage_max_proposals, 4)
+    assert (np.asarray(det["detection_classes"]) == 0).all()
