@@ -28,6 +28,18 @@ _FIELD_MAPS = {
     ),
     "subtract_channel_mean": ("means",),
     "ssd_random_crop": (),
+    "ssd_random_crop_pad": (),
+    "ssd_random_crop_fixed_aspect_ratio": ("aspect_ratio",),
+    "random_rotation90": (),
+    "random_image_scale": ("min_scale_ratio", "max_scale_ratio"),
+    "random_pad_image": (),
+    "random_crop_pad_image": (
+        "min_object_covered", "min_aspect_ratio", "max_aspect_ratio",
+        "min_area", "max_area", "overlap_thresh", "random_coef",
+    ),
+    "random_crop_to_aspect_ratio": ("aspect_ratio", "overlap_thresh"),
+    "random_resize_method": ("target_height", "target_width"),
+    "scale_boxes_to_pixel_coordinates": (),
 }
 
 

@@ -156,6 +156,200 @@ def random_crop_image(
     return out
 
 
+def random_rotation90(rng, sample, probability: float = 0.5):
+    """Rotate the true region 90° counter-clockwise with prob 0.5.
+
+    Requires a square canvas (all shipped configs use one); on non-square
+    canvases the op is an identity (documented static-shape constraint).
+    """
+    img = sample["image"]
+    H, W = img.shape[0], img.shape[1]
+    if H != W:
+        return sample
+    do = jax.random.bernoulli(rng, probability)
+    th = sample["true_shape"][0]
+    tw = sample["true_shape"][1]
+    rows = jnp.arange(H)[:, None]
+    cols = jnp.arange(W)[None, :]
+    # CCW within the true region: out[i, j] = in[j, tw - 1 - i]
+    src_r = jnp.clip(cols, 0, H - 1)
+    src_c = jnp.clip(tw - 1 - rows, 0, W - 1)
+    inside = (rows < tw) & (cols < th)
+    rotated = jnp.where(inside[..., None], img[src_r, src_c], 0.0)
+    boxes = sample["boxes"]
+    twf = tw.astype(boxes.dtype)
+    rboxes = jnp.stack(
+        [twf - boxes[:, 3], boxes[:, 0], twf - boxes[:, 1], boxes[:, 2]], axis=1
+    )
+    out = dict(sample)
+    out["image"] = jnp.where(do, rotated, img)
+    out["boxes"] = jnp.where(do, rboxes, boxes)
+    out["true_shape"] = jnp.where(
+        do, sample["true_shape"][::-1], sample["true_shape"]
+    )
+    return out
+
+
+def _resample_scaled(img, sy, sx):
+    """out[i, j] = bilinear(in, i / sy, j / sx) on the fixed canvas."""
+    H, W = img.shape[0], img.shape[1]
+    ys = jnp.arange(H, dtype=jnp.float32) / sy
+    xs = jnp.arange(W, dtype=jnp.float32) / sx
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    fy = (ys - y0.astype(jnp.float32))[:, None, None]
+    fx = (xs - x0.astype(jnp.float32))[None, :, None]
+    tl = img[y0][:, x0]
+    tr = img[y0][:, x1]
+    bl = img[y1][:, x0]
+    br = img[y1][:, x1]
+    top = tl + (tr - tl) * fx
+    bot = bl + (br - bl) * fx
+    return top + (bot - top) * fy
+
+
+def random_image_scale(rng, sample, min_scale_ratio: float = 0.5,
+                       max_scale_ratio: float = 2.0):
+    """Rescale the true-image content by a random factor (capped so it
+    stays on the canvas); boxes and true_shape scale with it."""
+    img = sample["image"]
+    H, W = img.shape[0], img.shape[1]
+    th = sample["true_shape"][0].astype(jnp.float32)
+    tw = sample["true_shape"][1].astype(jnp.float32)
+    s = jax.random.uniform(rng, minval=min_scale_ratio, maxval=max_scale_ratio)
+    s = jnp.minimum(s, jnp.minimum(H / th, W / tw))  # keep content on canvas
+    scaled = _resample_scaled(img, s, s)
+    new_h = jnp.floor(th * s).astype(jnp.int32)
+    new_w = jnp.floor(tw * s).astype(jnp.int32)
+    rows = jnp.arange(H)[:, None, None]
+    cols = jnp.arange(W)[None, :, None]
+    inside = (rows < new_h) & (cols < new_w)
+    out = dict(sample)
+    out["image"] = jnp.where(inside, scaled, 0.0)
+    out["boxes"] = sample["boxes"] * s
+    out["true_shape"] = jnp.stack([new_h, new_w])
+    return out
+
+
+def random_pad_image(rng, sample, min_image_height=0, min_image_width=0,
+                     max_image_height=0, max_image_width=0, pad_color=()):
+    """Grow the true region by padding above/left of the content (the
+    reference pads to a random larger size; on the fixed canvas the true
+    region expands toward the canvas bounds)."""
+    img = sample["image"]
+    H, W = img.shape[0], img.shape[1]
+    th = sample["true_shape"][0]
+    tw = sample["true_shape"][1]
+    max_h = jnp.asarray(max_image_height or H, jnp.int32)
+    max_w = jnp.asarray(max_image_width or W, jnp.int32)
+    r1, r2, r3, r4 = jax.random.split(rng, 4)
+    new_h = jnp.clip(
+        jax.random.randint(r1, (), 0, H + 1), th, jnp.minimum(max_h, H)
+    )
+    new_w = jnp.clip(
+        jax.random.randint(r2, (), 0, W + 1), tw, jnp.minimum(max_w, W)
+    )
+    top = jax.random.randint(r3, (), 0, H) % jnp.maximum(new_h - th, 1)
+    left = jax.random.randint(r4, (), 0, W) % jnp.maximum(new_w - tw, 1)
+    fill = jnp.asarray(pad_color if len(pad_color) == 3 else (0.0, 0.0, 0.0),
+                       img.dtype)
+    rows = jnp.arange(H)[:, None]
+    cols = jnp.arange(W)[None, :]
+    src_r = jnp.clip(rows - top, 0, H - 1)
+    src_c = jnp.clip(cols - left, 0, W - 1)
+    content = (rows >= top) & (rows < top + th) & (cols >= left) & (cols < left + tw)
+    shifted = jnp.where(content[..., None], img[src_r, src_c], fill)
+    offset = jnp.stack([top, left, top, left]).astype(sample["boxes"].dtype)
+    out = dict(sample)
+    out["image"] = shifted
+    out["boxes"] = sample["boxes"] + offset
+    out["true_shape"] = jnp.stack([new_h, new_w]).astype(sample["true_shape"].dtype)
+    return out
+
+
+def random_crop_to_aspect_ratio(rng, sample, aspect_ratio: float = 1.0,
+                                overlap_thresh: float = 0.3):
+    """Crop the true region to the target aspect ratio (max area crop)."""
+    return random_crop_image(
+        rng, sample,
+        min_aspect_ratio=aspect_ratio, max_aspect_ratio=aspect_ratio,
+        min_area=0.95, max_area=1.0, overlap_thresh=overlap_thresh,
+    )
+
+
+def random_crop_pad_image(rng, sample, min_object_covered=1.0,
+                          min_aspect_ratio=0.75, max_aspect_ratio=1.33,
+                          min_area=0.1, max_area=1.0, overlap_thresh=0.3,
+                          random_coef=0.0, min_padded_size_ratio=(),
+                          max_padded_size_ratio=(), pad_color=()):
+    r1, r2 = jax.random.split(rng)
+    s = random_crop_image(
+        r1, sample, min_object_covered, min_aspect_ratio, max_aspect_ratio,
+        min_area, max_area, overlap_thresh, random_coef,
+    )
+    return random_pad_image(r2, s, pad_color=tuple(pad_color))
+
+
+def ssd_random_crop_pad(rng, sample, operations=()):
+    r1, r2 = jax.random.split(rng)
+    from_crop = ssd_random_crop(r1, sample, operations)
+    return random_pad_image(r2, from_crop)
+
+
+def ssd_random_crop_fixed_aspect_ratio(rng, sample, operations=(),
+                                       aspect_ratio: float = 1.0):
+    rng_pick, rng_crop = jax.random.split(rng)
+    branch = jax.random.randint(rng_pick, (), 0, 7)
+
+    def make_branch(thresh):
+        def fn(s):
+            return random_crop_image(
+                rng_crop, s, min_aspect_ratio=aspect_ratio,
+                max_aspect_ratio=aspect_ratio, min_area=0.1, max_area=1.0,
+                overlap_thresh=thresh,
+            )
+        return fn
+
+    branches = [lambda s: s] + [make_branch(t) for t in (0.1, 0.3, 0.5, 0.7, 0.9, 0.0)]
+    return jax.lax.switch(branch, branches, sample)
+
+
+def random_resize_method(rng, sample, target_height: int, target_width: int):
+    """Resize the true region to a fixed target (bilinear resample on the
+    static canvas; the reference's random interpolation-method choice is
+    approximated with bilinear — documented)."""
+    th = sample["true_shape"][0].astype(jnp.float32)
+    tw = sample["true_shape"][1].astype(jnp.float32)
+    img = sample["image"]
+    H, W = img.shape[0], img.shape[1]
+    sy = jnp.minimum(target_height / th, H / th)
+    sx = jnp.minimum(target_width / tw, W / tw)
+    scaled = _resample_scaled(img, sy, sx)
+    new_h = jnp.minimum(target_height, H)
+    new_w = jnp.minimum(target_width, W)
+    rows = jnp.arange(H)[:, None, None]
+    cols = jnp.arange(W)[None, :, None]
+    inside = (rows < new_h) & (cols < new_w)
+    out = dict(sample)
+    out["image"] = jnp.where(inside, scaled, 0.0)
+    out["boxes"] = sample["boxes"] * jnp.stack([sy, sx, sy, sx])
+    out["true_shape"] = jnp.asarray([new_h, new_w], sample["true_shape"].dtype)
+    return out
+
+
+def scale_boxes_to_pixel_coordinates(rng, sample):
+    """Normalized [0,1] boxes -> absolute pixel coordinates of the true
+    region (reference op; mtlx samples normally carry absolute boxes
+    already — this supports pipelines that feed normalized boxes)."""
+    th = sample["true_shape"][0].astype(sample["boxes"].dtype)
+    tw = sample["true_shape"][1].astype(sample["boxes"].dtype)
+    out = dict(sample)
+    out["boxes"] = sample["boxes"] * jnp.stack([th, tw, th, tw])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # photometric (image in 0-255 float)
 # ---------------------------------------------------------------------------
@@ -336,6 +530,15 @@ TRANSFORMS: Dict[str, Callable] = {
     "random_jitter_boxes": random_jitter_boxes,
     "random_crop_image": random_crop_image,
     "ssd_random_crop": ssd_random_crop,
+    "ssd_random_crop_pad": ssd_random_crop_pad,
+    "ssd_random_crop_fixed_aspect_ratio": ssd_random_crop_fixed_aspect_ratio,
+    "random_rotation90": random_rotation90,
+    "random_image_scale": random_image_scale,
+    "random_pad_image": random_pad_image,
+    "random_crop_pad_image": random_crop_pad_image,
+    "random_crop_to_aspect_ratio": random_crop_to_aspect_ratio,
+    "random_resize_method": random_resize_method,
+    "scale_boxes_to_pixel_coordinates": scale_boxes_to_pixel_coordinates,
     "random_black_patches": random_black_patches,
     "subtract_channel_mean": subtract_channel_mean,
 }

@@ -31,13 +31,19 @@ def parse_args(argv=None):
 
 def evaluate_checkpoint(model, state, dataset, eval_config, categories,
                         batch_size: int = 1, writer=None, step: int = 0):
-    """One full evaluation pass; returns the metrics dict."""
+    """One full evaluation pass; returns the metrics dict. The first
+    num_visualizations images are drawn with their detections and written
+    as TensorBoard image summaries (reference eval_util behavior)."""
     import jax
 
     from mtlx.eval.object_detection_evaluation import PascalDetectionEvaluator
     from mtlx.train.train_step import make_eval_step
+    from mtlx.utils import visualization_utils as viz
+    from mtlx.utils.label_map_util import create_category_index
 
     evaluator = PascalDetectionEvaluator(categories)
+    category_index = create_category_index(categories)
+    num_viz = eval_config.num_visualizations if writer is not None else 0
     eval_step = jax.jit(make_eval_step(model))
     num = min(
         eval_config.num_examples or len(dataset), len(dataset)
@@ -81,6 +87,17 @@ def evaluate_checkpoint(model, state, dataset, eval_config, categories,
                     "detection_classes": det["detection_classes"][j][:n_det] + 1,
                 },
             )
+            if done < num_viz:
+                image = np.array(s["image"][:th, :tw], np.uint8, copy=True)
+                viz.visualize_boxes_and_labels_on_image_array(
+                    image,
+                    boxes_norm,
+                    det["detection_classes"][j][:n_det] + 1,
+                    det["detection_scores"][j][:n_det],
+                    category_index,
+                    min_score_thresh=0.3,
+                )
+                writer.image(f"Detections_Left_Groundtruth_Right/{done}", image, step)
             done += 1
     metrics = evaluator.evaluate()
     metrics["eval/images_per_sec"] = done / (time.time() - t0)

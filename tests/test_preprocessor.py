@@ -112,3 +112,55 @@ def test_unknown_transform_raises():
 
     with pytest.raises(ValueError, match="unimplemented"):
         preprocessor.preprocess(jax.random.PRNGKey(0), make_sample(), [("nope", {})])
+
+
+def test_rotation90_boxes_and_true_shape():
+    s = make_sample()
+    s["true_shape"] = jnp.asarray([24, 32], jnp.int32)
+    out = preprocessor.random_rotation90(jax.random.PRNGKey(0), s, probability=1.0)
+    # box [4, 2, 12, 10] in a 24x32 true region -> [tw - xmax, ymin, tw - xmin, ymax]
+    np.testing.assert_allclose(out["boxes"], [[22.0, 4.0, 30.0, 12.0]])
+    assert np.asarray(out["true_shape"]).tolist() == [32, 24]
+
+
+def test_random_image_scale_consistency():
+    s = make_sample()
+    out = preprocessor.random_image_scale(jax.random.PRNGKey(1), s, 0.5, 0.5)
+    assert np.asarray(out["true_shape"]).tolist() == [16, 16]
+    np.testing.assert_allclose(out["boxes"], np.asarray(s["boxes"]) * 0.5)
+    # content beyond the scaled region is zeroed
+    img = np.asarray(out["image"])
+    assert (img[16:] == 0).all() and (img[:, 16:] == 0).all()
+
+
+def test_random_pad_image_shifts_boxes():
+    s = make_sample(th=16, tw=16)
+    out = preprocessor.random_pad_image(jax.random.PRNGKey(2), s)
+    ts = np.asarray(out["true_shape"])
+    assert (ts >= 16).all() and (ts <= 32).all()
+    b = np.asarray(out["boxes"])[0]
+    b0 = np.asarray(s["boxes"])[0]
+    assert b[0] >= b0[0] and b[1] >= b0[1]  # only shifted down/right
+
+
+def test_resize_method_and_scale_boxes():
+    s = make_sample()
+    out = preprocessor.random_resize_method(jax.random.PRNGKey(3), s, 16, 24)
+    assert np.asarray(out["true_shape"]).tolist() == [16, 24]
+    s2 = make_sample()
+    s2["boxes"] = jnp.asarray([[0.25, 0.5, 0.5, 1.0]])
+    out2 = preprocessor.scale_boxes_to_pixel_coordinates(None, s2)
+    np.testing.assert_allclose(out2["boxes"], [[8.0, 16.0, 16.0, 32.0]])
+
+
+def test_all_declared_transforms_run():
+    """Every transform in the registry executes on a batch sample."""
+    s = make_sample()
+    for i, name in enumerate(sorted(preprocessor.TRANSFORMS)):
+        fn = preprocessor.TRANSFORMS[name]
+        if name == "random_resize_method":
+            out = fn(jax.random.PRNGKey(i), s, 16, 16)
+        else:
+            out = fn(jax.random.PRNGKey(i), s)
+        assert out["image"].shape == s["image"].shape, name
+        assert np.isfinite(np.asarray(out["boxes"])).all(), name
