@@ -36,6 +36,7 @@ from mtlx.ops import nms as nms_lib
 class SSDConfig:
     num_classes: int = 20
     canvas_size: Tuple[int, int] = (320, 320)
+    feature_extractor: str = "ssd_mobilenet_v1"  # or ssd_inception_v2
     depth_multiplier: float = 1.0
     min_depth: int = 8
     # anchors
@@ -72,9 +73,16 @@ class SSDModules(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.backbone = MobileNetV1(
-            c.depth_multiplier, c.min_depth, dtype=c.dtype, name="backbone"
-        )
+        if c.feature_extractor == "ssd_inception_v2":
+            from mtlx.backbones.inception_v2 import InceptionV2
+
+            self.backbone = InceptionV2(
+                c.depth_multiplier, c.min_depth, dtype=c.dtype, name="backbone"
+            )
+        else:
+            self.backbone = MobileNetV1(
+                c.depth_multiplier, c.min_depth, dtype=c.dtype, name="backbone"
+            )
         self.extra_layers = ExtraFeatureLayers(dtype=c.dtype, name="extra")
         self.predictors = [
             box_predictors.ConvolutionalBoxPredictor(

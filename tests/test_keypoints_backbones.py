@@ -85,3 +85,27 @@ def test_resnet_classifier_logits():
     v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     out = m.apply(v, jnp.zeros((2, 64, 64, 3)))
     assert out.shape == (2, 10)
+
+
+def test_inception_v2_endpoints():
+    from mtlx.backbones.inception_v2 import InceptionV2
+
+    m = InceptionV2(depth_multiplier=0.25, dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    feats = m.apply(v, jnp.zeros((1, 128, 128, 3)))
+    assert feats[0].shape[1:3] == (8, 8)   # stride 16
+    assert feats[1].shape[1:3] == (4, 4)   # stride 32
+
+
+def test_ssd_inception_v2_builds():
+    from mtlx.detector.ssd import SSD, SSDConfig
+
+    cfg = SSDConfig(
+        num_classes=2, canvas_size=(128, 128),
+        feature_extractor="ssd_inception_v2", depth_multiplier=0.25,
+        max_total_detections=5, max_detections_per_class=5, dtype=jnp.float32,
+    )
+    model = SSD(cfg)
+    v = model.init_variables(jax.random.PRNGKey(0))
+    pred = model.predict(v, model.preprocess(jnp.zeros((1, 128, 128, 3))))
+    assert pred["anchors"].shape[0] == pred["box_encodings"].shape[1]
