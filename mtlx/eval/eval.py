@@ -158,7 +158,7 @@ def main(argv=None):
     while True:
         step = manager.latest_step()
         if step is not None and step != last_step:
-            restored = manager.restore(state, step)
+            restored = manager.restore(state, step, params_only=True)
             metrics = evaluate_checkpoint(
                 model, restored, dataset, eval_config, categories,
                 writer=writer, step=step,

@@ -43,7 +43,7 @@ def export_inference_graph(
     model = model_builder.build(configs["model"], is_training=False)
     state = create_train_state(model, jax.random.PRNGKey(0), make_optimizer())
     manager = ckpt_lib.CheckpointManager(trained_checkpoint_dir)
-    restored = manager.restore(state, checkpoint_step)
+    restored = manager.restore(state, checkpoint_step, params_only=True)
     if restored is None:
         raise FileNotFoundError(f"no checkpoint in {trained_checkpoint_dir}")
 

@@ -45,12 +45,20 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def restore(self, state, step: Optional[int] = None):
-        """Restore into the structure of `state` (shapes must match)."""
+    def restore(self, state, step: Optional[int] = None,
+                params_only: bool = False):
+        """Restore into the structure of `state` (shapes must match).
+
+        params_only: restore just step/params/batch_stats — for eval and
+        export, whose TrainState may carry a different optimizer structure
+        than the training run (reference eval never restores optimizer
+        slots either)."""
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             return None
         target = _to_pytree(state)
+        if params_only:
+            target = {k: target[k] for k in ("step", "params", "batch_stats")}
         # partial_restore: an eval-mode model has no MTL aux heads, but
         # train checkpoints do — restore the intersection (reference
         # semantics: aux heads are training-only, eval restores what it
@@ -62,7 +70,7 @@ class CheckpointManager:
             step=restored["step"],
             params=restored["params"],
             batch_stats=restored["batch_stats"],
-            opt_state=restored["opt_state"],
+            **({} if params_only else {"opt_state": restored["opt_state"]}),
         )
 
     def wait(self):

@@ -46,6 +46,11 @@ def parse_args(argv=None):
     p.add_argument("--grain_workers", type=int, default=0,
                    help=">0 uses the grain multiprocess loader with this "
                         "many workers (production host input parallelism)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize() "
+                        "(coordinator/process env vars per the standard JAX "
+                        "launch contract); every host runs this same "
+                        "command and feeds its shard of the data")
     return p.parse_args(argv)
 
 
@@ -56,6 +61,9 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
     import jax
+
+    if args.distributed:
+        jax.distributed.initialize()
     import jax.numpy as jnp
 
     from mtlx.builders import (

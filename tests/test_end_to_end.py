@@ -197,3 +197,35 @@ def test_warm_start_from_detection_checkpoint(workdir):
         from_detection_checkpoint=False,
     )
     assert 0 < restored_bb < restored  # backbone-only subset
+
+
+def test_restore_params_only_across_optimizers(workdir):
+    """Eval/export restore must work when the checkpoint was written with a
+    different optimizer structure (e.g. schedule vs constant lr)."""
+    import jax
+    import optax
+
+    from mtlx.builders import model_builder
+    from mtlx.config import config_util
+    from mtlx.train.checkpoints import CheckpointManager
+    from mtlx.train.train_step import create_train_state, make_optimizer
+
+    configs = config_util.get_configs_from_pipeline_file(workdir["config"])
+    model = model_builder.build(configs["model"], is_training=True, max_gt_boxes=8)
+    # save with a schedule-based optimizer
+    sched_tx = make_optimizer(optax.cosine_decay_schedule(0.01, 100))
+    state = create_train_state(model, jax.random.PRNGKey(0), sched_tx)
+    d = str(workdir["tmp"] / "xopt")
+    mgr = CheckpointManager(d)
+    mgr.save(1, state)
+    mgr.wait()
+    # restore into a constant-lr state: full restore fails, params_only works
+    eval_model = model_builder.build(configs["model"], is_training=False, max_gt_boxes=8)
+    eval_state = create_train_state(eval_model, jax.random.PRNGKey(1), make_optimizer())
+    mgr2 = CheckpointManager(d)
+    restored = mgr2.restore(eval_state, params_only=True)
+    assert mgr2.latest_step() == 1
+    assert int(restored.step) == int(state.step)
+    bb = jax.tree_util.tree_leaves(restored.params["backbone"])[0]
+    bb0 = jax.tree_util.tree_leaves(state.params["backbone"])[0]
+    np.testing.assert_array_equal(np.asarray(bb), np.asarray(bb0))
