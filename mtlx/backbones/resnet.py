@@ -64,6 +64,24 @@ class FrozenBatchNorm(nn.Module):
         return y.astype(self.dtype)
 
 
+def make_norm(trainable: bool, dtype, name: str):
+    """BN factory: frozen affine (fine-tuning default) or real BatchNorm
+    (feature_extractor.batch_norm_trainable). Both use the same param
+    (scale/bias) and batch_stats (mean/var) names, so checkpoints are
+    interchangeable between the two modes."""
+    if trainable:
+        return nn.BatchNorm(
+            momentum=0.997, epsilon=1e-5, dtype=dtype, name=name
+        )
+    return FrozenBatchNorm(dtype=dtype, name=name)
+
+
+def apply_norm(norm, x, train: bool):
+    if isinstance(norm, nn.BatchNorm):
+        return norm(x, use_running_average=not train)
+    return norm(x)
+
+
 class Bottleneck(nn.Module):
     """ResNet v1 bottleneck: 1x1 -> 3x3(stride) -> 1x1, post-activation."""
 
@@ -71,24 +89,27 @@ class Bottleneck(nn.Module):
     depth_bottleneck: int
     stride: int = 1
     dtype: Dtype = jnp.bfloat16
+    bn_trainable: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         residual = x
         in_depth = x.shape[-1]
         conv = lambda f, k, s, name: nn.Conv(
             f, (k, k), strides=(s, s), padding="SAME", use_bias=False,
             dtype=self.dtype, name=name,
         )
-        bn = lambda name: FrozenBatchNorm(dtype=self.dtype, name=name)
+        bn = lambda v, name: apply_norm(
+            make_norm(self.bn_trainable, self.dtype, name), v, train
+        )
 
-        y = nn.relu(bn("bn1")(conv(self.depth_bottleneck, 1, 1, "conv1")(x)))
-        y = nn.relu(bn("bn2")(conv(self.depth_bottleneck, 3, self.stride, "conv2")(y)))
-        y = bn("bn3")(conv(self.depth, 1, 1, "conv3")(y))
+        y = nn.relu(bn(conv(self.depth_bottleneck, 1, 1, "conv1")(x), "bn1"))
+        y = nn.relu(bn(conv(self.depth_bottleneck, 3, self.stride, "conv2")(y), "bn2"))
+        y = bn(conv(self.depth, 1, 1, "conv3")(y), "bn3")
 
         if in_depth != self.depth or self.stride != 1:
-            residual = bn("bn_shortcut")(
-                conv(self.depth, 1, self.stride, "conv_shortcut")(x)
+            residual = bn(
+                conv(self.depth, 1, self.stride, "conv_shortcut")(x), "bn_shortcut"
             )
         return nn.relu(residual + y)
 
@@ -101,17 +122,19 @@ class ResNetStage(nn.Module):
     depth: int
     stride: int
     dtype: Dtype = jnp.bfloat16
+    bn_trainable: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         for i in range(self.num_units):
             x = Bottleneck(
                 depth=self.depth,
                 depth_bottleneck=self.depth // 4,
                 stride=self.stride if i == 0 else 1,
                 dtype=self.dtype,
+                bn_trainable=self.bn_trainable,
                 name=f"unit{i + 1}",
-            )(x)
+            )(x, train)
         return x
 
 
@@ -120,20 +143,22 @@ class ResNetProposalFeatures(nn.Module):
 
     depth: int = 50
     dtype: Dtype = jnp.bfloat16
+    bn_trainable: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         sizes = BLOCK_SIZES[self.depth]
+        bt = self.bn_trainable
         x = x.astype(self.dtype)
         x = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
             dtype=self.dtype, name="conv1",
         )(x)
-        x = nn.relu(FrozenBatchNorm(dtype=self.dtype, name="bn1")(x))
+        x = nn.relu(apply_norm(make_norm(bt, self.dtype, "bn1"), x, train))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
-        x = ResNetStage(sizes[0], 256, 1, self.dtype, name="block1")(x)
-        x = ResNetStage(sizes[1], 512, 2, self.dtype, name="block2")(x)
-        x = ResNetStage(sizes[2], 1024, 2, self.dtype, name="block3")(x)
+        x = ResNetStage(sizes[0], 256, 1, self.dtype, bt, name="block1")(x, train)
+        x = ResNetStage(sizes[1], 512, 2, self.dtype, bt, name="block2")(x, train)
+        x = ResNetStage(sizes[2], 1024, 2, self.dtype, bt, name="block3")(x, train)
         return x
 
 
@@ -142,13 +167,14 @@ class ResNetBoxClassifierFeatures(nn.Module):
 
     depth: int = 50
     dtype: Dtype = jnp.bfloat16
+    bn_trainable: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         sizes = BLOCK_SIZES[self.depth]
-        return ResNetStage(sizes[3], 2048, 1, self.dtype, name="block4")(
-            x.astype(self.dtype)
-        )
+        return ResNetStage(
+            sizes[3], 2048, 1, self.dtype, self.bn_trainable, name="block4"
+        )(x.astype(self.dtype), train)
 
 
 class ResNetClassifier(nn.Module):

@@ -167,6 +167,7 @@ def _build_faster_rcnn(fr, is_training: bool, max_gt_boxes: int, dtype):
         second_stage_classification_loss_weight=fr.second_stage_classification_loss_weight,
         second_stage_dropout=use_dropout and is_training,
         second_stage_dropout_keep_prob=keep_prob,
+        batch_norm_trainable=fr.feature_extractor.batch_norm_trainable,
         number_of_stages=fr.number_of_stages,
         max_gt_boxes=max_gt_boxes,
         dtype=dtype,

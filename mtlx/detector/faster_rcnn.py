@@ -104,6 +104,7 @@ class FasterRCNNConfig:
     second_stage_dropout: bool = False
     second_stage_dropout_keep_prob: float = 1.0
     # misc
+    batch_norm_trainable: bool = False  # feature_extractor.batch_norm_trainable
     number_of_stages: int = 2  # 1 = RPN-only (reference number_of_stages)
     max_gt_boxes: int = 100
     dtype: Any = jnp.bfloat16
@@ -153,10 +154,12 @@ class FasterRCNNModules(nn.Module):
             return
         depth = c.resnet_depth
         self.proposal_features = resnet.ResNetProposalFeatures(
-            depth=depth, dtype=c.dtype, name="backbone"
+            depth=depth, dtype=c.dtype, bn_trainable=c.batch_norm_trainable,
+            name="backbone",
         )
         self.classifier_features = resnet.ResNetBoxClassifierFeatures(
-            depth=depth, dtype=c.dtype, name="classifier_backbone"
+            depth=depth, dtype=c.dtype, bn_trainable=c.batch_norm_trainable,
+            name="classifier_backbone",
         )
         self._setup_heads()
 
@@ -218,20 +221,20 @@ class FasterRCNNModules(nn.Module):
 
     # --- named-method entry points (model.apply(..., method=...)) ---
 
-    def features(self, images):
-        return self.proposal_features(images)
+    def features(self, images, train: bool = False):
+        return self.proposal_features(images, train)
 
     def rpn_predictions(self, feats):
         return self.rpn(feats)
 
     def classify_rois(self, roi_crops, deterministic: bool = True,
-                      aux_hidden=None):
+                      aux_hidden=None, train: bool = False):
         """[N, h, w, C] ROI crops -> (pooled [N, 2048], cls, box_refine).
 
         aux_hidden: optional [N, D] auxiliary-task hidden features fused in
         before the box predictor (the MTL-SSL refine path, SURVEY.md §3.11
         'Feature refinement')."""
-        x = self.classifier_features(roi_crops)
+        x = self.classifier_features(roi_crops, train)
         pooled = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
         features = (
             jnp.concatenate([pooled, aux_hidden], axis=-1)
@@ -340,7 +343,15 @@ class FasterRCNN:
         b = images.shape[0]
         apply = self.modules.apply
 
-        feats = apply(variables, images, method=FasterRCNNModules.features)
+        update_bn = training and c.batch_norm_trainable
+        if update_bn:
+            feats, mutated = apply(
+                variables, images, True, method=FasterRCNNModules.features,
+                mutable=["batch_stats"],
+            )
+            variables = dict(variables, batch_stats=mutated["batch_stats"])
+        else:
+            feats = apply(variables, images, method=FasterRCNNModules.features)
         obj_logits, box_enc = apply(
             variables, feats, method=FasterRCNNModules.rpn_predictions
         )
@@ -380,11 +391,13 @@ class FasterRCNN:
             # the detections; no second stage, no aux heads
             return pred
 
-        cls_logits, box_refine = self._predict_second_stage(
+        cls_logits, box_refine, variables = self._predict_second_stage(
             variables, feats, proposals, training, rng
         )
         pred["class_predictions"] = cls_logits
         pred["refined_box_encodings"] = box_refine
+        if update_bn:
+            pred["updated_batch_stats"] = variables["batch_stats"]
 
         # ---- MTL aux predictions (training only; zero inference cost) ----
         if training and c.mtl.any:
@@ -394,8 +407,9 @@ class FasterRCNN:
     def _predict_second_stage(self, variables, feats, proposals, training, rng):
         """ROI crop -> maxpool -> block4 -> FC heads. Returns
         (class_predictions [B, P, K+1], refined_box_encodings
-        [B, P, num_box, 4]). R-FCN overrides this with position-sensitive
-        score maps (reference rfcn_meta_arch, SURVEY.md §3.3)."""
+        [B, P, num_box, 4], variables) — variables carries updated
+        batch_stats when batch_norm_trainable. R-FCN overrides this with
+        position-sensitive score maps (reference rfcn_meta_arch)."""
         c = self.cfg
         b, p = proposals.shape[:2]
         canvas = jnp.asarray(
@@ -426,14 +440,23 @@ class FasterRCNN:
                 pooled_rpn.reshape(b * p, -1),
                 method=FasterRCNNModules.aux_hidden_for_rois,
             )
-        pooled, cls_logits, box_refine = self.modules.apply(
-            variables, crops, not training, aux_hidden,
-            method=FasterRCNNModules.classify_rois,
-            rngs={"dropout": rng} if (training and c.second_stage_dropout) else None,
-        )
+        rngs = {"dropout": rng} if (training and c.second_stage_dropout) else None
+        if training and c.batch_norm_trainable:
+            (pooled, cls_logits, box_refine), mutated = self.modules.apply(
+                variables, crops, not training, aux_hidden, True,
+                method=FasterRCNNModules.classify_rois,
+                rngs=rngs, mutable=["batch_stats"],
+            )
+            variables = dict(variables, batch_stats=mutated["batch_stats"])
+        else:
+            pooled, cls_logits, box_refine = self.modules.apply(
+                variables, crops, not training, aux_hidden,
+                method=FasterRCNNModules.classify_rois, rngs=rngs,
+            )
         return (
             cls_logits.reshape(b, p, -1),
             box_refine.reshape(b, p, -1, 4),
+            variables,
         )
 
     def _predict_aux(self, variables, pred, feats, gt: GroundTruth):

@@ -79,4 +79,8 @@ class RFCN(FasterRCNN):
             proposals / canvas,
             method=RFCNModules.rfcn_predictions,
         )
-        return cls_logits.astype(jnp.float32), box_refine.astype(jnp.float32)
+        return (
+            cls_logits.astype(jnp.float32),
+            box_refine.astype(jnp.float32),
+            variables,
+        )

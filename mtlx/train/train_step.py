@@ -105,10 +105,11 @@ def make_train_step(model: FasterRCNN) -> Callable:
                 groundtruth=gt,
             )
             losses = model.loss(pred, gt, rng_loss)
-            return losses["total_loss"], losses
+            new_stats = pred.get("updated_batch_stats", state.batch_stats)
+            return losses["total_loss"], (losses, new_stats)
 
-        grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
-        new_state = state.apply_gradients(grads)
+        grads, (losses, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads).replace(batch_stats=new_stats)
         metrics = dict(losses)
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics

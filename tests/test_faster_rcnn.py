@@ -225,3 +225,47 @@ def test_number_of_stages_one_rpn_only():
     det = model.postprocess(eval_pred, ts)
     assert det["detection_boxes"].shape == (1, cfg.first_stage_max_proposals, 4)
     assert (np.asarray(det["detection_classes"]) == 0).all()
+
+
+def test_batch_norm_trainable_updates_stats():
+    """batch_norm_trainable: true BatchNorm — moving stats update during
+    training and the train step threads them into the new state."""
+    cfg = tiny_config(batch_norm_trainable=True)
+    model = FasterRCNN(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    gt = make_gt()
+    images = model.preprocess(jnp.full((2, 64, 64, 3), 77.0))
+    ts = jnp.asarray([[64, 64], [64, 64]])
+    rng = jax.random.PRNGKey(1)
+    pred = model.predict(variables, images, ts, training=True, rng=rng, groundtruth=gt)
+    assert "updated_batch_stats" in pred
+    old = variables["batch_stats"]["backbone"]["bn1"]["mean"]
+    new = pred["updated_batch_stats"]["backbone"]["bn1"]["mean"]
+    assert not np.allclose(np.asarray(old), np.asarray(new))
+    # full train step threads stats into state
+    import optax
+
+    from mtlx.train.train_step import create_train_state, make_train_step
+
+    state = create_train_state(model, jax.random.PRNGKey(0), optax.sgd(1e-3))
+    batch = {
+        "image": jnp.full((2, 64, 64, 3), 77.0),
+        "true_shape": ts,
+        "gt_boxes": gt["boxes"],
+        "gt_classes": gt["classes"],
+        "gt_mask": gt["mask"],
+    }
+    new_state, metrics = jax.jit(make_train_step(model))(state, batch, rng)
+    assert np.isfinite(float(metrics["total_loss"]))
+    s_old = state.batch_stats["backbone"]["bn1"]["mean"]
+    s_new = new_state.batch_stats["backbone"]["bn1"]["mean"]
+    assert not np.allclose(np.asarray(s_old), np.asarray(s_new))
+    # eval predict uses running averages (no mutation, no crash)
+    det = model.postprocess(
+        model.predict(
+            {"params": new_state.params, "batch_stats": new_state.batch_stats},
+            images, ts, training=False,
+        ),
+        ts,
+    )
+    assert np.isfinite(np.asarray(det["detection_boxes"])).all()
