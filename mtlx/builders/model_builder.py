@@ -80,9 +80,12 @@ def _build_faster_rcnn(fr, is_training: bool, max_gt_boxes: int, dtype):
     sp = fr.second_stage_box_predictor
     predictor_kind = sp.WhichOneof("box_predictor_oneof")
     use_dropout, keep_prob = False, 1.0
+    predict_masks, mask_depth = False, 256
     if predictor_kind == "mask_rcnn_box_predictor":
         use_dropout = sp.mask_rcnn_box_predictor.use_dropout
         keep_prob = sp.mask_rcnn_box_predictor.dropout_keep_probability
+        predict_masks = sp.mask_rcnn_box_predictor.predict_instance_masks
+        mask_depth = sp.mask_rcnn_box_predictor.mask_prediction_conv_depth
 
     pp = fr.second_stage_post_processing
     nms = pp.batch_non_max_suppression
@@ -167,6 +170,8 @@ def _build_faster_rcnn(fr, is_training: bool, max_gt_boxes: int, dtype):
         second_stage_classification_loss_weight=fr.second_stage_classification_loss_weight,
         second_stage_dropout=use_dropout and is_training,
         second_stage_dropout_keep_prob=keep_prob,
+        predict_instance_masks=predict_masks,
+        mask_prediction_conv_depth=mask_depth,
         batch_norm_trainable=fr.feature_extractor.batch_norm_trainable,
         number_of_stages=fr.number_of_stages,
         max_gt_boxes=max_gt_boxes,

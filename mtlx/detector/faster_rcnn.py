@@ -103,6 +103,8 @@ class FasterRCNNConfig:
     second_stage_classification_loss_weight: float = 1.0
     second_stage_dropout: bool = False
     second_stage_dropout_keep_prob: float = 1.0
+    predict_instance_masks: bool = False  # MaskRCNN optional mask branch
+    mask_prediction_conv_depth: int = 256
     # misc
     batch_norm_trainable: bool = False  # feature_extractor.batch_norm_trainable
     number_of_stages: int = 2  # 1 = RPN-only (reference number_of_stages)
@@ -177,6 +179,13 @@ class FasterRCNNModules(nn.Module):
             dtype=c.dtype,
             name="box_predictor",
         )
+        if c.predict_instance_masks:
+            self.mask_head = box_predictors.MaskHead(
+                num_classes=c.num_classes,
+                conv_depth=c.mask_prediction_conv_depth,
+                dtype=c.dtype,
+                name="mask_head",
+            )
         if c.mtl.foreground:
             self.foreground_head = aux_heads.ForegroundHead(dtype=c.dtype, name="fg_head")
         if c.mtl.multiobject:
@@ -200,6 +209,8 @@ class FasterRCNNModules(nn.Module):
             (1, pooled_sz, pooled_sz, feats.shape[-1]), feats.dtype
         )
         roi_out = self.classifier_features(dummy_roi)
+        if self.cfg.predict_instance_masks:
+            _ = self.mask_head(roi_out)
         pooled = jnp.mean(roi_out, axis=(1, 2)).astype(jnp.float32)
         if self.cfg.mtl.refine and (self.cfg.mtl.multiobject or self.cfg.mtl.closeness):
             rpn_pooled = jnp.mean(feats, axis=(1, 2)).astype(jnp.float32)[:1]
@@ -242,7 +253,8 @@ class FasterRCNNModules(nn.Module):
             else pooled
         )
         cls, box = self.box_predictor(features, deterministic=deterministic)
-        return pooled, cls, box
+        masks = self.mask_head(x) if self.cfg.predict_instance_masks else None
+        return pooled, cls, box, masks
 
     def aux_hidden_for_rois(self, pooled_rpn):
         """Aux heads' hidden activations on per-ROI pooled RPN features;
@@ -396,6 +408,9 @@ class FasterRCNN:
         )
         pred["class_predictions"] = cls_logits
         pred["refined_box_encodings"] = box_refine
+        if getattr(self, "_last_masks", None) is not None:
+            pred["mask_predictions"] = self._last_masks  # [B, P, mh, mw, K]
+            self._last_masks = None
         if update_bn:
             pred["updated_batch_stats"] = variables["batch_stats"]
 
@@ -442,17 +457,20 @@ class FasterRCNN:
             )
         rngs = {"dropout": rng} if (training and c.second_stage_dropout) else None
         if training and c.batch_norm_trainable:
-            (pooled, cls_logits, box_refine), mutated = self.modules.apply(
+            (pooled, cls_logits, box_refine, masks), mutated = self.modules.apply(
                 variables, crops, not training, aux_hidden, True,
                 method=FasterRCNNModules.classify_rois,
                 rngs=rngs, mutable=["batch_stats"],
             )
             variables = dict(variables, batch_stats=mutated["batch_stats"])
         else:
-            pooled, cls_logits, box_refine = self.modules.apply(
+            pooled, cls_logits, box_refine, masks = self.modules.apply(
                 variables, crops, not training, aux_hidden,
                 method=FasterRCNNModules.classify_rois, rngs=rngs,
             )
+        self._last_masks = (
+            masks.reshape((b, p) + masks.shape[1:]) if masks is not None else None
+        )
         return (
             cls_logits.reshape(b, p, -1),
             box_refine.reshape(b, p, -1, 4),
@@ -721,7 +739,9 @@ class FasterRCNN:
                 "num_detections": num,
             }
 
-        def per_image(props, mask, cls_logits, box_refine, true_hw):
+        mask_preds = pred.get("mask_predictions")
+
+        def per_image(props, mask, cls_logits, box_refine, true_hw, roi_masks):
             scores = jax.nn.softmax(cls_logits, axis=-1)[:, 1:]  # drop background
             num_box = box_refine.shape[1]
             anchors = jnp.broadcast_to(
@@ -736,6 +756,7 @@ class FasterRCNN:
                 refine.reshape(-1, 4), anchors.reshape(-1, 4)
             ).reshape(anchors.shape)
             window = jnp.concatenate([jnp.zeros(2), true_hw.astype(jnp.float32)])
+            extra = {"masks": roi_masks} if roi_masks is not None else None
             res = nms_lib.multiclass_non_max_suppression(
                 decoded,
                 scores,
@@ -746,19 +767,45 @@ class FasterRCNN:
                 clip_window=window,
                 change_coordinate_frame=True,
                 valid_mask=mask,
+                extra_fields=extra,
             )
-            return res.boxes, res.scores, res.classes, res.num_valid
+            det_masks = None
+            if roi_masks is not None:
+                per_class = res.extra_fields["masks"]  # [D, mh, mw, K]
+                det_masks = jax.nn.sigmoid(
+                    jnp.take_along_axis(
+                        per_class,
+                        res.classes[:, None, None, None],
+                        axis=-1,
+                    )[..., 0]
+                )
+            return res.boxes, res.scores, res.classes, res.num_valid, det_masks
 
-        boxes, scores, classes, num = jax.vmap(per_image)(
-            pred["proposal_boxes"],
-            pred["proposal_mask"],
-            pred["class_predictions"],
-            pred["refined_box_encodings"],
-            true_shapes,
-        )
-        return {
+        if mask_preds is None:
+            per_image_nomask = lambda a, b_, c_, d, e: per_image(a, b_, c_, d, e, None)[:4]
+            boxes, scores, classes, num = jax.vmap(per_image_nomask)(
+                pred["proposal_boxes"],
+                pred["proposal_mask"],
+                pred["class_predictions"],
+                pred["refined_box_encodings"],
+                true_shapes,
+            )
+            det_masks = None
+        else:
+            boxes, scores, classes, num, det_masks = jax.vmap(per_image)(
+                pred["proposal_boxes"],
+                pred["proposal_mask"],
+                pred["class_predictions"],
+                pred["refined_box_encodings"],
+                true_shapes,
+                mask_preds,
+            )
+        out = {
             "detection_boxes": boxes,
             "detection_scores": scores,
             "detection_classes": classes,
             "num_detections": num,
         }
+        if det_masks is not None:
+            out["detection_masks"] = det_masks
+        return out

@@ -121,6 +121,33 @@ class MaskRCNNBoxPredictor(nn.Module):
         )
 
 
+class MaskHead(nn.Module):
+    """Instance-mask branch on the (unpooled) ROI feature map (the
+    reference MaskRCNNBoxPredictor's predict_instance_masks option):
+    2x transpose-conv upsample + per-class 1x1 logits.
+
+    [N, h, w, C] -> [N, 2h, 2w, num_classes] mask logits.
+    """
+
+    num_classes: int
+    conv_depth: int = 256
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, roi_features):
+        x = roi_features.astype(self.dtype)
+        x = nn.relu(
+            nn.Conv(self.conv_depth, (3, 3), padding="SAME", dtype=self.dtype,
+                    name="conv1")(x)
+        )
+        x = nn.relu(
+            nn.ConvTranspose(self.conv_depth, (2, 2), strides=(2, 2),
+                             dtype=self.dtype, name="upsample")(x)
+        )
+        logits = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="logits")(x)
+        return logits.astype(jnp.float32)
+
+
 class RfcnBoxPredictor(nn.Module):
     """Position-sensitive score/box maps for R-FCN (reference
     RfcnBoxPredictor + utils/ops.position_sensitive_crop_regions).

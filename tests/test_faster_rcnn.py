@@ -269,3 +269,24 @@ def test_batch_norm_trainable_updates_stats():
         ts,
     )
     assert np.isfinite(np.asarray(det["detection_boxes"])).all()
+
+
+def test_instance_mask_branch():
+    """predict_instance_masks: mask logits per proposal, per-detection
+    sigmoid masks in postprocess (reference MaskRCNNBoxPredictor optional
+    mask output)."""
+    cfg = tiny_config(predict_instance_masks=True, mask_prediction_conv_depth=32)
+    model = FasterRCNN(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    images = model.preprocess(jnp.full((1, 64, 64, 3), 100.0))
+    ts = jnp.asarray([[64, 64]])
+    pred = jax.jit(lambda v, im: model.predict(v, im, ts, training=False))(
+        variables, images
+    )
+    # crop 14 -> maxpool 7 -> mask upsample 2x -> 14x14
+    assert pred["mask_predictions"].shape == (1, 12, 14, 14, 3)
+    det = jax.jit(model.postprocess)(pred, ts)
+    assert det["detection_masks"].shape[0] == 1
+    assert det["detection_masks"].shape[2:] == (14, 14)
+    m = np.asarray(det["detection_masks"])
+    assert np.isfinite(m).all() and (m >= 0).all() and (m <= 1).all()
