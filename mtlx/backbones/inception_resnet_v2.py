@@ -96,7 +96,8 @@ class InceptionResnetV2ProposalFeatures(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
+        del train  # frozen BN
         x = x.astype(self.dtype)
         x = ConvBN(32, (3, 3), (2, 2), dtype=self.dtype, name="conv1")(x)
         x = ConvBN(32, (3, 3), dtype=self.dtype, name="conv2")(x)
@@ -135,7 +136,8 @@ class InceptionResnetV2BoxClassifierFeatures(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
+        del train  # frozen BN
         x = x.astype(self.dtype)
         # mixed_7a at stride 1 (detector fine-tuning keeps ROI resolution)
         b0 = ConvBN(256, (1, 1), dtype=self.dtype, name="m7a_b0a")(x)

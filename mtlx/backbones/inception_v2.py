@@ -104,3 +104,42 @@ class InceptionV2(nn.Module):
         x = InceptionBlock(d(352), (d(192), d(320)), (d(192), d(224)), d(128),
                            use_max_pool=True, dtype=self.dtype, name="mixed_5c")(x)
         return [endpoint_16, x]
+
+
+class InceptionV2ProposalFeatures(nn.Module):
+    """Stem through Mixed_4e (stride 16) — the faster_rcnn_inception_v2
+    first-stage extractor (reference models/faster_rcnn_inception_v2_
+    feature_extractor)."""
+
+    depth_multiplier: float = 1.0
+    min_depth: int = 16
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        del train  # frozen BN
+        return InceptionV2(
+            self.depth_multiplier, self.min_depth, dtype=self.dtype, name="body"
+        )(x)[0]
+
+
+class InceptionV2BoxClassifierFeatures(nn.Module):
+    """Mixed_5a..Mixed_5c on ROI crops (the second-stage branch; Mixed_5a
+    keeps its stride-2 as in the reference — callers global-pool)."""
+
+    depth_multiplier: float = 1.0
+    min_depth: int = 16
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        del train
+        d = lambda c: max(int(c * self.depth_multiplier), self.min_depth)
+        x = x.astype(self.dtype)
+        x = ReductionBlock((d(128), d(192)), (d(192), d(256)),
+                           dtype=self.dtype, name="mixed_5a")(x)
+        x = InceptionBlock(d(352), (d(192), d(320)), (d(160), d(224)), d(128),
+                           dtype=self.dtype, name="mixed_5b")(x)
+        x = InceptionBlock(d(352), (d(192), d(320)), (d(192), d(224)), d(128),
+                           use_max_pool=True, dtype=self.dtype, name="mixed_5c")(x)
+        return x

@@ -12,6 +12,7 @@ FEATURE_EXTRACTORS = {
     "faster_rcnn_resnet101": "resnet101",
     "faster_rcnn_resnet152": "resnet152",
     "faster_rcnn_inception_resnet_v2": "inception_resnet_v2",
+    "faster_rcnn_inception_v2": "inception_v2",
 }
 
 
@@ -80,6 +81,20 @@ def _build_faster_rcnn(fr, is_training: bool, max_gt_boxes: int, dtype):
     sp = fr.second_stage_box_predictor
     predictor_kind = sp.WhichOneof("box_predictor_oneof")
     use_dropout, keep_prob = False, 1.0
+    miner_cfg = None
+    if fr.HasField("hard_example_miner"):
+        from mtlx.losses.losses import HardExampleMinerConfig
+
+        m = fr.hard_example_miner
+        miner_cfg = HardExampleMinerConfig(
+            num_hard_examples=m.num_hard_examples,
+            iou_threshold=m.iou_threshold,
+            loss_type={0: "both", 1: "cls", 2: "loc"}[m.loss_type],
+            cls_loss_weight=1.0,
+            loc_loss_weight=1.0,
+            max_negatives_per_positive=float(m.max_negatives_per_positive),
+            min_negatives_per_image=m.min_negatives_per_image,
+        )
     predict_masks, mask_depth = False, 256
     if predictor_kind == "mask_rcnn_box_predictor":
         use_dropout = sp.mask_rcnn_box_predictor.use_dropout
@@ -172,6 +187,7 @@ def _build_faster_rcnn(fr, is_training: bool, max_gt_boxes: int, dtype):
         second_stage_dropout_keep_prob=keep_prob,
         predict_instance_masks=predict_masks,
         mask_prediction_conv_depth=mask_depth,
+        hard_example_miner=miner_cfg,
         batch_norm_trainable=fr.feature_extractor.batch_norm_trainable,
         number_of_stages=fr.number_of_stages,
         max_gt_boxes=max_gt_boxes,

@@ -105,6 +105,9 @@ class FasterRCNNConfig:
     second_stage_dropout_keep_prob: float = 1.0
     predict_instance_masks: bool = False  # MaskRCNN optional mask branch
     mask_prediction_conv_depth: int = 256
+    # optional second-stage hard example mining (reference
+    # faster_rcnn.hard_example_miner); None = balanced sampling only
+    hard_example_miner: Any = None  # loss_lib.HardExampleMinerConfig
     # misc
     batch_norm_trainable: bool = False  # feature_extractor.batch_norm_trainable
     number_of_stages: int = 2  # 1 = RPN-only (reference number_of_stages)
@@ -150,6 +153,17 @@ class FasterRCNNModules(nn.Module):
                 dtype=c.dtype, name="backbone"
             )
             self.classifier_features = irv2.InceptionResnetV2BoxClassifierFeatures(
+                dtype=c.dtype, name="classifier_backbone"
+            )
+            self._setup_heads()
+            return
+        if c.backbone == "inception_v2":
+            from mtlx.backbones import inception_v2 as iv2
+
+            self.proposal_features = iv2.InceptionV2ProposalFeatures(
+                dtype=c.dtype, name="backbone"
+            )
+            self.classifier_features = iv2.InceptionV2BoxClassifierFeatures(
                 dtype=c.dtype, name="classifier_backbone"
             )
             self._setup_heads()
@@ -632,7 +646,6 @@ class FasterRCNN:
                 unmatched_cls_target=jax.nn.one_hot(0, k + 1),
             )
             w = mask.astype(jnp.float32)
-            normalizer = jnp.maximum(jnp.sum(w), 1.0)
             cls_loss = loss_lib.weighted_softmax_classification_loss(
                 cls_logits, res.cls_targets, res.cls_weights * w
             )
@@ -646,6 +659,19 @@ class FasterRCNN:
             loc_loss = loss_lib.weighted_smooth_l1_loss(
                 enc, res.reg_targets, res.reg_weights * w
             )
+            if c.hard_example_miner is not None:
+                # reference: the miner picks the hardest ROIs (NMS-style
+                # de-dup + negatives cap) and the losses sum over only those
+                keep = loss_lib.hard_example_mining_mask(
+                    cls_loss, loc_loss, props, res.match, c.hard_example_miner
+                ).astype(jnp.float32)
+                keep = keep * w
+                normalizer = jnp.maximum(jnp.sum(keep), 1.0)
+                return (
+                    jnp.sum(cls_loss * keep) / normalizer,
+                    jnp.sum(loc_loss * keep) / normalizer,
+                )
+            normalizer = jnp.maximum(jnp.sum(w), 1.0)
             return jnp.sum(cls_loss) / normalizer, jnp.sum(loc_loss) / normalizer
 
         cls_l, loc_l = jax.vmap(per_image)(

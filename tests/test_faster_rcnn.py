@@ -290,3 +290,30 @@ def test_instance_mask_branch():
     assert det["detection_masks"].shape[2:] == (14, 14)
     m = np.asarray(det["detection_masks"])
     assert np.isfinite(m).all() and (m >= 0).all() and (m <= 1).all()
+
+
+def test_second_stage_hard_example_miner():
+    from mtlx.losses.losses import HardExampleMinerConfig
+
+    cfg = tiny_config(
+        hard_example_miner=HardExampleMinerConfig(
+            num_hard_examples=4, iou_threshold=0.7, loss_type="both",
+            cls_loss_weight=1.0, loc_loss_weight=1.0,
+        )
+    )
+    model = FasterRCNN(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    gt = make_gt()
+    images = model.preprocess(jnp.full((2, 64, 64, 3), 100.0))
+    ts = jnp.asarray([[64, 64], [64, 64]])
+    rng = jax.random.PRNGKey(1)
+    pred = model.predict(variables, images, ts, training=True, rng=rng, groundtruth=gt)
+    loss = model.loss(pred, gt, rng)
+    assert np.isfinite(float(loss["total_loss"]))
+    # mined loss differs from the unmined config on identical inputs
+    plain = FasterRCNN(tiny_config())
+    loss2 = plain.loss(pred, gt, rng)
+    assert not np.isclose(
+        float(loss["Loss/BoxClassifierLoss/classification_loss"]),
+        float(loss2["Loss/BoxClassifierLoss/classification_loss"]),
+    )

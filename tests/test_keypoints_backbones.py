@@ -109,3 +109,22 @@ def test_ssd_inception_v2_builds():
     v = model.init_variables(jax.random.PRNGKey(0))
     pred = model.predict(v, model.preprocess(jnp.zeros((1, 128, 128, 3))))
     assert pred["anchors"].shape[0] == pred["box_encodings"].shape[1]
+
+
+def test_faster_rcnn_inception_v2_builds():
+    import jax.numpy as jnp
+
+    from mtlx.detector.faster_rcnn import FasterRCNN, FasterRCNNConfig
+
+    cfg = FasterRCNNConfig(
+        num_classes=2, canvas_size=(64, 64), backbone="inception_v2",
+        anchor_scales=(1.0,), anchor_aspect_ratios=(1.0,), rpn_depth=16,
+        first_stage_pre_nms_top_k=8, first_stage_max_proposals=4,
+        second_stage_batch_size=4, max_gt_boxes=4, dtype=jnp.float32,
+    )
+    model = FasterRCNN(cfg)
+    v = model.init_variables(jax.random.PRNGKey(0))
+    images = model.preprocess(jnp.zeros((1, 64, 64, 3)))
+    ts = jnp.asarray([[64, 64]])
+    det = model.postprocess(model.predict(v, images, ts, training=False), ts)
+    assert np.isfinite(np.asarray(det["detection_boxes"])).all()
