@@ -120,12 +120,12 @@ def crop_and_resize_mxu(
     y1, x1, y2, x2 = (boxes[:, i].astype(jnp.float32) for i in range(4))
     wy = _interp_matrix(y1, y2, ch, h).astype(dt)  # [N, ch, H]
     wx = _interp_matrix(x1, x2, cw, w).astype(dt)  # [N, cw, W]
-    # [N, ch, H] x [H, W, C] -> [N, ch, W, C]
-    tmp = jnp.einsum("nyh,hwc->nywc", wy, image, preferred_element_type=jnp.float32)
+    # Keep the [N, ch, W, C] intermediate in the input dtype: in bf16 it is
+    # the dominant HBM traffic of the whole second stage (fp32 doubled it;
+    # the MXU accumulates in fp32 internally either way).
+    tmp = jnp.einsum("nyh,hwc->nywc", wy, image, preferred_element_type=dt)
     # [N, cw, W] x [N, ch, W, C] -> [N, ch, cw, C]
-    out = jnp.einsum(
-        "nxw,nywc->nyxc", wx, tmp.astype(dt), preferred_element_type=jnp.float32
-    ).astype(dt)
+    out = jnp.einsum("nxw,nywc->nyxc", wx, tmp, preferred_element_type=dt)
     if extrapolation_value != 0.0:
         # matmul path zero-fills out-of-range taps; offset if caller wants
         # a different extrapolation value
