@@ -77,3 +77,40 @@ def test_nms_pallas_score_threshold_and_mask():
         valid_mask=jnp.asarray([True, False, True]), interpret=True,
     )
     assert np.asarray(idx)[np.asarray(keep)].tolist() == [0]
+
+
+def test_fused_roi_crop_matches_mxu_interpret():
+    """roi_pallas fused crop == crop_and_resize_mxu (interpret mode; the
+    compiled-on-TPU check + timing lives in tools/tpu_kernel_check.py)."""
+    from mtlx.kernels import roi_pallas
+    from mtlx.ops.roi import crop_and_resize_mxu, _interp_matrix
+
+    rs = np.random.RandomState(5)
+    img = jnp.asarray(rs.normal(0, 1, (16, 16, 8)), jnp.float32)
+    y0 = rs.uniform(0, 0.5, 4)
+    x0 = rs.uniform(0, 0.5, 4)
+    boxes = jnp.asarray(
+        np.stack([y0, x0, y0 + 0.4, x0 + 0.4], 1), jnp.float32
+    )
+    wy = _interp_matrix(boxes[:, 0], boxes[:, 2], 6, 16)
+    wx = _interp_matrix(boxes[:, 1], boxes[:, 3], 6, 16)
+    # run the pallas kernels in interpret mode directly
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    got = pl.pallas_call(
+        roi_pallas._fwd_kernel,
+        grid=(4,),
+        in_specs=[
+            pl.BlockSpec((16, 16, 8), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6, 16), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6, 16), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 6, 6, 8), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, 6, 6, 8), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((6, 16, 8), jnp.float32)],
+        interpret=True,
+    )(img, wy, wx)
+    want = crop_and_resize_mxu(img, boxes, (6, 6))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)

@@ -72,6 +72,21 @@ def main():
         jax.block_until_ready(out)
         print(f"nms 6000->300 {name}: {(time.perf_counter() - t0) / 20 * 1e3:.2f} ms")
 
+    # ---- fused ROI crop (exactness; the einsum form stays production) ----
+    from mtlx.kernels.roi_pallas import crop_and_resize_fused
+    from mtlx.ops.roi import crop_and_resize_mxu
+
+    img = jnp.asarray(rng.normal(0, 1, (40, 40, 256)), jnp.bfloat16)
+    y0 = rng.uniform(0, 0.6, 16)
+    x0 = rng.uniform(0, 0.6, 16)
+    rboxes = jnp.asarray(
+        np.stack([y0, x0, y0 + 0.3, x0 + 0.3], 1), np.float32
+    )
+    fused = crop_and_resize_fused(img, rboxes, (14, 14)).astype(jnp.float32)
+    mxu = crop_and_resize_mxu(img, rboxes, (14, 14)).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(mxu), rtol=2e-2, atol=2e-2)
+    print("fused ROI crop matches MXU einsum form on chip")
+
     # vmapped (per-image / per-class use)
     vb = jnp.stack([boxes[:1024]] * 8)
     vs = jnp.stack([scores[:1024]] * 8)
