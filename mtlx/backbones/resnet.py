@@ -115,22 +115,26 @@ class Bottleneck(nn.Module):
 
 
 class ResNetStage(nn.Module):
-    """A stack of bottleneck units; stride applies to the FIRST unit
-    (torchvision/v1.5 style downsampling inside the stage entry)."""
+    """A stack of bottleneck units. Default: stride on the FIRST unit
+    (torchvision/v1.5 style). slim_stride_order=True strides the LAST
+    unit instead — slim resnet_v1's convention — for activation-exact
+    parity with converted TF checkpoints (ROADMAP.md gap 2)."""
 
     num_units: int
     depth: int
     stride: int
     dtype: Dtype = jnp.bfloat16
     bn_trainable: bool = False
+    slim_stride_order: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        stride_unit = self.num_units - 1 if self.slim_stride_order else 0
         for i in range(self.num_units):
             x = Bottleneck(
                 depth=self.depth,
                 depth_bottleneck=self.depth // 4,
-                stride=self.stride if i == 0 else 1,
+                stride=self.stride if i == stride_unit else 1,
                 dtype=self.dtype,
                 bn_trainable=self.bn_trainable,
                 name=f"unit{i + 1}",
@@ -144,11 +148,13 @@ class ResNetProposalFeatures(nn.Module):
     depth: int = 50
     dtype: Dtype = jnp.bfloat16
     bn_trainable: bool = False
+    slim_stride_order: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         sizes = BLOCK_SIZES[self.depth]
         bt = self.bn_trainable
+        so = self.slim_stride_order
         x = x.astype(self.dtype)
         x = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
@@ -156,9 +162,15 @@ class ResNetProposalFeatures(nn.Module):
         )(x)
         x = nn.relu(apply_norm(make_norm(bt, self.dtype, "bn1"), x, train))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
-        x = ResNetStage(sizes[0], 256, 1, self.dtype, bt, name="block1")(x, train)
-        x = ResNetStage(sizes[1], 512, 2, self.dtype, bt, name="block2")(x, train)
-        x = ResNetStage(sizes[2], 1024, 2, self.dtype, bt, name="block3")(x, train)
+        if so:
+            # slim: blockN strides at its LAST unit (transition out)
+            x = ResNetStage(sizes[0], 256, 2, self.dtype, bt, True, name="block1")(x, train)
+            x = ResNetStage(sizes[1], 512, 2, self.dtype, bt, True, name="block2")(x, train)
+            x = ResNetStage(sizes[2], 1024, 1, self.dtype, bt, True, name="block3")(x, train)
+        else:
+            x = ResNetStage(sizes[0], 256, 1, self.dtype, bt, name="block1")(x, train)
+            x = ResNetStage(sizes[1], 512, 2, self.dtype, bt, name="block2")(x, train)
+            x = ResNetStage(sizes[2], 1024, 2, self.dtype, bt, name="block3")(x, train)
         return x
 
 

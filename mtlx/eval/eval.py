@@ -26,6 +26,10 @@ def parse_args(argv=None):
     p.add_argument("--eval_dir", required=True)
     p.add_argument("--run_once", action="store_true")
     p.add_argument("--platform", default=None)
+    p.add_argument("--eval_batch_size", type=int, default=1,
+                   help="images per eval step (reference runs batch 1; "
+                        "larger batches cut eval wall-clock; tail batches "
+                        "are padded and the padding is ignored)")
     return p.parse_args(argv)
 
 
@@ -161,7 +165,7 @@ def main(argv=None):
             restored = manager.restore(state, step, params_only=True)
             metrics = evaluate_checkpoint(
                 model, restored, dataset, eval_config, categories,
-                writer=writer, step=step,
+                batch_size=args.eval_batch_size, writer=writer, step=step,
             )
             print(f"[eval] step {step}: " + json.dumps(
                 {k: round(float(v), 4) for k, v in metrics.items()}
