@@ -128,3 +128,20 @@ def test_faster_rcnn_inception_v2_builds():
     ts = jnp.asarray([[64, 64]])
     det = model.postprocess(model.predict(v, images, ts, training=False), ts)
     assert np.isfinite(np.asarray(det["detection_boxes"])).all()
+
+
+def test_inception_v3_endpoints_and_classifier():
+    from mtlx.backbones.inception_v3 import (
+        InceptionV3Classifier,
+        InceptionV3Features,
+    )
+
+    m = InceptionV3Features(dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    ep16, final = m.apply(v, jnp.zeros((1, 64, 64, 3)))
+    assert ep16.shape == (1, 4, 4, 768)  # Mixed_6e, stride 16
+    assert final.shape == (1, 2, 2, 2048)  # Mixed_7c, stride 32
+    c = InceptionV3Classifier(num_classes=7, dtype=jnp.float32)
+    cv = c.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    out = c.apply(cv, jnp.zeros((2, 64, 64, 3)))
+    assert out.shape == (2, 7)
