@@ -145,3 +145,18 @@ def test_inception_v3_endpoints_and_classifier():
     cv = c.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     out = c.apply(cv, jnp.zeros((2, 64, 64, 3)))
     assert out.shape == (2, 7)
+
+
+def test_inception_v1_and_alexnet():
+    from mtlx.backbones.alexnet import AlexNetClassifier
+    from mtlx.backbones.inception_v1 import InceptionV1Features
+
+    m = InceptionV1Features(dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    ep16, final = m.apply(v, jnp.zeros((1, 64, 64, 3)))
+    assert ep16.shape == (1, 4, 4, 832)
+    assert final.shape == (1, 2, 2, 1024)
+    a = AlexNetClassifier(num_classes=5, dtype=jnp.float32)
+    av = a.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+    out = a.apply(av, jnp.zeros((2, 224, 224, 3)))
+    assert out.shape == (2, 5)
