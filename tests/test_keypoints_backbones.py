@@ -160,3 +160,13 @@ def test_inception_v1_and_alexnet():
     av = a.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
     out = a.apply(av, jnp.zeros((2, 224, 224, 3)))
     assert out.shape == (2, 5)
+
+
+def test_inception_v4_endpoints():
+    from mtlx.backbones.inception_v4 import InceptionV4Features
+
+    m = InceptionV4Features(dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    ep16, final = m.apply(v, jnp.zeros((1, 64, 64, 3)))
+    assert ep16.shape == (1, 4, 4, 1024)
+    assert final.shape == (1, 2, 2, 1536)
