@@ -23,6 +23,39 @@ import time
 import numpy as np
 
 
+def make_augmented_batch_fn(aug_options):
+    """Returns augment(rng, step, batch) -> batch with data augmentation
+    applied under a key that varies per train step.
+
+    The step counter (a traced scalar inside jit) is folded into the key:
+    with a loop-invariant key, batch-slot i would make the same
+    flip/crop/color decision at every step of the entire run (regression:
+    tests/test_train_loop.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mtlx.data import preprocessor as prep
+
+    def augment(rng, step, batch):
+        if not aug_options:
+            return batch
+        aug_rng = jax.random.fold_in(rng, step)
+        sample = {
+            "image": batch["image"].astype(jnp.float32),
+            "boxes": batch["gt_boxes"],
+            "classes": batch["gt_classes"],
+            "mask": batch["gt_mask"],
+            "true_shape": batch["true_shape"],
+        }
+        out = prep.batch_preprocess(aug_rng, sample, aug_options)
+        return dict(
+            batch, image=out["image"], gt_boxes=out["boxes"], gt_mask=out["mask"],
+            true_shape=out["true_shape"],
+        )
+
+    return augment
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--pipeline_config_path", required=True)
@@ -73,7 +106,6 @@ def main(argv=None):
     )
     from mtlx.builders.model_builder import resizer_params
     from mtlx.config import config_util
-    from mtlx.data import preprocessor as prep
     from mtlx.data.loader import DetectionDataset, batches, device_prefetch
     from mtlx.parallel import mesh as mesh_lib
     from mtlx.train import checkpoints as ckpt_lib
@@ -134,20 +166,10 @@ def main(argv=None):
     state = mesh_lib.replicate(mesh, state)
     raw_step = make_train_step(model)
 
+    augment = make_augmented_batch_fn(aug_options)
+
     def step_fn(state, batch, rng):
-        if aug_options:
-            sample = {
-                "image": batch["image"].astype(jnp.float32),
-                "boxes": batch["gt_boxes"],
-                "classes": batch["gt_classes"],
-                "mask": batch["gt_mask"],
-                "true_shape": batch["true_shape"],
-            }
-            out = prep.batch_preprocess(rng, sample, aug_options)
-            batch = dict(
-                batch, image=out["image"], gt_boxes=out["boxes"], gt_mask=out["mask"],
-                true_shape=out["true_shape"],
-            )
+        batch = augment(jax.random.fold_in(rng, 0), state.step, batch)
         return raw_step(state, batch, jax.random.fold_in(rng, 1))
 
     step = jax.jit(
@@ -181,8 +203,10 @@ def main(argv=None):
     save_every = train_config.save_checkpoints_steps or 1000
     t_log = time.time()
     profiling = False
+    # host-side step counter: reading int(state.step) every iteration would
+    # block on the just-dispatched step and serialize host with device
+    cur = int(state.step)
     for batch, _ in data_iter:
-        cur = int(state.step)
         if cur >= num_steps:
             break
         if args.profile_from and cur == args.profile_from:

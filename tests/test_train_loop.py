@@ -1,0 +1,63 @@
+"""Regression tests for train-loop wiring (mtlx/train/train.py).
+
+Round-1 bug: the augmentation key was loop-invariant, so batch-slot i made
+the same flip/crop decision at every step of the run. The key must advance
+with the step counter (reference draws fresh randomness each step,
+SURVEY.md §3.1 preprocessor row).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mtlx.train.train import make_augmented_batch_fn
+
+
+def _tiny_batch(b=16):
+    rs = np.random.RandomState(0)
+    return {
+        "image": jnp.asarray(rs.uniform(0, 255, (b, 32, 32, 3)), jnp.float32),
+        "gt_boxes": jnp.tile(jnp.asarray([[[4.0, 4.0, 20.0, 24.0]]]), (b, 1, 1)),
+        "gt_classes": jnp.zeros((b, 1), jnp.int32),
+        "gt_mask": jnp.ones((b, 1), bool),
+        "true_shape": jnp.tile(jnp.asarray([[32, 32]], jnp.int32), (b, 1)),
+    }
+
+
+def test_augmentation_rng_advances_with_step():
+    aug = make_augmented_batch_fn([("random_horizontal_flip", {})])
+    batch = _tiny_batch()
+    rng = jax.random.PRNGKey(3)
+    out0 = aug(rng, jnp.int32(0), batch)
+    out0b = aug(rng, jnp.int32(0), batch)
+    out1 = aug(rng, jnp.int32(1), batch)
+    # same step -> identical draws (determinism)
+    np.testing.assert_array_equal(
+        np.asarray(out0["image"]), np.asarray(out0b["image"])
+    )
+    # consecutive steps -> a different flip pattern on the same batch
+    assert not np.array_equal(np.asarray(out0["image"]), np.asarray(out1["image"]))
+    assert not np.array_equal(
+        np.asarray(out0["gt_boxes"]), np.asarray(out1["gt_boxes"])
+    )
+
+
+def test_augmentation_works_under_jit_with_traced_step():
+    aug = make_augmented_batch_fn([("random_horizontal_flip", {})])
+    batch = _tiny_batch(4)
+
+    @jax.jit
+    def run(step, batch):
+        return aug(jax.random.PRNGKey(0), step, batch)["image"]
+
+    a = run(jnp.int32(0), batch)
+    b = run(jnp.int32(7), batch)
+    assert a.shape == b.shape
+    assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_no_aug_options_is_identity():
+    aug = make_augmented_batch_fn([])
+    batch = _tiny_batch(2)
+    out = aug(jax.random.PRNGKey(0), jnp.int32(5), batch)
+    assert out is batch
