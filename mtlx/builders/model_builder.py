@@ -65,6 +65,61 @@ def build(model_proto, is_training: bool, max_gt_boxes: int = 100,
     raise ValueError(f"unknown model type {which!r}")
 
 
+def regularization_scopes(model_proto):
+    """Weight-regularization spec from the model's Hyperparams messages:
+    [(top-level param scope prefix, kind, weight), ...] consumed by
+    train_step.make_regularization_fn (reference hyperparams_builder
+    regularizers summed into total loss, SURVEY.md §3.4/§4.1)."""
+    from mtlx.builders.component_builders import build_hyperparams
+
+    def reg(h_proto):
+        h = build_hyperparams(h_proto)
+        return h["regularizer"], h["regularizer_weight"]
+
+    scopes = []
+    which = model_proto.WhichOneof("model")
+    if which == "faster_rcnn":
+        fr = model_proto.faster_rcnn
+        if fr.HasField("first_stage_box_predictor_conv_hyperparams"):
+            kind, w = reg(fr.first_stage_box_predictor_conv_hyperparams)
+            if kind and w:
+                scopes.append(("rpn", kind, w))
+        sp = fr.second_stage_box_predictor
+        pk = sp.WhichOneof("box_predictor_oneof")
+        if pk == "mask_rcnn_box_predictor":
+            m = sp.mask_rcnn_box_predictor
+            if m.HasField("fc_hyperparams"):
+                kind, w = reg(m.fc_hyperparams)
+                if kind and w:
+                    scopes.append(("box_predictor", kind, w))
+            if m.HasField("conv_hyperparams"):
+                kind, w = reg(m.conv_hyperparams)
+                if kind and w:
+                    scopes.append(("mask_head", kind, w))
+        elif pk == "rfcn_box_predictor" and sp.rfcn_box_predictor.HasField(
+            "conv_hyperparams"
+        ):
+            kind, w = reg(sp.rfcn_box_predictor.conv_hyperparams)
+            if kind and w:
+                scopes.append(("rfcn_predictor", kind, w))
+    elif which == "ssd":
+        ssd = model_proto.ssd
+        bp = ssd.box_predictor
+        if (
+            bp.WhichOneof("box_predictor_oneof") == "convolutional_box_predictor"
+            and bp.convolutional_box_predictor.HasField("conv_hyperparams")
+        ):
+            kind, w = reg(bp.convolutional_box_predictor.conv_hyperparams)
+            if kind and w:
+                scopes.append(("box_predictor", kind, w))
+                scopes.append(("extra", kind, w))
+        if ssd.feature_extractor.HasField("conv_hyperparams"):
+            kind, w = reg(ssd.feature_extractor.conv_hyperparams)
+            if kind and w:
+                scopes.append(("backbone", kind, w))
+    return scopes
+
+
 def _build_faster_rcnn(fr, is_training: bool, max_gt_boxes: int, dtype):
     extractor_type = fr.feature_extractor.type or "faster_rcnn_resnet50"
     if extractor_type not in FEATURE_EXTRACTORS:
@@ -78,9 +133,19 @@ def _build_faster_rcnn(fr, is_training: bool, max_gt_boxes: int, dtype):
     scales = tuple(g.scales) or (0.25, 0.5, 1.0, 2.0)
     aspects = tuple(g.aspect_ratios) or (0.5, 1.0, 2.0)
 
+    from mtlx.builders.component_builders import build_hyperparams
+
+    rpn_init = None
+    if fr.HasField("first_stage_box_predictor_conv_hyperparams"):
+        rpn_init = build_hyperparams(
+            fr.first_stage_box_predictor_conv_hyperparams
+        )["initializer"]
+    rpn_kernel_size = fr.first_stage_box_predictor_kernel_size or 3
+
     sp = fr.second_stage_box_predictor
     predictor_kind = sp.WhichOneof("box_predictor_oneof")
     use_dropout, keep_prob = False, 1.0
+    fc_init = None
     miner_cfg = None
     if fr.HasField("hard_example_miner"):
         from mtlx.losses.losses import HardExampleMinerConfig
@@ -101,9 +166,14 @@ def _build_faster_rcnn(fr, is_training: bool, max_gt_boxes: int, dtype):
         keep_prob = sp.mask_rcnn_box_predictor.dropout_keep_probability
         predict_masks = sp.mask_rcnn_box_predictor.predict_instance_masks
         mask_depth = sp.mask_rcnn_box_predictor.mask_prediction_conv_depth
+        if sp.mask_rcnn_box_predictor.HasField("fc_hyperparams"):
+            fc_init = build_hyperparams(
+                sp.mask_rcnn_box_predictor.fc_hyperparams
+            )["initializer"]
 
     pp = fr.second_stage_post_processing
     nms = pp.batch_non_max_suppression
+    score_converter = {0: "identity", 1: "sigmoid", 2: "softmax"}[pp.score_converter]
 
     mtl = MTLConfig(
         multiobject=fr.mtl.window,
@@ -132,6 +202,8 @@ def _build_faster_rcnn(fr, is_training: bool, max_gt_boxes: int, dtype):
             anchor_aspect_ratios=aspects,
             anchor_base_size=(float(g.height or 256), float(g.width or 256)),
             rpn_depth=fr.first_stage_box_predictor_depth,
+            rpn_kernel_size=rpn_kernel_size,
+            rpn_conv_initializer=rpn_init,
             first_stage_nms_score_threshold=fr.first_stage_nms_score_threshold,
             first_stage_nms_iou_threshold=fr.first_stage_nms_iou_threshold,
             first_stage_max_proposals=fr.first_stage_max_proposals,
@@ -147,6 +219,7 @@ def _build_faster_rcnn(fr, is_training: bool, max_gt_boxes: int, dtype):
             second_stage_max_total_detections=nms.max_total_detections,
             second_stage_localization_loss_weight=fr.second_stage_localization_loss_weight,
             second_stage_classification_loss_weight=fr.second_stage_classification_loss_weight,
+            score_converter=score_converter,
             num_spatial_bins=(r.num_spatial_bins_height, r.num_spatial_bins_width),
             rfcn_depth=r.depth,
             rfcn_crop_size=(r.crop_height, r.crop_width),
@@ -165,6 +238,8 @@ def _build_faster_rcnn(fr, is_training: bool, max_gt_boxes: int, dtype):
         anchor_aspect_ratios=aspects,
         anchor_base_size=(float(g.height or 256), float(g.width or 256)),
         rpn_depth=fr.first_stage_box_predictor_depth,
+        rpn_kernel_size=rpn_kernel_size,
+        rpn_conv_initializer=rpn_init,
         first_stage_nms_score_threshold=fr.first_stage_nms_score_threshold,
         first_stage_nms_iou_threshold=fr.first_stage_nms_iou_threshold,
         first_stage_max_proposals=fr.first_stage_max_proposals,
@@ -185,6 +260,8 @@ def _build_faster_rcnn(fr, is_training: bool, max_gt_boxes: int, dtype):
         second_stage_classification_loss_weight=fr.second_stage_classification_loss_weight,
         second_stage_dropout=use_dropout and is_training,
         second_stage_dropout_keep_prob=keep_prob,
+        second_stage_fc_initializer=fc_init,
+        score_converter=score_converter,
         predict_instance_masks=predict_masks,
         mask_prediction_conv_depth=mask_depth,
         hard_example_miner=miner_cfg,

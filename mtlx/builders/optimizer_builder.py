@@ -3,7 +3,9 @@ optimizer_builder.py + utils/learning_schedules.py, SURVEY.md §3.4/§3.7).
 
 Maps the Optimizer proto to an optax transformation and the LearningRate
 proto to an optax schedule. Moving-average of weights (use_moving_average)
-maps to optax.ema applied to params by the trainer when enabled.
+is returned as the EMA decay rate; the train step maintains
+TrainState.ema_params with it and eval/export read the averaged params
+when eval_config.use_moving_averages is set.
 """
 
 from __future__ import annotations
@@ -48,10 +50,18 @@ def build_learning_rate(lr_proto):
 
 
 def build(optimizer_proto, train_config=None):
-    """Returns (optax transformation, schedule-or-constant)."""
+    """Returns (optax transformation, schedule-or-constant, ema_decay).
+
+    ema_decay is the moving-average rate when use_moving_average is set
+    (proto default true, matching the reference), else None."""
     kind = optimizer_proto.WhichOneof("optimizer")
     clip = train_config.gradient_clipping_by_norm if train_config else 0.0
     bias_mult = train_config.bias_grad_multiplier if train_config else 0.0
+    ema_decay = (
+        optimizer_proto.moving_average_decay
+        if optimizer_proto.use_moving_average
+        else None
+    )
 
     if kind == "momentum_optimizer":
         p = optimizer_proto.momentum_optimizer
@@ -62,7 +72,7 @@ def build(optimizer_proto, train_config=None):
             gradient_clipping_by_norm=clip,
             bias_grad_multiplier=bias_mult,
         )
-        return tx, lr
+        return tx, lr, ema_decay
     if kind == "rms_prop_optimizer":
         p = optimizer_proto.rms_prop_optimizer
         lr = build_learning_rate(p.learning_rate)
@@ -74,7 +84,7 @@ def build(optimizer_proto, train_config=None):
                 lr, decay=p.decay, eps=p.epsilon, momentum=p.momentum_optimizer_value
             )
         )
-        return optax.chain(*chain), lr
+        return optax.chain(*chain), lr, ema_decay
     if kind == "adam_optimizer":
         p = optimizer_proto.adam_optimizer
         lr = build_learning_rate(p.learning_rate)
@@ -82,5 +92,5 @@ def build(optimizer_proto, train_config=None):
         if clip:
             chain.append(optax.clip_by_global_norm(clip))
         chain.append(optax.adam(lr))
-        return optax.chain(*chain), lr
+        return optax.chain(*chain), lr, ema_decay
     raise ValueError(f"unknown optimizer {kind!r}")

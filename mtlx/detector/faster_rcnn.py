@@ -103,8 +103,17 @@ class FasterRCNNConfig:
     second_stage_classification_loss_weight: float = 1.0
     second_stage_dropout: bool = False
     second_stage_dropout_keep_prob: float = 1.0
+    # second_stage_post_processing.score_converter (reference
+    # post_processing_builder): softmax | sigmoid | identity
+    score_converter: str = "softmax"
     predict_instance_masks: bool = False  # MaskRCNN optional mask branch
     mask_prediction_conv_depth: int = 256
+    # first_stage_box_predictor_kernel_size + conv_hyperparams initializer
+    # (reference faster_rcnn.proto fields 8/9); None initializer = flax
+    # default (lecun_normal)
+    rpn_kernel_size: int = 3
+    rpn_conv_initializer: Any = None
+    second_stage_fc_initializer: Any = None
     # optional second-stage hard example mining (reference
     # faster_rcnn.hard_example_miner); None = balanced sampling only
     hard_example_miner: Any = None  # loss_lib.HardExampleMinerConfig
@@ -184,12 +193,14 @@ class FasterRCNNModules(nn.Module):
         num_anchors = len(c.anchor_scales) * len(c.anchor_aspect_ratios)
         self.rpn = box_predictors.RPNHead(
             num_anchors_per_location=num_anchors, depth=c.rpn_depth,
+            kernel_size=c.rpn_kernel_size, kernel_init=c.rpn_conv_initializer,
             dtype=c.dtype, name="rpn",
         )
         self.box_predictor = box_predictors.MaskRCNNBoxPredictor(
             num_classes=c.num_classes,
             use_dropout=c.second_stage_dropout,
             dropout_keep_prob=c.second_stage_dropout_keep_prob,
+            kernel_init=c.second_stage_fc_initializer,
             dtype=c.dtype,
             name="box_predictor",
         )
@@ -417,14 +428,13 @@ class FasterRCNN:
             # the detections; no second stage, no aux heads
             return pred
 
-        cls_logits, box_refine, variables = self._predict_second_stage(
+        cls_logits, box_refine, masks, variables = self._predict_second_stage(
             variables, feats, proposals, training, rng
         )
         pred["class_predictions"] = cls_logits
         pred["refined_box_encodings"] = box_refine
-        if getattr(self, "_last_masks", None) is not None:
-            pred["mask_predictions"] = self._last_masks  # [B, P, mh, mw, K]
-            self._last_masks = None
+        if masks is not None:
+            pred["mask_predictions"] = masks  # [B, P, mh, mw, K]
         if update_bn:
             pred["updated_batch_stats"] = variables["batch_stats"]
 
@@ -436,9 +446,10 @@ class FasterRCNN:
     def _predict_second_stage(self, variables, feats, proposals, training, rng):
         """ROI crop -> maxpool -> block4 -> FC heads. Returns
         (class_predictions [B, P, K+1], refined_box_encodings
-        [B, P, num_box, 4], variables) — variables carries updated
-        batch_stats when batch_norm_trainable. R-FCN overrides this with
-        position-sensitive score maps (reference rfcn_meta_arch)."""
+        [B, P, num_box, 4], mask_predictions-or-None [B, P, mh, mw, K],
+        variables) — variables carries updated batch_stats when
+        batch_norm_trainable. R-FCN overrides this with position-sensitive
+        score maps (reference rfcn_meta_arch)."""
         c = self.cfg
         b, p = proposals.shape[:2]
         canvas = jnp.asarray(
@@ -482,12 +493,10 @@ class FasterRCNN:
                 variables, crops, not training, aux_hidden,
                 method=FasterRCNNModules.classify_rois, rngs=rngs,
             )
-        self._last_masks = (
-            masks.reshape((b, p) + masks.shape[1:]) if masks is not None else None
-        )
         return (
             cls_logits.reshape(b, p, -1),
             box_refine.reshape(b, p, -1, 4),
+            masks.reshape((b, p) + masks.shape[1:]) if masks is not None else None,
             variables,
         )
 
@@ -733,6 +742,17 @@ class FasterRCNN:
 
     # ---- postprocess ----
 
+    def _convert_scores(self, cls_logits: Array) -> Array:
+        """Apply the configured score_converter to [N, K+1] class logits."""
+        kind = self.cfg.score_converter
+        if kind == "softmax":
+            return jax.nn.softmax(cls_logits, axis=-1)
+        if kind == "sigmoid":
+            return jax.nn.sigmoid(cls_logits)
+        if kind == "identity":
+            return cls_logits
+        raise ValueError(f"unknown score_converter {kind!r}")
+
     def postprocess(self, pred: Dict[str, Array], true_shapes: Array):
         """Second-stage decode + per-class NMS -> final detections.
 
@@ -768,7 +788,9 @@ class FasterRCNN:
         mask_preds = pred.get("mask_predictions")
 
         def per_image(props, mask, cls_logits, box_refine, true_hw, roi_masks):
-            scores = jax.nn.softmax(cls_logits, axis=-1)[:, 1:]  # drop background
+            # second_stage_post_processing.score_converter (reference
+            # post_processing_builder); background column dropped after
+            scores = self._convert_scores(cls_logits)[:, 1:]
             num_box = box_refine.shape[1]
             anchors = jnp.broadcast_to(
                 props[:, None, :], (props.shape[0], c.num_classes, 4)

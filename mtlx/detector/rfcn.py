@@ -82,5 +82,6 @@ class RFCN(FasterRCNN):
         return (
             cls_logits.astype(jnp.float32),
             box_refine.astype(jnp.float32),
+            None,  # no mask branch in R-FCN
             variables,
         )

@@ -153,7 +153,10 @@ def main(argv=None):
             for i in range(model.cfg.num_classes)
         ]
 
-    state = create_train_state(model, jax.random.PRNGKey(0), make_optimizer())
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), make_optimizer(),
+        keep_ema=eval_config.use_moving_averages,
+    )
     manager = ckpt_lib.CheckpointManager(args.checkpoint_dir)
     writer = SummaryWriter(args.eval_dir)
 
@@ -163,6 +166,13 @@ def main(argv=None):
         step = manager.latest_step()
         if step is not None and step != last_step:
             restored = manager.restore(state, step, params_only=True)
+            if (
+                eval_config.use_moving_averages
+                and getattr(restored, "ema_params", None) is not None
+            ):
+                # evaluate the averaged weights (reference eval_config
+                # use_moving_averages)
+                restored = restored.replace(params=restored.ema_params)
             metrics = evaluate_checkpoint(
                 model, restored, dataset, eval_config, categories,
                 batch_size=args.eval_batch_size, writer=writer, step=step,

@@ -41,11 +41,18 @@ def export_inference_graph(
 
     configs = config_util.get_configs_from_pipeline_file(pipeline_config_path)
     model = model_builder.build(configs["model"], is_training=False)
-    state = create_train_state(model, jax.random.PRNGKey(0), make_optimizer())
+    use_ema = configs["eval_config"].use_moving_averages
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), make_optimizer(), keep_ema=use_ema
+    )
     manager = ckpt_lib.CheckpointManager(trained_checkpoint_dir)
     restored = manager.restore(state, checkpoint_step, params_only=True)
     if restored is None:
         raise FileNotFoundError(f"no checkpoint in {trained_checkpoint_dir}")
+    if use_ema and getattr(restored, "ema_params", None) is not None:
+        # export the averaged weights (reference exporter reads
+        # eval_config.use_moving_averages)
+        restored = restored.replace(params=restored.ema_params)
 
     os.makedirs(output_directory, exist_ok=True)
     config_util.save_pipeline_config(

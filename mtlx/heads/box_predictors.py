@@ -22,7 +22,10 @@ Dtype = Any
 
 
 class RPNHead(nn.Module):
-    """3x3 conv trunk + 1x1 objectness/box heads over the stride-16 map.
+    """kxk conv trunk + 1x1 objectness/box heads over the stride-16 map
+    (k = first_stage_box_predictor_kernel_size, reference default 3;
+    kernel_init from first_stage_box_predictor_conv_hyperparams, None =
+    flax default).
 
     Returns ([B, H*W*A, 2] objectness logits, [B, H*W*A, 4] box encodings)
     with the anchor index fastest — matching the GridAnchorGenerator layout.
@@ -30,19 +33,23 @@ class RPNHead(nn.Module):
 
     num_anchors_per_location: int
     depth: int = 512
+    kernel_size: int = 3
+    kernel_init: Any = None
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, features):
         b = features.shape[0]
         a = self.num_anchors_per_location
+        k = self.kernel_size
+        init_kw = {} if self.kernel_init is None else {"kernel_init": self.kernel_init}
         x = nn.relu(
-            nn.Conv(self.depth, (3, 3), padding="SAME", dtype=self.dtype, name="conv")(
-                features.astype(self.dtype)
-            )
+            nn.Conv(self.depth, (k, k), padding="SAME", dtype=self.dtype,
+                    name="conv", **init_kw)(features.astype(self.dtype))
         )
-        obj = nn.Conv(2 * a, (1, 1), dtype=self.dtype, name="objectness")(x)
-        box = nn.Conv(4 * a, (1, 1), dtype=self.dtype, name="box_encodings")(x)
+        obj = nn.Conv(2 * a, (1, 1), dtype=self.dtype, name="objectness", **init_kw)(x)
+        box = nn.Conv(4 * a, (1, 1), dtype=self.dtype, name="box_encodings",
+                      **init_kw)(x)
         return (
             obj.astype(jnp.float32).reshape(b, -1, 2),
             box.astype(jnp.float32).reshape(b, -1, 4),
@@ -102,19 +109,25 @@ class MaskRCNNBoxPredictor(nn.Module):
     use_dropout: bool = False
     dropout_keep_prob: float = 0.5
     share_box_across_classes: bool = False
+    kernel_init: Any = None  # fc_hyperparams initializer; None = flax default
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, pooled, deterministic: bool = True):
+        init_kw = {} if self.kernel_init is None else {"kernel_init": self.kernel_init}
         x = pooled.astype(self.dtype)
         if self.fc_features > 0:
-            x = nn.relu(nn.Dense(self.fc_features, dtype=self.dtype, name="fc1")(x))
-            x = nn.relu(nn.Dense(self.fc_features, dtype=self.dtype, name="fc2")(x))
+            x = nn.relu(nn.Dense(self.fc_features, dtype=self.dtype, name="fc1",
+                                 **init_kw)(x))
+            x = nn.relu(nn.Dense(self.fc_features, dtype=self.dtype, name="fc2",
+                                 **init_kw)(x))
         if self.use_dropout:
             x = nn.Dropout(1.0 - self.dropout_keep_prob, deterministic=deterministic)(x)
-        cls = nn.Dense(self.num_classes + 1, dtype=self.dtype, name="class_logits")(x)
+        cls = nn.Dense(self.num_classes + 1, dtype=self.dtype, name="class_logits",
+                       **init_kw)(x)
         num_box = 1 if self.share_box_across_classes else self.num_classes
-        box = nn.Dense(num_box * 4, dtype=self.dtype, name="box_refinement")(x)
+        box = nn.Dense(num_box * 4, dtype=self.dtype, name="box_refinement",
+                       **init_kw)(x)
         return (
             cls.astype(jnp.float32),
             box.astype(jnp.float32).reshape(*pooled.shape[:-1], num_box, 4),

@@ -58,7 +58,8 @@ class CheckpointManager:
             return None
         target = _to_pytree(state)
         if params_only:
-            target = {k: target[k] for k in ("step", "params", "batch_stats")}
+            keep = ("step", "params", "batch_stats", "ema_params")
+            target = {k: target[k] for k in keep if k in target}
         # partial_restore: an eval-mode model has no MTL aux heads, but
         # train checkpoints do — restore the intersection (reference
         # semantics: aux heads are training-only, eval restores what it
@@ -70,6 +71,11 @@ class CheckpointManager:
             step=restored["step"],
             params=restored["params"],
             batch_stats=restored["batch_stats"],
+            **(
+                {"ema_params": restored["ema_params"]}
+                if "ema_params" in restored and restored["ema_params"] is not None
+                else {}
+            ),
             **({} if params_only else {"opt_state": restored["opt_state"]}),
         )
 
@@ -81,12 +87,18 @@ class CheckpointManager:
 
 
 def _to_pytree(state) -> Dict[str, Any]:
-    return {
+    out = {
         "step": state.step,
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
     }
+    # EMA of params travels with the checkpoint when enabled (reference
+    # optimizer use_moving_average); key absent otherwise so old
+    # checkpoints stay restorable
+    if getattr(state, "ema_params", None) is not None:
+        out["ema_params"] = state.ema_params
+    return out
 
 
 def _flatten(tree, prefix=()):

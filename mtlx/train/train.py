@@ -109,7 +109,11 @@ def main(argv=None):
     from mtlx.data.loader import DetectionDataset, batches, device_prefetch
     from mtlx.parallel import mesh as mesh_lib
     from mtlx.train import checkpoints as ckpt_lib
-    from mtlx.train.train_step import create_train_state, make_train_step
+    from mtlx.train.train_step import (
+        create_train_state,
+        make_regularization_fn,
+        make_train_step,
+    )
     from mtlx.utils.summary_writer import SummaryWriter
 
     configs = config_util.get_configs_from_pipeline_file(args.pipeline_config_path)
@@ -126,8 +130,13 @@ def main(argv=None):
         config_util.create_pipeline_proto_from_configs(configs), args.train_dir
     )
 
-    tx, lr_schedule = optimizer_builder.build(train_config.optimizer, train_config)
+    tx, lr_schedule, ema_decay = optimizer_builder.build(
+        train_config.optimizer, train_config
+    )
     aug_options = preprocessor_builder.build(train_config.data_augmentation_options)
+    reg_fn = make_regularization_fn(
+        model_builder.regularization_scopes(configs["model"])
+    )
 
     # data
     input_config = configs["train_input_config"]
@@ -144,7 +153,9 @@ def main(argv=None):
           f"canvas {model.cfg.canvas_size}, {num_steps} steps", flush=True)
 
     # state (+ resume / warm start, reference §6.4 two modes)
-    state = create_train_state(model, jax.random.PRNGKey(args.seed), tx)
+    state = create_train_state(
+        model, jax.random.PRNGKey(args.seed), tx, keep_ema=ema_decay is not None
+    )
     manager = ckpt_lib.CheckpointManager(args.train_dir)
     latest = manager.latest_step()
     if latest is not None:
@@ -158,13 +169,17 @@ def main(argv=None):
             train_config.from_detection_checkpoint,
         )
         state = state.replace(
-            params=variables["params"], batch_stats=variables["batch_stats"]
+            params=variables["params"], batch_stats=variables["batch_stats"],
+            ema_params=(
+                jax.tree_util.tree_map(jnp.asarray, variables["params"])
+                if state.ema_params is not None else None
+            ),
         )
         print(f"[train] warm start: {restored} restored, {skipped} skipped", flush=True)
 
     mesh = mesh_lib.create_mesh_for_batch(batch_size)
     state = mesh_lib.replicate(mesh, state)
-    raw_step = make_train_step(model)
+    raw_step = make_train_step(model, regularization_fn=reg_fn, ema_decay=ema_decay)
 
     augment = make_augmented_batch_fn(aug_options)
 

@@ -25,6 +25,10 @@ class TrainState(struct.PyTreeNode):
     batch_stats: core.FrozenDict
     opt_state: optax.OptState
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # exponential moving average of params (train_config optimizer
+    # use_moving_average, reference [U] builders/optimizer_builder.py);
+    # None when disabled
+    ema_params: Any = None
 
     def apply_gradients(self, grads):
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
@@ -36,7 +40,7 @@ class TrainState(struct.PyTreeNode):
 
 
 def create_train_state(model: FasterRCNN, rng, tx: optax.GradientTransformation,
-                       batch_size: int = 1) -> TrainState:
+                       batch_size: int = 1, keep_ema: bool = False) -> TrainState:
     variables = model.init_variables(rng, batch_size)
     params = variables["params"]
     return TrainState(
@@ -45,7 +49,41 @@ def create_train_state(model: FasterRCNN, rng, tx: optax.GradientTransformation,
         batch_stats=variables.get("batch_stats", core.freeze({})),
         opt_state=tx.init(params),
         tx=tx,
+        ema_params=jax.tree_util.tree_map(jnp.asarray, params) if keep_ema else None,
     )
+
+
+def make_regularization_fn(scopes) -> Optional[Callable]:
+    """Weight regularization from Hyperparams protos (reference slim
+    arg_scope regularizers summed into total loss by the trainer,
+    SURVEY.md §3.4 hyperparams_builder / §4.1).
+
+    scopes: [(top-level param scope prefix, kind, weight)] where kind is
+    'l1_regularizer' | 'l2_regularizer'. TF semantics: l2 = weight *
+    sum(w^2)/2 (tf.nn.l2_loss), l1 = weight * sum(|w|); applied to kernel
+    weights only (slim regularizes weights, never biases or BN params).
+    """
+    scopes = [s for s in (scopes or []) if s[2]]
+    if not scopes:
+        return None
+
+    def reg_fn(params) -> jax.Array:
+        total = jnp.zeros((), jnp.float32)
+        for scope, kind, weight in scopes:
+            for top_key in params:
+                if not str(top_key).startswith(scope):
+                    continue
+                for path, w in jax.tree_util.tree_leaves_with_path(params[top_key]):
+                    if getattr(path[-1], "key", None) != "kernel":
+                        continue
+                    w32 = w.astype(jnp.float32)
+                    if kind == "l1_regularizer":
+                        total = total + weight * jnp.sum(jnp.abs(w32))
+                    else:
+                        total = total + weight * 0.5 * jnp.sum(w32 * w32)
+        return total
+
+    return reg_fn
 
 
 def make_optimizer(
@@ -76,12 +114,20 @@ def make_optimizer(
     return optax.chain(*chain)
 
 
-def make_train_step(model: FasterRCNN) -> Callable:
+def make_train_step(
+    model: FasterRCNN,
+    regularization_fn: Optional[Callable] = None,
+    ema_decay: Optional[float] = None,
+) -> Callable:
     """Returns step(state, batch, rng) -> (state, metrics). Jit it with
     batch sharded over the data axis; gradients sync via XLA collectives.
 
     batch: {image [B,H,W,3] uint8/float, true_shape [B,2],
             gt_boxes [B,G,4], gt_classes [B,G], gt_mask [B,G]}.
+
+    regularization_fn(params) -> scalar added to the total loss (the
+    reference trainer's regularization-loss summing). ema_decay enables
+    the params moving average (train_config optimizer use_moving_average).
     """
 
     def step(state: TrainState, batch: Dict[str, jax.Array], rng):
@@ -104,12 +150,25 @@ def make_train_step(model: FasterRCNN) -> Callable:
                 rng=rng_predict,
                 groundtruth=gt,
             )
-            losses = model.loss(pred, gt, rng_loss)
+            losses = dict(model.loss(pred, gt, rng_loss))
+            if regularization_fn is not None:
+                reg = regularization_fn(params)
+                losses["Loss/regularization_loss"] = reg
+                losses["total_loss"] = losses["total_loss"] + reg
             new_stats = pred.get("updated_batch_stats", state.batch_stats)
             return losses["total_loss"], (losses, new_stats)
 
         grads, (losses, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+        if ema_decay is not None and state.ema_params is not None:
+            d = jnp.float32(ema_decay)
+            new_state = new_state.replace(
+                ema_params=jax.tree_util.tree_map(
+                    lambda e, p: (e * d + p.astype(e.dtype) * (1.0 - d)).astype(e.dtype),
+                    state.ema_params,
+                    new_state.params,
+                )
+            )
         metrics = dict(losses)
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics

@@ -1,0 +1,243 @@
+"""Config-surface contract tests: every parsed knob must change behavior
+(round-1 gap: hyperparams/score_converter/kernel_size/EMA were parsed but
+silently ignored). Reference: the text-proto pipeline config is the public
+API (SURVEY.md §3.10)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from google.protobuf import text_format
+
+from mtlx.builders import model_builder, optimizer_builder
+from mtlx.config.protos import pipeline_pb2
+from mtlx.train.train_step import make_regularization_fn
+
+FRCNN_TEMPLATE = """
+faster_rcnn {
+  num_classes: 3
+  image_resizer { fixed_shape_resizer { height: 64 width: 64 } }
+  feature_extractor { type: 'faster_rcnn_resnet50' first_stage_features_stride: 16 }
+  first_stage_anchor_generator {
+    grid_anchor_generator {
+      scales: [0.5, 1.0] aspect_ratios: [1.0]
+      height: 32 width: 32 height_stride: 16 width_stride: 16
+    }
+  }
+  %(extra)s
+  second_stage_box_predictor {
+    mask_rcnn_box_predictor {
+      %(predictor)s
+    }
+  }
+  second_stage_post_processing {
+    batch_non_max_suppression {
+      score_threshold: 0.01 iou_threshold: 0.6
+      max_detections_per_class: 10 max_total_detections: 20
+    }
+    score_converter: %(converter)s
+  }
+}
+"""
+
+
+def _model_proto(extra="", predictor="", converter="SOFTMAX"):
+    proto = pipeline_pb2.DetectionModel()
+    text_format.Parse(
+        FRCNN_TEMPLATE % {"extra": extra, "predictor": predictor,
+                          "converter": converter},
+        proto,
+    )
+    return proto
+
+
+# ---------------- score converter ----------------
+
+
+def test_score_converter_threads_to_config():
+    for name, expected in (("SOFTMAX", "softmax"), ("SIGMOID", "sigmoid"),
+                           ("IDENTITY", "identity")):
+        model = model_builder.build(_model_proto(converter=name), is_training=False)
+        assert model.cfg.score_converter == expected
+
+
+def test_score_converter_changes_scores():
+    logits = jnp.asarray([[2.0, -1.0, 0.5, 1.0]])
+    model_soft = model_builder.build(_model_proto(converter="SOFTMAX"), False)
+    model_sig = model_builder.build(_model_proto(converter="SIGMOID"), False)
+    model_id = model_builder.build(_model_proto(converter="IDENTITY"), False)
+    soft = np.asarray(model_soft._convert_scores(logits))
+    sig = np.asarray(model_sig._convert_scores(logits))
+    ident = np.asarray(model_id._convert_scores(logits))
+    np.testing.assert_allclose(soft, jax.nn.softmax(logits, -1), rtol=1e-6)
+    np.testing.assert_allclose(sig, jax.nn.sigmoid(logits), rtol=1e-6)
+    np.testing.assert_array_equal(ident, np.asarray(logits))
+
+
+# ---------------- weight decay ----------------
+
+
+def test_regularization_scopes_from_config():
+    extra = """
+    first_stage_box_predictor_conv_hyperparams {
+      regularizer { l2_regularizer { weight: 0.0002 } }
+    }
+    """
+    predictor = """
+      fc_hyperparams { regularizer { l1_regularizer { weight: 0.001 } } }
+    """
+    scopes = model_builder.regularization_scopes(
+        _model_proto(extra=extra, predictor=predictor)
+    )
+    assert ("rpn", "l2_regularizer", pytest.approx(0.0002)) in [
+        (s, k, w) for s, k, w in scopes
+    ]
+    assert ("box_predictor", "l1_regularizer", pytest.approx(0.001)) in [
+        (s, k, w) for s, k, w in scopes
+    ]
+    # zero/absent regularizers produce no scopes
+    assert model_builder.regularization_scopes(_model_proto()) == []
+
+
+def test_regularization_fn_values():
+    params = {
+        "rpn": {"conv": {"kernel": jnp.full((2, 3), 2.0), "bias": jnp.ones(3)}},
+        "box_predictor": {"fc": {"kernel": jnp.full((4,), -1.0)}},
+        "backbone": {"conv": {"kernel": jnp.full((5,), 10.0)}},
+    }
+    fn = make_regularization_fn(
+        [("rpn", "l2_regularizer", 0.1), ("box_predictor", "l1_regularizer", 0.5)]
+    )
+    # l2: 0.1 * 0.5 * (6 * 2^2) = 1.2 (kernel only, bias excluded)
+    # l1: 0.5 * 4 = 2.0; backbone not in any scope
+    assert float(fn(params)) == pytest.approx(1.2 + 2.0)
+    assert make_regularization_fn([]) is None
+    assert make_regularization_fn([("rpn", "l2_regularizer", 0.0)]) is None
+
+
+def test_regularization_loss_in_train_metrics():
+    from mtlx.detector.faster_rcnn import FasterRCNN, FasterRCNNConfig
+    from mtlx.train.train_step import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = FasterRCNNConfig(
+        num_classes=3, canvas_size=(64, 64), anchor_scales=(0.5, 1.0),
+        anchor_aspect_ratios=(1.0,), anchor_base_size=(32.0, 32.0),
+        rpn_depth=16, first_stage_pre_nms_top_k=16, first_stage_max_proposals=8,
+        first_stage_minibatch_size=16, second_stage_batch_size=8,
+        max_gt_boxes=4, dtype=jnp.float32,
+    )
+    model = FasterRCNN(cfg)
+    state = create_train_state(model, jax.random.PRNGKey(0), make_optimizer())
+    reg_fn = make_regularization_fn([("rpn", "l2_regularizer", 1e-3)])
+    step = jax.jit(make_train_step(model, regularization_fn=reg_fn))
+    batch = {
+        "image": jnp.zeros((1, 64, 64, 3)),
+        "true_shape": jnp.asarray([[64, 64]], jnp.int32),
+        "gt_boxes": jnp.asarray([[[8, 8, 40, 40], [0, 0, 0, 0],
+                                  [0, 0, 0, 0], [0, 0, 0, 0]]], jnp.float32),
+        "gt_classes": jnp.zeros((1, 4), jnp.int32),
+        "gt_mask": jnp.asarray([[True, False, False, False]]),
+    }
+    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    reg = float(metrics["Loss/regularization_loss"])
+    assert reg > 0
+    # the reg term is inside total_loss
+    parts = sum(float(v) for k, v in metrics.items() if k.startswith("Loss/"))
+    assert float(metrics["total_loss"]) == pytest.approx(parts, rel=1e-5)
+
+
+# ---------------- EMA (use_moving_average) ----------------
+
+
+def test_optimizer_builder_returns_ema_decay():
+    opt = pipeline_pb2.Optimizer()
+    text_format.Parse(
+        "momentum_optimizer { learning_rate { constant_learning_rate "
+        "{ learning_rate: 0.01 } } } use_moving_average: true "
+        "moving_average_decay: 0.99",
+        opt,
+    )
+    _, _, decay = optimizer_builder.build(opt)
+    assert decay == pytest.approx(0.99)
+    opt.use_moving_average = False
+    _, _, decay = optimizer_builder.build(opt)
+    assert decay is None
+
+
+def test_ema_updates_in_train_step():
+    from mtlx.detector.faster_rcnn import FasterRCNN, FasterRCNNConfig
+    from mtlx.train.train_step import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = FasterRCNNConfig(
+        num_classes=3, canvas_size=(64, 64), anchor_scales=(0.5, 1.0),
+        anchor_aspect_ratios=(1.0,), anchor_base_size=(32.0, 32.0),
+        rpn_depth=16, first_stage_pre_nms_top_k=16, first_stage_max_proposals=8,
+        first_stage_minibatch_size=16, second_stage_batch_size=8,
+        max_gt_boxes=4, dtype=jnp.float32,
+    )
+    model = FasterRCNN(cfg)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), make_optimizer(learning_rate=0.05),
+        keep_ema=True,
+    )
+    old_params = jax.device_get(state.params)
+    step = jax.jit(make_train_step(model, ema_decay=0.5))
+    batch = {
+        "image": jnp.full((1, 64, 64, 3), 128.0),
+        "true_shape": jnp.asarray([[64, 64]], jnp.int32),
+        "gt_boxes": jnp.asarray([[[8, 8, 40, 40], [0, 0, 0, 0],
+                                  [0, 0, 0, 0], [0, 0, 0, 0]]], jnp.float32),
+        "gt_classes": jnp.zeros((1, 4), jnp.int32),
+        "gt_mask": jnp.asarray([[True, False, False, False]]),
+    }
+    new_state, _ = step(state, batch, jax.random.PRNGKey(1))
+    # ema = 0.5*old + 0.5*new, elementwise, on a leaf that moved
+    leaf_old = old_params["rpn"]["conv"]["kernel"]
+    leaf_new = np.asarray(new_state.params["rpn"]["conv"]["kernel"])
+    leaf_ema = np.asarray(new_state.ema_params["rpn"]["conv"]["kernel"])
+    np.testing.assert_allclose(leaf_ema, 0.5 * leaf_old + 0.5 * leaf_new,
+                               rtol=1e-5, atol=1e-7)
+    assert not np.allclose(leaf_ema, leaf_new)
+
+
+# ---------------- RPN kernel size + initializer ----------------
+
+
+def test_rpn_kernel_size_and_initializer_reach_head():
+    extra = """
+    first_stage_box_predictor_kernel_size: 5
+    first_stage_box_predictor_depth: 16
+    first_stage_box_predictor_conv_hyperparams {
+      initializer { truncated_normal_initializer { stddev: 0.01 } }
+    }
+    """
+    model = model_builder.build(_model_proto(extra=extra), is_training=True)
+    assert model.cfg.rpn_kernel_size == 5
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    kernel = np.asarray(variables["params"]["rpn"]["conv"]["kernel"])
+    assert kernel.shape[:2] == (5, 5)
+    # truncated_normal(0.01) -> tiny std; flax default lecun_normal would be
+    # ~sqrt(1/fan_in) >> 0.02
+    assert 0.001 < kernel.std() < 0.02
+
+
+def test_fc_initializer_reaches_box_predictor():
+    predictor = """
+      fc_hyperparams {
+        initializer { truncated_normal_initializer { stddev: 0.001 } }
+      }
+    """
+    model = model_builder.build(_model_proto(predictor=predictor), True)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    kernel = np.asarray(
+        variables["params"]["box_predictor"]["class_logits"]["kernel"]
+    )
+    assert kernel.std() < 0.002

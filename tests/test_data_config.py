@@ -174,7 +174,7 @@ def test_optimizer_builder():
     from mtlx.builders import optimizer_builder
 
     configs = _parse(MINI_CONFIG)
-    tx, lr = optimizer_builder.build(
+    tx, lr, _ = optimizer_builder.build(
         configs["train_config"].optimizer, configs["train_config"]
     )
     assert callable(lr)
