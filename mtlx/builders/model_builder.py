@@ -264,6 +264,9 @@ def _build_faster_rcnn(fr, is_training: bool, max_gt_boxes: int, dtype):
         score_converter=score_converter,
         predict_instance_masks=predict_masks,
         mask_prediction_conv_depth=mask_depth,
+        second_stage_mask_prediction_loss_weight=(
+            fr.second_stage_mask_prediction_loss_weight
+        ),
         hard_example_miner=miner_cfg,
         batch_norm_trainable=fr.feature_extractor.batch_norm_trainable,
         number_of_stages=fr.number_of_stages,

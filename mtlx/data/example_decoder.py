@@ -25,6 +25,7 @@ class InputDataFields:
     groundtruth_classes = "groundtruth_classes"
     groundtruth_difficult = "groundtruth_difficult"
     groundtruth_truncated = "groundtruth_truncated"
+    groundtruth_instance_masks = "groundtruth_instance_masks"
     original_shape = "original_shape"
 
 
@@ -64,9 +65,12 @@ def build_example(
     difficult=None,
     truncated=None,
     poses=None,
+    instance_masks=None,  # optional [N] list of [h, w] 0/1 arrays
 ) -> example_pb2.Example:
     """Serialize one image + annotations with the reference's feature keys
-    (SURVEY.md §4.5 create_pascal_tf_record schema)."""
+    (SURVEY.md §4.5 create_pascal_tf_record schema). Instance masks are
+    stored as per-instance PNG bytes under `image/object/mask` (the OD-API
+    PNG-masks wire format)."""
     n = len(class_labels)
     difficult = difficult if difficult is not None else [0] * n
     truncated = truncated if truncated is not None else [0] * n
@@ -91,6 +95,16 @@ def build_example(
         fmap["image/object/difficult"].CopyFrom(int64_list_feature(difficult))
         fmap["image/object/truncated"].CopyFrom(int64_list_feature(truncated))
         fmap["image/object/view"].CopyFrom(bytes_list_feature(poses))
+        if instance_masks is not None:
+            from PIL import Image
+
+            blobs = []
+            for m in instance_masks:
+                buf = io.BytesIO()
+                arr = (np.asarray(m) > 0).astype(np.uint8) * 255
+                Image.fromarray(arr, mode="L").save(buf, format="PNG")
+                blobs.append(buf.getvalue())
+            fmap["image/object/mask"].CopyFrom(bytes_list_feature(blobs))
     return ex
 
 
@@ -102,11 +116,15 @@ def _ints(fmap, key):
     return np.asarray(fmap[key].int64_list.value, np.int64) if key in fmap else np.zeros((0,), np.int64)
 
 
-def decode_example(serialized: bytes, decode_image: bool = True) -> Dict:
+def decode_example(serialized: bytes, decode_image: bool = True,
+                   load_instance_masks: bool = False) -> Dict:
     """Parse one serialized Example -> InputDataFields dict (numpy).
 
     groundtruth_classes are returned 1-based as stored (the loader shifts
     to 0-based); the image is decoded with PIL when decode_image=True.
+    load_instance_masks decodes `image/object/mask` PNGs into a
+    [N, h, w] float32 0/1 array (reference input_reader
+    load_instance_masks).
     """
     ex = example_pb2.Example()
     ex.ParseFromString(serialized)
@@ -137,4 +155,16 @@ def decode_example(serialized: bytes, decode_image: bool = True) -> Dict:
         raw = fmap["image/encoded"].bytes_list.value[0]
         img = Image.open(io.BytesIO(raw))
         out[InputDataFields.image] = np.asarray(img.convert("RGB"), np.uint8)
+    if load_instance_masks and "image/object/mask" in fmap:
+        from PIL import Image
+
+        masks = [
+            (np.asarray(Image.open(io.BytesIO(b)).convert("L")) > 0).astype(
+                np.float32
+            )
+            for b in fmap["image/object/mask"].bytes_list.value
+        ]
+        out[InputDataFields.groundtruth_instance_masks] = (
+            np.stack(masks) if masks else np.zeros((0, 1, 1), np.float32)
+        )
     return out

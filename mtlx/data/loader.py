@@ -63,11 +63,20 @@ class DetectionDataset:
         process_index: int = 0,
         process_count: int = 1,
         keep_difficult: bool = True,
+        load_instance_masks: bool = False,
+        mask_stride: int = 8,
     ):
         self.canvas_size = canvas_size
         self.resizer = resizer
         self.max_boxes = max_boxes
         self.keep_difficult = keep_difficult
+        # instance masks are carried at canvas/mask_stride resolution —
+        # dense full-canvas masks per instance would dominate host->device
+        # traffic; the mask loss crops+resizes to the prediction resolution
+        # anyway (deviation from the reference's full-resolution masks,
+        # documented in detector/faster_rcnn.py mask loss)
+        self.load_instance_masks = load_instance_masks
+        self.mask_stride = mask_stride
         self._files: List[Tuple[str, int]] = []
         for path in input_paths:
             for off in tfrecord.record_index(path):
@@ -89,14 +98,19 @@ class DetectionDataset:
 
     def get(self, i: int) -> Dict[str, np.ndarray]:
         """One canvas-shaped sample (numpy)."""
-        ex = decode_example(self._read(i))
+        ex = decode_example(
+            self._read(i), load_instance_masks=self.load_instance_masks
+        )
         image = ex[InputDataFields.image]
         boxes_norm = ex[InputDataFields.groundtruth_boxes]
         classes = ex[InputDataFields.groundtruth_classes].astype(np.int32) - 1
         difficult = ex[InputDataFields.groundtruth_difficult]
+        inst_masks = ex.get(InputDataFields.groundtruth_instance_masks)
         if not self.keep_difficult and len(difficult) == len(classes):
             keep = difficult == 0
             boxes_norm, classes = boxes_norm[keep], classes[keep]
+            if inst_masks is not None and len(inst_masks):
+                inst_masks = inst_masks[keep]
 
         h0, w0 = image.shape[:2]
         kind, params = self.resizer
@@ -117,6 +131,24 @@ class DetectionDataset:
         n = len(boxes_abs)
         mask = np.zeros((self.max_boxes,), bool)
         mask[: min(n, self.max_boxes)] = True
+        gt_inst = None
+        if self.load_instance_masks:
+            from PIL import Image
+
+            ms = self.mask_stride
+            mch, mcw = ch // ms, cw // ms
+            gt_inst = np.zeros((self.max_boxes, mch, mcw), np.uint8)
+            if inst_masks is not None:
+                # resize each instance mask with the image, paste on the
+                # canvas, downsample to the reduced mask canvas
+                mth, mtw = max(1, round(th / ms)), max(1, round(tw / ms))
+                for k in range(min(len(inst_masks), self.max_boxes)):
+                    small = np.asarray(
+                        Image.fromarray(
+                            (inst_masks[k] > 0.5).astype(np.uint8) * 255, "L"
+                        ).resize((min(mtw, mcw), min(mth, mch)), Image.BILINEAR)
+                    )
+                    gt_inst[k, : small.shape[0], : small.shape[1]] = small > 127
         return {
             "image": canvas,
             "true_shape": np.asarray([th, tw], np.int32),
@@ -130,6 +162,7 @@ class DetectionDataset:
             ),
             "gt_mask": mask,
             "source_id": ex.get(InputDataFields.source_id, str(i)),
+            **({"gt_instance_masks": gt_inst} if gt_inst is not None else {}),
         }
 
 

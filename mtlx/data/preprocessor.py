@@ -40,7 +40,8 @@ def _split(rng, n=2):
 
 
 def random_horizontal_flip(rng, sample, probability: float = 0.5):
-    """Mirror the true-image region and its boxes with prob 0.5."""
+    """Mirror the true-image region, its boxes (and instance masks, when
+    present) with prob 0.5."""
     do = jax.random.bernoulli(rng, probability)
     img = sample["image"]
     w = sample["true_shape"][1]
@@ -56,6 +57,13 @@ def random_horizontal_flip(rng, sample, probability: float = 0.5):
     out = dict(sample)
     out["image"] = jnp.where(do, flipped, img)
     out["boxes"] = jnp.where(do, fboxes, boxes)
+    if "instance_masks" in sample:
+        m = sample["instance_masks"]  # [G, gh, gw] at canvas/stride res
+        stride = width // m.shape[2]
+        wm = jnp.round(w / stride).astype(jnp.int32)
+        mcols = jnp.arange(m.shape[2])
+        msrc = jnp.where(mcols < wm, wm - 1 - mcols, mcols)
+        out["instance_masks"] = jnp.where(do, jnp.take(m, msrc, axis=2), m)
     return out
 
 
@@ -74,6 +82,13 @@ def random_vertical_flip(rng, sample, probability: float = 0.5):
     out = dict(sample)
     out["image"] = jnp.where(do, flipped, img)
     out["boxes"] = jnp.where(do, fboxes, boxes)
+    if "instance_masks" in sample:
+        m = sample["instance_masks"]
+        stride = img.shape[0] // m.shape[1]
+        hm = jnp.round(h / stride).astype(jnp.int32)
+        mrows = jnp.arange(m.shape[1])
+        msrc = jnp.where(mrows < hm, hm - 1 - mrows, mrows)
+        out["instance_masks"] = jnp.where(do, jnp.take(m, msrc, axis=1), m)
     return out
 
 
@@ -542,6 +557,29 @@ TRANSFORMS: Dict[str, Callable] = {
     "random_black_patches": random_black_patches,
     "subtract_channel_mean": subtract_channel_mean,
 }
+
+
+# Transforms that correctly handle `instance_masks` in the sample:
+# geometric ops that mirror them alongside the image, plus all photometric
+# / box-only ops (which leave masks untouched by design). Crop/scale/
+# rotate-family ops do NOT transform masks yet — the augment wrapper
+# refuses them when masks are loaded rather than silently corrupting
+# targets.
+MASK_SAFE_TRANSFORMS = frozenset({
+    "normalize_image",
+    "random_horizontal_flip",
+    "random_vertical_flip",
+    "random_pixel_value_scale",
+    "random_rgb_to_gray",
+    "random_adjust_brightness",
+    "random_adjust_contrast",
+    "random_adjust_hue",
+    "random_adjust_saturation",
+    "random_distort_color",
+    "random_jitter_boxes",
+    "scale_boxes_to_pixel_coordinates",
+    "subtract_channel_mean",
+})
 
 
 def preprocess(rng, sample, options: List[Tuple[str, dict]]):

@@ -108,6 +108,7 @@ class FasterRCNNConfig:
     score_converter: str = "softmax"
     predict_instance_masks: bool = False  # MaskRCNN optional mask branch
     mask_prediction_conv_depth: int = 256
+    second_stage_mask_prediction_loss_weight: float = 1.0
     # first_stage_box_predictor_kernel_size + conv_hyperparams initializer
     # (reference faster_rcnn.proto fields 8/9); None initializer = flax
     # default (lecun_normal)
@@ -597,6 +598,12 @@ class FasterRCNN:
             out["total_loss"] = sum(v for k, v in out.items() if k.startswith("Loss/"))
             return out
         out.update(self._second_stage_loss(pred, groundtruth))
+        if (
+            c.predict_instance_masks
+            and "mask_predictions" in pred
+            and "instance_masks" in groundtruth
+        ):
+            out.update(self._mask_loss(pred, groundtruth))
         if c.mtl.any:
             out.update(self._aux_loss(pred, groundtruth))
         out["total_loss"] = sum(
@@ -697,6 +704,59 @@ class FasterRCNN:
             * c.second_stage_classification_loss_weight,
             "Loss/BoxClassifierLoss/localization_loss": jnp.mean(loc_l)
             * c.second_stage_localization_loss_weight,
+        }
+
+    def _mask_loss(self, pred, gt: GroundTruth):
+        """Per-proposal instance-mask loss (reference MaskRCNN predictor
+        mask path, [U] core/box_predictor.py; SURVEY.md §3.1 box_predictor
+        row). Groundtruth masks arrive at a reduced canvas resolution
+        (data/loader.py mask_stride — a documented deviation from the
+        reference's full-resolution masks); each positive proposal's target
+        is the matched instance's mask crop+resized to the prediction
+        resolution (tf.image.crop_and_resize soft values), compared against
+        the matched class's mask logits with sigmoid cross-entropy,
+        averaged over pixels and positive proposals."""
+        c = self.cfg
+        mask_pred = pred["mask_predictions"]  # [B, P, mh, mw, K]
+        gt_masks = gt["instance_masks"].astype(jnp.float32)  # [B, G, gh, gw]
+        canvas = jnp.asarray(
+            [c.canvas_size[0], c.canvas_size[1], c.canvas_size[0], c.canvas_size[1]],
+            jnp.float32,
+        )
+        mh, mw = mask_pred.shape[2:4]
+
+        def per_image(props, pmask, mpred, gt_boxes, gt_classes, gt_mask, gmasks):
+            res = self._detection_assigner.assign(props, gt_boxes, gt_mask=gt_mask)
+            pos = ((res.match >= 0) & pmask).astype(jnp.float32)
+            midx = jnp.clip(res.match, 0, gmasks.shape[0] - 1)
+            sel = jnp.take(gmasks, midx, axis=0)  # [P, gh, gw]
+            nboxes = props / canvas
+            crops = jax.vmap(
+                lambda m, bx: roi_lib.crop_and_resize_mxu(
+                    m[..., None], bx[None, :], (mh, mw)
+                )[0, ..., 0]
+            )(sel, nboxes)
+            target = jax.lax.stop_gradient(crops)
+            cls = jnp.clip(jnp.take(gt_classes, midx, axis=0), 0, c.num_classes - 1)
+            logit = jnp.take_along_axis(
+                mpred, cls[:, None, None, None], axis=-1
+            )[..., 0]
+            ce = loss_lib.sigmoid_cross_entropy(logit, target)
+            per_prop = jnp.mean(ce, axis=(1, 2))
+            return jnp.sum(per_prop * pos) / jnp.maximum(jnp.sum(pos), 1.0)
+
+        loss = jax.vmap(per_image)(
+            pred["proposal_boxes"],
+            pred["proposal_mask"],
+            mask_pred,
+            gt["boxes"],
+            gt["classes"],
+            gt["mask"],
+            gt_masks,
+        )
+        return {
+            "Loss/BoxClassifierLoss/mask_loss": jnp.mean(loss)
+            * c.second_stage_mask_prediction_loss_weight
         }
 
     def _aux_loss(self, pred, gt: GroundTruth):

@@ -47,11 +47,25 @@ def make_augmented_batch_fn(aug_options):
             "mask": batch["gt_mask"],
             "true_shape": batch["true_shape"],
         }
+        has_inst = "gt_instance_masks" in batch
+        if has_inst:
+            unsafe = [n for n, _ in aug_options
+                      if n not in prep.MASK_SAFE_TRANSFORMS]
+            if unsafe:
+                raise ValueError(
+                    "instance masks are loaded but these augmentations do "
+                    f"not transform them: {unsafe} — remove them or disable "
+                    "load_instance_masks"
+                )
+            sample["instance_masks"] = batch["gt_instance_masks"]
         out = prep.batch_preprocess(aug_rng, sample, aug_options)
-        return dict(
+        new = dict(
             batch, image=out["image"], gt_boxes=out["boxes"], gt_mask=out["mask"],
             true_shape=out["true_shape"],
         )
+        if has_inst:
+            new["gt_instance_masks"] = out["instance_masks"]
+        return new
 
     return augment
 
@@ -148,6 +162,10 @@ def main(argv=None):
         max_boxes=model.cfg.max_gt_boxes,
         process_index=jax.process_index(),
         process_count=jax.process_count(),
+        load_instance_masks=(
+            input_config.load_instance_masks
+            and getattr(model.cfg, "predict_instance_masks", False)
+        ),
     )
     print(f"[train] {len(dataset)} examples, batch {batch_size}, "
           f"canvas {model.cfg.canvas_size}, {num_steps} steps", flush=True)

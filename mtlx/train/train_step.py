@@ -138,6 +138,8 @@ def make_train_step(
             "classes": batch["gt_classes"],
             "mask": batch["gt_mask"],
         }
+        if "gt_instance_masks" in batch:
+            gt["instance_masks"] = batch["gt_instance_masks"]
         images = model.preprocess(batch["image"].astype(jnp.float32))
 
         def loss_fn(params):
