@@ -83,11 +83,10 @@ def argmax_match(
         row_has_signal = jnp.max(sim, axis=1) > _NEG / 2
         claims = claims * row_has_signal.astype(jnp.int32)[:, None]
         any_claim = jnp.max(claims, axis=0) > 0  # [C]
-        # If several rows claim one column, the highest row index wins —
-        # matches the reference's argmax-over-rows-of-one-hot tiebreak.
-        claiming_row = jnp.argmax(
-            claims * jnp.arange(1, num_rows + 1, dtype=jnp.int32)[:, None], axis=0
-        )
+        # If several rows claim one column, the LOWEST row index wins:
+        # tf.argmax over the one-hot claims returns the first maximal row,
+        # and jnp.argmax has the same first-occurrence tiebreak.
+        claiming_row = jnp.argmax(claims, axis=0)
         matches = jnp.where(any_claim, claiming_row, matches)
     return matches.astype(jnp.int32)
 

@@ -5,6 +5,7 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 #include <stdint.h>
+#include <string.h>  /* memcpy */
 
 static uint32_t table[8][256];
 static int table_ready = 0;

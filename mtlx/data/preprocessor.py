@@ -113,26 +113,60 @@ def random_crop_image(
     max_area: float = 1.0,
     overlap_thresh: float = 0.3,
     random_coef: float = 0.0,
+    num_attempts: int = 8,
 ):
     """Sample a crop window inside the true image; resample it onto the
     full canvas (static shape). Boxes are clipped to the window; boxes
     whose IoA with the window falls below overlap_thresh are masked out.
-    With prob `random_coef` the image is kept unchanged."""
-    rng_keep, rng_area, rng_aspect, rng_y, rng_x = jax.random.split(rng, 5)
+    With prob `random_coef` the image is kept unchanged.
+
+    min_object_covered follows tf.image.sample_distorted_bounding_box: the
+    window must contain at least that fraction of SOME groundtruth box.
+    `num_attempts` candidate windows are drawn and the first satisfying one
+    is used; if none qualifies the image is kept unchanged (TF's
+    max_attempts fallback)."""
+    rng_keep, rng_windows = jax.random.split(rng)
     keep_original = jax.random.bernoulli(rng_keep, random_coef)
 
     th = sample["true_shape"][0].astype(jnp.float32)
     tw = sample["true_shape"][1].astype(jnp.float32)
-    area_frac = jax.random.uniform(rng_area, minval=min_area, maxval=max_area)
-    aspect = jax.random.uniform(rng_aspect, minval=min_aspect_ratio, maxval=max_aspect_ratio)
-    # window h*w = area_frac * th * tw, w/h = aspect * (tw/th)-neutral form
-    ch = jnp.sqrt(area_frac * th * tw / aspect)
-    cw = ch * aspect
-    ch = jnp.minimum(ch, th)
-    cw = jnp.minimum(cw, tw)
-    y0 = jax.random.uniform(rng_y) * (th - ch)
-    x0 = jax.random.uniform(rng_x) * (tw - cw)
-    window = jnp.stack([y0, x0, y0 + ch, x0 + cw])
+
+    def sample_window(key):
+        rng_area, rng_aspect, rng_y, rng_x = jax.random.split(key, 4)
+        area_frac = jax.random.uniform(rng_area, minval=min_area, maxval=max_area)
+        aspect = jax.random.uniform(
+            rng_aspect, minval=min_aspect_ratio, maxval=max_aspect_ratio
+        )
+        # window h*w = area_frac * th * tw, w/h = aspect * (tw/th)-neutral
+        h = jnp.sqrt(area_frac * th * tw / aspect)
+        w = h * aspect
+        h = jnp.minimum(h, th)
+        w = jnp.minimum(w, tw)
+        y = jax.random.uniform(rng_y) * (th - h)
+        x = jax.random.uniform(rng_x) * (tw - w)
+        return jnp.stack([y, x, y + h, x + w])
+
+    windows = jax.vmap(sample_window)(
+        jax.random.split(rng_windows, num_attempts)
+    )  # [K, 4]
+    gt_mask = sample["mask"]
+    if min_object_covered > 0.0:
+        cover = jax.vmap(
+            lambda w: box_ops.ioa(w[None, :], sample["boxes"])[0]
+        )(windows)  # [K, G] fraction of each box inside each window
+        satisfied = jnp.any(
+            (cover >= min_object_covered) & gt_mask[None, :], axis=1
+        )
+        # vacuous when there is no groundtruth (TF uses the whole image as
+        # the implicit box)
+        satisfied = satisfied | ~jnp.any(gt_mask)
+    else:
+        satisfied = jnp.ones((num_attempts,), bool)
+    first = jnp.argmax(satisfied)
+    keep_original = keep_original | ~jnp.any(satisfied)
+    window = windows[first]
+    y0, x0 = window[0], window[1]
+    ch, cw = window[2] - window[0], window[3] - window[1]
 
     img = sample["image"]
     canvas_h, canvas_w = img.shape[0], img.shape[1]
@@ -286,9 +320,11 @@ def random_pad_image(rng, sample, min_image_height=0, min_image_width=0,
 
 def random_crop_to_aspect_ratio(rng, sample, aspect_ratio: float = 1.0,
                                 overlap_thresh: float = 0.3):
-    """Crop the true region to the target aspect ratio (max area crop)."""
+    """Crop the true region to the target aspect ratio (max area crop).
+    No coverage constraint — the reference center-crops unconditionally."""
     return random_crop_image(
         rng, sample,
+        min_object_covered=0.0,
         min_aspect_ratio=aspect_ratio, max_aspect_ratio=aspect_ratio,
         min_area=0.95, max_area=1.0, overlap_thresh=overlap_thresh,
     )
@@ -321,7 +357,8 @@ def ssd_random_crop_fixed_aspect_ratio(rng, sample, operations=(),
     def make_branch(thresh):
         def fn(s):
             return random_crop_image(
-                rng_crop, s, min_aspect_ratio=aspect_ratio,
+                rng_crop, s, min_object_covered=thresh,
+                min_aspect_ratio=aspect_ratio,
                 max_aspect_ratio=aspect_ratio, min_area=0.1, max_area=1.0,
                 overlap_thresh=thresh,
             )
@@ -510,8 +547,14 @@ def ssd_random_crop(rng, sample, operations=()):
 
     def make_branch(thresh):
         def fn(s):
+            # the per-branch value constrains window SAMPLING
+            # (min_object_covered, as in the SSD paper / reference) and is
+            # also the post-hoc IoA keep threshold (the reference pairs
+            # min_object_covered with overlap_thresh of the same value)
             return random_crop_image(
                 rng_crop, s,
+                min_object_covered=thresh,
+                min_aspect_ratio=0.5, max_aspect_ratio=2.0,
                 min_area=0.1, max_area=1.0,
                 overlap_thresh=thresh, random_coef=0.0,
             )

@@ -138,7 +138,12 @@ def hard_example_mining_mask(
         is_pos = is_pos_sorted[i]
         neg_ok = True
         if max_neg_per_pos > 0:
-            allowed = config.min_negatives_per_image + max_neg_per_pos * num_pos
+            # reference bound: max(min_negatives_per_image, ratio * num_pos)
+            # — NOT the sum, which would admit extra negatives whenever both
+            # terms are nonzero
+            allowed = jnp.maximum(
+                config.min_negatives_per_image, max_neg_per_pos * num_pos
+            )
             neg_ok = is_pos | (num_neg < allowed)
         take = (
             (num_kept < config.num_hard_examples)

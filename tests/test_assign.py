@@ -39,6 +39,22 @@ def test_argmax_matcher_force_match():
     assert m.tolist() == [0, 1, -1]
 
 
+def test_argmax_matcher_force_match_tiebreak_lowest_row():
+    # both rows' best column is col 0 -> tf.argmax over the one-hot claims
+    # returns the FIRST (lowest) row
+    sim = jnp.asarray(
+        [
+            [0.25, 0.1],
+            [0.25, 0.1],
+        ]
+    )
+    m = matcher.argmax_match(
+        sim, matched_threshold=0.5, unmatched_threshold=0.3,
+        force_match_for_each_row=True,
+    )
+    assert m.tolist()[0] == 0
+
+
 def test_argmax_matcher_padded_rows_never_match():
     sim = jnp.asarray([[0.9, 0.9], [0.95, 0.95]])
     mask = jnp.asarray([True, False])

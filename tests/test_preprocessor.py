@@ -96,6 +96,45 @@ def test_random_crop_masks_uncovered_boxes():
     assert np.isfinite(b).all()
 
 
+def test_random_crop_min_object_covered_falls_back_to_identity():
+    # one huge box; windows of <=40% area can never cover it fully, so
+    # min_object_covered=1.0 must keep the image unchanged (TF
+    # sample_distorted_bounding_box max_attempts fallback)
+    s = make_sample(h=64, w=64)
+    s["boxes"] = jnp.asarray([[0.0, 0.0, 64.0, 64.0]])
+    s["mask"] = jnp.asarray([True])
+    s["classes"] = jnp.asarray([0])
+    for seed in range(4):
+        out = preprocessor.random_crop_image(
+            jax.random.PRNGKey(seed), s,
+            min_object_covered=1.0, min_area=0.2, max_area=0.4,
+        )
+        np.testing.assert_array_equal(out["image"], s["image"])
+        np.testing.assert_array_equal(out["boxes"], s["boxes"])
+
+
+def test_random_crop_min_object_covered_keeps_a_box_covered():
+    # a tiny box: any satisfying window must contain >=90% of it
+    s = make_sample(h=64, w=64)
+    s["boxes"] = jnp.asarray([[28.0, 28.0, 36.0, 36.0]])
+    s["mask"] = jnp.asarray([True])
+    s["classes"] = jnp.asarray([0])
+    from mtlx.geometry import np_box_ops
+
+    for seed in range(6):
+        out = preprocessor.random_crop_image(
+            jax.random.PRNGKey(seed), s,
+            min_object_covered=0.9, min_area=0.3, max_area=0.6,
+            overlap_thresh=0.0,
+        )
+        if np.array_equal(np.asarray(out["image"]), np.asarray(s["image"])):
+            continue  # identity fallback is allowed
+        # the surviving box must retain ~full area in the crop frame
+        b = np.asarray(out["boxes"])[0]
+        area = max(b[2] - b[0], 0) * max(b[3] - b[1], 0)
+        assert area > 0  # box survived the crop with positive area
+
+
 def test_batch_preprocess_and_dispatcher():
     batch = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), make_sample(), make_sample()
