@@ -33,6 +33,30 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def build_evaluators(eval_config, categories):
+    """metrics_set names -> evaluator list (reference eval_util dispatch,
+    SURVEY.md §3.7; default is the Pascal VOC evaluator)."""
+    from mtlx.eval.coco_evaluation import CocoDetectionEvaluator
+    from mtlx.eval.object_detection_evaluation import (
+        PascalDetectionEvaluator,
+        WeightedPascalDetectionEvaluator,
+    )
+
+    names = list(eval_config.metrics_set) or ["pascal_voc_detection_metrics"]
+    evaluators = []
+    for name in names:
+        if name in ("pascal_voc_detection_metrics", "pascal_voc_metrics"):
+            evaluators.append(PascalDetectionEvaluator(categories))
+        elif name in ("weighted_pascal_voc_detection_metrics",
+                      "weighted_pascal_voc_metrics"):
+            evaluators.append(WeightedPascalDetectionEvaluator(categories))
+        elif name == "coco_detection_metrics":
+            evaluators.append(CocoDetectionEvaluator(categories))
+        else:
+            raise ValueError(f"unknown eval_config.metrics_set entry {name!r}")
+    return evaluators
+
+
 def evaluate_checkpoint(model, state, dataset, eval_config, categories,
                         batch_size: int = 1, writer=None, step: int = 0):
     """One full evaluation pass; returns the metrics dict. The first
@@ -40,12 +64,11 @@ def evaluate_checkpoint(model, state, dataset, eval_config, categories,
     as TensorBoard image summaries (reference eval_util behavior)."""
     import jax
 
-    from mtlx.eval.object_detection_evaluation import PascalDetectionEvaluator
     from mtlx.train.train_step import make_eval_step
     from mtlx.utils import visualization_utils as viz
     from mtlx.utils.label_map_util import create_category_index
 
-    evaluator = PascalDetectionEvaluator(categories)
+    evaluators = build_evaluators(eval_config, categories)
     category_index = create_category_index(categories)
     num_viz = eval_config.num_visualizations if writer is not None else 0
     eval_step = jax.jit(make_eval_step(model))
@@ -72,25 +95,26 @@ def evaluate_checkpoint(model, state, dataset, eval_config, categories,
             gt_n = int(s["gt_mask"].sum())
             # evaluator works in absolute TRUE-image pixel coords
             gt_boxes = s["gt_boxes"][:gt_n]
-            evaluator.add_single_ground_truth_image_info(
-                s["source_id"],
-                {
-                    "groundtruth_boxes": gt_boxes,
-                    "groundtruth_classes": s["gt_classes"][:gt_n] + 1,
-                    "groundtruth_difficult": s["gt_difficult"][:gt_n].astype(bool),
-                },
-            )
+            gt_info = {
+                "groundtruth_boxes": gt_boxes,
+                "groundtruth_classes": s["gt_classes"][:gt_n] + 1,
+                "groundtruth_difficult": s["gt_difficult"][:gt_n].astype(bool),
+            }
             n_det = int(det["num_detections"][j])
             boxes_norm = det["detection_boxes"][j][:n_det]
             scale = np.asarray([th, tw, th, tw], np.float32)
-            evaluator.add_single_detected_image_info(
-                s["source_id"],
-                {
-                    "detection_boxes": boxes_norm * scale,
-                    "detection_scores": det["detection_scores"][j][:n_det],
-                    "detection_classes": det["detection_classes"][j][:n_det] + 1,
-                },
-            )
+            det_info = {
+                "detection_boxes": boxes_norm * scale,
+                "detection_scores": det["detection_scores"][j][:n_det],
+                "detection_classes": det["detection_classes"][j][:n_det] + 1,
+            }
+            for evaluator in evaluators:
+                evaluator.add_single_ground_truth_image_info(
+                    s["source_id"], gt_info
+                )
+                evaluator.add_single_detected_image_info(
+                    s["source_id"], det_info
+                )
             if done < num_viz:
                 image = np.array(s["image"][:th, :tw], np.uint8, copy=True)
                 viz.visualize_boxes_and_labels_on_image_array(
@@ -103,7 +127,9 @@ def evaluate_checkpoint(model, state, dataset, eval_config, categories,
                 )
                 writer.image(f"Detections_Left_Groundtruth_Right/{done}", image, step)
             done += 1
-    metrics = evaluator.evaluate()
+    metrics = {}
+    for evaluator in evaluators:
+        metrics.update(evaluator.evaluate())
     metrics["eval/images_per_sec"] = done / (time.time() - t0)
     if writer is not None:
         for k, v in metrics.items():

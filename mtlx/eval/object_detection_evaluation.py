@@ -147,3 +147,34 @@ class PascalDetectionEvaluator:
 
     def clear(self):
         self.__init__(self.categories, self.evaluation.per_image.iou_threshold)
+
+
+class WeightedPascalDetectionEvaluator(PascalDetectionEvaluator):
+    """Reference WeightedPascalDetectionEvaluator (use_weighted_mean_ap):
+    instead of averaging per-class APs, all classes' detections are pooled
+    into one precision/recall curve over the total groundtruth count —
+    classes contribute in proportion to their box counts."""
+
+    def evaluate(self) -> Dict[str, float]:
+        ev = self.evaluation
+        aps, _, _, _, _, _ = ev.evaluate()
+        all_scores, all_tp_fp = [], []
+        for cls in range(ev.num_classes):
+            if ev.scores_per_class[cls]:
+                all_scores.append(np.concatenate(ev.scores_per_class[cls]))
+                all_tp_fp.append(np.concatenate(ev.tp_fp_per_class[cls]))
+        total_gt = int(ev.num_gt_per_class.sum())
+        if all_scores and total_gt > 0:
+            scores = np.concatenate(all_scores)
+            tp_fp = np.concatenate(all_tp_fp).astype(np.float32)
+            p, r = metrics_lib.compute_precision_recall(scores, tp_fp, total_gt)
+            weighted_ap = float(metrics_lib.compute_average_precision(p, r))
+        else:
+            weighted_ap = float("nan")
+        out = {"WeightedPascalBoxes_Precision/mAP@0.5IOU": weighted_ap}
+        for cls_id, name in self._name.items():
+            ap = aps[cls_id - self._label_offset]
+            out[f"WeightedPascalBoxes_PerformanceByCategory/AP@0.5IOU/{name}"] = (
+                float(ap)
+            )
+        return out

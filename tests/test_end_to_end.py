@@ -51,7 +51,11 @@ train_input_reader {{
   tf_record_input_reader {{ input_path: "{record}" }}
   label_map_path: "{label_map}"
 }}
-eval_config {{ num_examples: 4 }}
+eval_config {{
+  num_examples: 4
+  metrics_set: "pascal_voc_detection_metrics"
+  metrics_set: "coco_detection_metrics"
+}}
 eval_input_reader {{
   tf_record_input_reader {{ input_path: "{record}" }}
   label_map_path: "{label_map}"
