@@ -83,22 +83,38 @@ def apply_norm(norm, x, train: bool):
 
 
 class Bottleneck(nn.Module):
-    """ResNet v1 bottleneck: 1x1 -> 3x3(stride) -> 1x1, post-activation."""
+    """ResNet v1 bottleneck: 1x1 -> 3x3(stride) -> 1x1, post-activation.
+
+    slim_padding selects slim resnet_utils.conv2d_same semantics for the
+    strided 3x3 conv — explicit symmetric (1,1) padding + VALID — instead
+    of TF/flax SAME's (0,1); needed for activation-exact parity with
+    converted slim checkpoints. Shortcut: 1x1 conv when the depth changes;
+    a parameterless subsample (slim's maxpool-1x1-stride) when only the
+    stride differs — slim has no shortcut weights in that case.
+    """
 
     depth: int  # output channels
     depth_bottleneck: int
     stride: int = 1
     dtype: Dtype = jnp.bfloat16
     bn_trainable: bool = False
+    slim_padding: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
         in_depth = x.shape[-1]
-        conv = lambda f, k, s, name: nn.Conv(
-            f, (k, k), strides=(s, s), padding="SAME", use_bias=False,
-            dtype=self.dtype, name=name,
-        )
+
+        def conv(f, k, s, name):
+            if k > 1 and s > 1 and self.slim_padding:
+                pad = [((k - 1) // 2, (k - 1) // 2)] * 2  # conv2d_same
+            else:
+                pad = "SAME"
+            return nn.Conv(
+                f, (k, k), strides=(s, s), padding=pad, use_bias=False,
+                dtype=self.dtype, name=name,
+            )
+
         bn = lambda v, name: apply_norm(
             make_norm(self.bn_trainable, self.dtype, name), v, train
         )
@@ -107,10 +123,12 @@ class Bottleneck(nn.Module):
         y = nn.relu(bn(conv(self.depth_bottleneck, 3, self.stride, "conv2")(y), "bn2"))
         y = bn(conv(self.depth, 1, 1, "conv3")(y), "bn3")
 
-        if in_depth != self.depth or self.stride != 1:
+        if in_depth != self.depth:
             residual = bn(
                 conv(self.depth, 1, self.stride, "conv_shortcut")(x), "bn_shortcut"
             )
+        elif self.stride != 1:
+            residual = x[:, :: self.stride, :: self.stride, :]
         return nn.relu(residual + y)
 
 
@@ -137,6 +155,7 @@ class ResNetStage(nn.Module):
                 stride=self.stride if i == stride_unit else 1,
                 dtype=self.dtype,
                 bn_trainable=self.bn_trainable,
+                slim_padding=self.slim_stride_order,
                 name=f"unit{i + 1}",
             )(x, train)
         return x
@@ -161,7 +180,10 @@ class ResNetProposalFeatures(nn.Module):
             dtype=self.dtype, name="conv1",
         )(x)
         x = nn.relu(apply_norm(make_norm(bt, self.dtype, "bn1"), x, train))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        # slim pools with TF SAME padding ((0,1) on even inputs); the
+        # default keeps the symmetric (1,1) used since round 1
+        pool_pad = "SAME" if so else [(1, 1), (1, 1)]
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=pool_pad)
         if so:
             # slim: blockN strides at its LAST unit (transition out)
             x = ResNetStage(sizes[0], 256, 2, self.dtype, bt, True, name="block1")(x, train)
@@ -180,12 +202,14 @@ class ResNetBoxClassifierFeatures(nn.Module):
     depth: int = 50
     dtype: Dtype = jnp.bfloat16
     bn_trainable: bool = False
+    slim_stride_order: bool = False  # stride 1 -> only affects unit naming parity
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         sizes = BLOCK_SIZES[self.depth]
         return ResNetStage(
-            sizes[3], 2048, 1, self.dtype, self.bn_trainable, name="block4"
+            sizes[3], 2048, 1, self.dtype, self.bn_trainable,
+            self.slim_stride_order, name="block4"
         )(x.astype(self.dtype), train)
 
 

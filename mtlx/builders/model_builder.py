@@ -269,6 +269,7 @@ def _build_faster_rcnn(fr, is_training: bool, max_gt_boxes: int, dtype):
         ),
         hard_example_miner=miner_cfg,
         batch_norm_trainable=fr.feature_extractor.batch_norm_trainable,
+        slim_stride_order=fr.feature_extractor.slim_stride_order,
         number_of_stages=fr.number_of_stages,
         max_gt_boxes=max_gt_boxes,
         dtype=dtype,

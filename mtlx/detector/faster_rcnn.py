@@ -120,6 +120,9 @@ class FasterRCNNConfig:
     hard_example_miner: Any = None  # loss_lib.HardExampleMinerConfig
     # misc
     batch_norm_trainable: bool = False  # feature_extractor.batch_norm_trainable
+    # feature_extractor.slim_stride_order: stride stages at the LAST unit
+    # (slim resnet_v1 convention) for parity with converted TF checkpoints
+    slim_stride_order: bool = False
     number_of_stages: int = 2  # 1 = RPN-only (reference number_of_stages)
     max_gt_boxes: int = 100
     dtype: Any = jnp.bfloat16
@@ -181,11 +184,11 @@ class FasterRCNNModules(nn.Module):
         depth = c.resnet_depth
         self.proposal_features = resnet.ResNetProposalFeatures(
             depth=depth, dtype=c.dtype, bn_trainable=c.batch_norm_trainable,
-            name="backbone",
+            slim_stride_order=c.slim_stride_order, name="backbone",
         )
         self.classifier_features = resnet.ResNetBoxClassifierFeatures(
             depth=depth, dtype=c.dtype, bn_trainable=c.batch_norm_trainable,
-            name="classifier_backbone",
+            slim_stride_order=c.slim_stride_order, name="classifier_backbone",
         )
         self._setup_heads()
 

@@ -1,0 +1,246 @@
+"""Checkpoint-conversion parity harness (SURVEY.md §8 hard-part 3): write
+a synthetic slim-style TF checkpoint with the real TensorFlow, convert it
+with tools/convert_checkpoint.py, and assert layer-wise numeric equality
+into the mtlx model, full backbone coverage, and a working forward."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+import convert_checkpoint  # noqa: E402
+
+BLOCK_SIZES = (3, 4, 6, 3)
+DEPTHS = (256, 512, 1024, 2048)
+
+
+def _slim_resnet50_vars(rng, num_classes=3, num_anchors=2, rpn_depth=16,
+                        with_heads=False):
+    """Variable name -> value for a slim resnet_v1_50 (classification) or a
+    TF-OD-API Faster R-CNN (detection) checkpoint."""
+    out = {}
+
+    def bn(prefix, c):
+        out[f"{prefix}/BatchNorm/gamma"] = rng.uniform(0.5, 1.5, (c,)).astype(np.float32)
+        out[f"{prefix}/BatchNorm/beta"] = rng.normal(0, 0.1, (c,)).astype(np.float32)
+        out[f"{prefix}/BatchNorm/moving_mean"] = rng.normal(0, 0.1, (c,)).astype(np.float32)
+        out[f"{prefix}/BatchNorm/moving_variance"] = rng.uniform(0.5, 1.5, (c,)).astype(np.float32)
+
+    out["resnet_v1_50/conv1/weights"] = rng.normal(0, 0.01, (7, 7, 3, 64)).astype(np.float32)
+    bn("resnet_v1_50/conv1", 64)
+    in_depth = 64
+    for b, (n, d) in enumerate(zip(BLOCK_SIZES, DEPTHS), start=1):
+        for u in range(1, n + 1):
+            base = f"resnet_v1_50/block{b}/unit_{u}/bottleneck_v1"
+            db = d // 4
+            unit_in = in_depth if u == 1 else d
+            out[f"{base}/conv1/weights"] = rng.normal(0, 0.01, (1, 1, unit_in, db)).astype(np.float32)
+            bn(f"{base}/conv1", db)
+            out[f"{base}/conv2/weights"] = rng.normal(0, 0.01, (3, 3, db, db)).astype(np.float32)
+            bn(f"{base}/conv2", db)
+            out[f"{base}/conv3/weights"] = rng.normal(0, 0.01, (1, 1, db, d)).astype(np.float32)
+            bn(f"{base}/conv3", d)
+            if u == 1:  # slim: conv shortcut only where the depth changes
+                out[f"{base}/shortcut/weights"] = rng.normal(0, 0.01, (1, 1, unit_in, d)).astype(np.float32)
+                bn(f"{base}/shortcut", d)
+        in_depth = d
+    if with_heads:
+        a, k = num_anchors, num_classes
+        out["Conv/weights"] = rng.normal(0, 0.01, (3, 3, 1024, rpn_depth)).astype(np.float32)
+        out["Conv/biases"] = np.zeros((rpn_depth,), np.float32)
+        out["FirstStageBoxPredictor/ClassPredictor/weights"] = rng.normal(
+            0, 0.01, (1, 1, rpn_depth, 2 * a)).astype(np.float32)
+        out["FirstStageBoxPredictor/ClassPredictor/biases"] = np.zeros((2 * a,), np.float32)
+        out["FirstStageBoxPredictor/BoxEncodingPredictor/weights"] = rng.normal(
+            0, 0.01, (1, 1, rpn_depth, 4 * a)).astype(np.float32)
+        out["FirstStageBoxPredictor/BoxEncodingPredictor/biases"] = np.zeros((4 * a,), np.float32)
+        out["SecondStageBoxPredictor/ClassPredictor/weights"] = rng.normal(
+            0, 0.01, (2048, k + 1)).astype(np.float32)
+        out["SecondStageBoxPredictor/ClassPredictor/biases"] = np.zeros((k + 1,), np.float32)
+        out["SecondStageBoxPredictor/BoxEncodingPredictor/weights"] = rng.normal(
+            0, 0.01, (2048, 4 * k)).astype(np.float32)
+        out["SecondStageBoxPredictor/BoxEncodingPredictor/biases"] = np.zeros((4 * k,), np.float32)
+    return out
+
+
+def _write_tf_checkpoint(var_values, path):
+    with tf.Graph().as_default():
+        tvars = {}
+        for name, val in var_values.items():
+            tvars[name] = tf.compat.v1.get_variable(
+                name, initializer=tf.constant(val)
+            )
+        saver = tf.compat.v1.train.Saver(var_list=tvars)
+        with tf.compat.v1.Session() as sess:
+            sess.run(tf.compat.v1.global_variables_initializer())
+            saver.save(sess, path, write_meta_graph=False)
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = v
+    return out
+
+
+def _tiny_model(slim=True):
+    import jax.numpy as jnp
+
+    from mtlx.detector.faster_rcnn import FasterRCNN, FasterRCNNConfig
+
+    return FasterRCNN(FasterRCNNConfig(
+        num_classes=3, canvas_size=(64, 64), backbone="resnet50",
+        anchor_scales=(0.5, 1.0), anchor_aspect_ratios=(1.0,),
+        anchor_base_size=(32.0, 32.0), rpn_depth=16,
+        first_stage_pre_nms_top_k=16, first_stage_max_proposals=8,
+        max_gt_boxes=4, dtype=jnp.float32, slim_stride_order=slim,
+    ))
+
+
+@pytest.fixture(scope="module")
+def converted(tmp_path_factory):
+    rng = np.random.RandomState(0)
+    values = _slim_resnet50_vars(rng, with_heads=True)
+    ckpt = str(tmp_path_factory.mktemp("tfckpt") / "model.ckpt")
+    _write_tf_checkpoint(values, ckpt)
+    variables, n_conv, n_skip = convert_checkpoint.convert(ckpt, "detection", 50)
+    return values, variables, n_conv, n_skip
+
+
+def test_every_tf_tensor_lands_exactly(converted):
+    values, variables, n_conv, n_skip = converted
+    assert n_skip == 0  # every synthetic tensor is mappable
+    assert n_conv == len(values)
+    flat = {**_flatten(variables["params"]), **_flatten(variables["batch_stats"])}
+    # spot-check exact numeric equality on representative leaves
+    np.testing.assert_array_equal(
+        flat[("backbone", "block2", "unit4", "conv2", "kernel")],
+        values["resnet_v1_50/block2/unit_4/bottleneck_v1/conv2/weights"],
+    )
+    np.testing.assert_array_equal(
+        flat[("classifier_backbone", "block4", "unit1", "conv_shortcut", "kernel")],
+        values["resnet_v1_50/block4/unit_1/bottleneck_v1/shortcut/weights"],
+    )
+    np.testing.assert_array_equal(
+        flat[("backbone", "bn1", "mean")],
+        values["resnet_v1_50/conv1/BatchNorm/moving_mean"],
+    )
+    np.testing.assert_array_equal(
+        flat[("rpn", "objectness", "kernel")],
+        values["FirstStageBoxPredictor/ClassPredictor/weights"],
+    )
+    np.testing.assert_array_equal(
+        flat[("box_predictor", "class_logits", "kernel")],
+        values["SecondStageBoxPredictor/ClassPredictor/weights"],
+    )
+
+
+def test_converted_covers_model_and_forward_runs(converted, tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from mtlx.train import checkpoints as ckpt_lib
+
+    _, variables, _, _ = converted
+    model = _tiny_model(slim=True)
+    init_vars = model.init_variables(jax.random.PRNGKey(0))
+
+    # layer-wise: every model backbone/head leaf is present in the
+    # conversion with the same shape (full coverage, nothing orphaned)
+    flat_model = {
+        ("params",) + k: v for k, v in _flatten(init_vars["params"]).items()
+    }
+    flat_model.update({
+        ("batch_stats",) + k: v
+        for k, v in _flatten(dict(init_vars.get("batch_stats", {}))).items()
+    }.items())
+    flat_conv = {
+        ("params",) + k: v for k, v in _flatten(variables["params"]).items()
+    }
+    flat_conv.update({
+        ("batch_stats",) + k: v
+        for k, v in _flatten(variables["batch_stats"]).items()
+    }.items())
+    missing = [
+        k for k in flat_model
+        if k not in flat_conv or flat_conv[k].shape != np.shape(flat_model[k])
+    ]
+    assert missing == [], f"unconverted model leaves: {missing[:10]}"
+
+    # round-trip through the warm-start path
+    path = str(tmp_path / "mtlx_ckpt")
+    ckpt_lib.save_variables(path, variables)
+    new_vars, restored, skipped = ckpt_lib.restore_warm_start(
+        {"params": init_vars["params"],
+         "batch_stats": init_vars.get("batch_stats", {})},
+        path, from_detection_checkpoint=True,
+    )
+    assert restored == len(flat_model)
+
+    # forward runs and differs from random init (weights actually loaded)
+    images = model.preprocess(jnp.full((1, 64, 64, 3), 64.0))
+    shapes = jnp.asarray([[64, 64]], jnp.int32)
+    out_conv = model.predict(new_vars, images, shapes, training=False)
+    out_init = model.predict(init_vars, images, shapes, training=False)
+    feats_c = np.asarray(out_conv["rpn_features"])
+    feats_i = np.asarray(out_init["rpn_features"])
+    assert np.isfinite(feats_c).all()
+    assert not np.allclose(feats_c, feats_i)
+
+
+def test_slim_stride_order_reaches_model_from_config():
+    from google.protobuf import text_format
+
+    from mtlx.builders import model_builder
+    from mtlx.config.protos import pipeline_pb2
+
+    proto = pipeline_pb2.DetectionModel()
+    text_format.Parse(
+        """
+        faster_rcnn {
+          num_classes: 3
+          image_resizer { fixed_shape_resizer { height: 64 width: 64 } }
+          feature_extractor {
+            type: 'faster_rcnn_resnet50'
+            slim_stride_order: true
+          }
+          first_stage_anchor_generator {
+            grid_anchor_generator {
+              scales: [0.5, 1.0] aspect_ratios: [1.0]
+              height: 32 width: 32 height_stride: 16 width_stride: 16
+            }
+          }
+          second_stage_post_processing {
+            batch_non_max_suppression {
+              score_threshold: 0.0 iou_threshold: 0.6
+              max_detections_per_class: 10 max_total_detections: 10
+            }
+            score_converter: SOFTMAX
+          }
+        }
+        """,
+        proto,
+    )
+    model = model_builder.build(proto, is_training=False)
+    assert model.cfg.slim_stride_order is True
+
+
+def test_slim_and_default_stride_orders_share_feature_shape():
+    import jax
+    import jax.numpy as jnp
+
+    for slim in (True, False):
+        model = _tiny_model(slim=slim)
+        variables = model.init_variables(jax.random.PRNGKey(0))
+        feats = model.modules.apply(
+            variables, jnp.zeros((1, 64, 64, 3)),
+            method=type(model.modules).features,
+        )
+        assert feats.shape == (1, 4, 4, 1024), (slim, feats.shape)
