@@ -227,4 +227,5 @@ def build_input_reader(proto, canvas_size, resizer, max_boxes=100,
         process_index=process_index,
         process_count=process_count,
         load_instance_masks=proto.load_instance_masks,
+        num_keypoints=proto.num_keypoints,
     )

@@ -26,6 +26,7 @@ class InputDataFields:
     groundtruth_difficult = "groundtruth_difficult"
     groundtruth_truncated = "groundtruth_truncated"
     groundtruth_instance_masks = "groundtruth_instance_masks"
+    groundtruth_keypoints = "groundtruth_keypoints"
     original_shape = "original_shape"
 
 
@@ -66,6 +67,7 @@ def build_example(
     truncated=None,
     poses=None,
     instance_masks=None,  # optional [N] list of [h, w] 0/1 arrays
+    keypoints=None,  # optional [N, P, 2] normalized (y, x)
 ) -> example_pb2.Example:
     """Serialize one image + annotations with the reference's feature keys
     (SURVEY.md §4.5 create_pascal_tf_record schema). Instance masks are
@@ -105,6 +107,14 @@ def build_example(
                 Image.fromarray(arr, mode="L").save(buf, format="PNG")
                 blobs.append(buf.getvalue())
             fmap["image/object/mask"].CopyFrom(bytes_list_feature(blobs))
+        if keypoints is not None:
+            kp = np.asarray(keypoints, np.float32)
+            fmap["image/object/keypoint/y"].CopyFrom(
+                float_list_feature(kp[..., 0].reshape(-1))
+            )
+            fmap["image/object/keypoint/x"].CopyFrom(
+                float_list_feature(kp[..., 1].reshape(-1))
+            )
     return ex
 
 
@@ -155,6 +165,14 @@ def decode_example(serialized: bytes, decode_image: bool = True,
         raw = fmap["image/encoded"].bytes_list.value[0]
         img = Image.open(io.BytesIO(raw))
         out[InputDataFields.image] = np.asarray(img.convert("RGB"), np.uint8)
+    ky = _floats(fmap, "image/object/keypoint/y")
+    if len(ky):
+        kx = _floats(fmap, "image/object/keypoint/x")
+        n = len(out[InputDataFields.groundtruth_classes])
+        p = len(ky) // max(n, 1)
+        out[InputDataFields.groundtruth_keypoints] = np.stack(
+            [ky, kx], axis=-1
+        ).reshape(n, p, 2)
     if load_instance_masks and "image/object/mask" in fmap:
         from PIL import Image
 

@@ -65,6 +65,7 @@ class DetectionDataset:
         keep_difficult: bool = True,
         load_instance_masks: bool = False,
         mask_stride: int = 8,
+        num_keypoints: int = 0,
     ):
         self.canvas_size = canvas_size
         self.resizer = resizer
@@ -77,6 +78,7 @@ class DetectionDataset:
         # documented in detector/faster_rcnn.py mask loss)
         self.load_instance_masks = load_instance_masks
         self.mask_stride = mask_stride
+        self.num_keypoints = num_keypoints
         self._files: List[Tuple[str, int]] = []
         for path in input_paths:
             for off in tfrecord.record_index(path):
@@ -106,11 +108,14 @@ class DetectionDataset:
         classes = ex[InputDataFields.groundtruth_classes].astype(np.int32) - 1
         difficult = ex[InputDataFields.groundtruth_difficult]
         inst_masks = ex.get(InputDataFields.groundtruth_instance_masks)
+        keypoints_norm = ex.get(InputDataFields.groundtruth_keypoints)
         if not self.keep_difficult and len(difficult) == len(classes):
             keep = difficult == 0
             boxes_norm, classes = boxes_norm[keep], classes[keep]
             if inst_masks is not None and len(inst_masks):
                 inst_masks = inst_masks[keep]
+            if keypoints_norm is not None and len(keypoints_norm):
+                keypoints_norm = keypoints_norm[keep]
 
         h0, w0 = image.shape[:2]
         kind, params = self.resizer
@@ -131,6 +136,16 @@ class DetectionDataset:
         n = len(boxes_abs)
         mask = np.zeros((self.max_boxes,), bool)
         mask[: min(n, self.max_boxes)] = True
+        gt_kp = None
+        if self.num_keypoints > 0:
+            p = self.num_keypoints
+            gt_kp = np.zeros((self.max_boxes, p, 2), np.float32)
+            if keypoints_norm is not None and keypoints_norm.size:
+                k = keypoints_norm[: self.max_boxes, :p]
+                # normalized -> absolute canvas pixels (same frame as boxes)
+                gt_kp[: k.shape[0], : k.shape[1]] = k * np.asarray(
+                    [th, tw], np.float32
+                )
         gt_inst = None
         if self.load_instance_masks:
             from PIL import Image
@@ -163,6 +178,7 @@ class DetectionDataset:
             "gt_mask": mask,
             "source_id": ex.get(InputDataFields.source_id, str(i)),
             **({"gt_instance_masks": gt_inst} if gt_inst is not None else {}),
+            **({"gt_keypoints": gt_kp} if gt_kp is not None else {}),
         }
 
 

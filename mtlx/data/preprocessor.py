@@ -26,7 +26,7 @@ from typing import Callable, Dict, List, Tuple
 import jax
 import jax.numpy as jnp
 
-from mtlx.geometry import box_ops
+from mtlx.geometry import box_ops, keypoint_ops
 from mtlx.ops import roi as roi_lib
 
 
@@ -64,6 +64,10 @@ def random_horizontal_flip(rng, sample, probability: float = 0.5):
         mcols = jnp.arange(m.shape[2])
         msrc = jnp.where(mcols < wm, wm - 1 - mcols, mcols)
         out["instance_masks"] = jnp.where(do, jnp.take(m, msrc, axis=2), m)
+    if "keypoints" in sample:
+        kp = sample["keypoints"]  # [G, P, 2] absolute canvas px
+        flipped_kp = keypoint_ops.flip_horizontal(kp, wf / 2.0)
+        out["keypoints"] = jnp.where(do, flipped_kp, kp)
     return out
 
 
@@ -89,6 +93,10 @@ def random_vertical_flip(rng, sample, probability: float = 0.5):
         mrows = jnp.arange(m.shape[1])
         msrc = jnp.where(mrows < hm, hm - 1 - mrows, mrows)
         out["instance_masks"] = jnp.where(do, jnp.take(m, msrc, axis=1), m)
+    if "keypoints" in sample:
+        kp = sample["keypoints"]
+        flipped_kp = keypoint_ops.flip_vertical(kp, hf / 2.0)
+        out["keypoints"] = jnp.where(do, flipped_kp, kp)
     return out
 
 
@@ -602,12 +610,12 @@ TRANSFORMS: Dict[str, Callable] = {
 }
 
 
-# Transforms that correctly handle `instance_masks` in the sample:
-# geometric ops that mirror them alongside the image, plus all photometric
-# / box-only ops (which leave masks untouched by design). Crop/scale/
-# rotate-family ops do NOT transform masks yet — the augment wrapper
-# refuses them when masks are loaded rather than silently corrupting
-# targets.
+# Transforms that correctly handle `instance_masks` / `keypoints` in the
+# sample: geometric ops that mirror them alongside the image, plus all
+# photometric / box-only ops (which leave them untouched by design).
+# Crop/scale/rotate-family ops do NOT transform them yet — the augment
+# wrapper refuses them when these annotations are loaded rather than
+# silently corrupting targets.
 MASK_SAFE_TRANSFORMS = frozenset({
     "normalize_image",
     "random_horizontal_flip",

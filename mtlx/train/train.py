@@ -48,16 +48,20 @@ def make_augmented_batch_fn(aug_options):
             "true_shape": batch["true_shape"],
         }
         has_inst = "gt_instance_masks" in batch
-        if has_inst:
+        has_kp = "gt_keypoints" in batch
+        if has_inst or has_kp:
             unsafe = [n for n, _ in aug_options
                       if n not in prep.MASK_SAFE_TRANSFORMS]
             if unsafe:
                 raise ValueError(
-                    "instance masks are loaded but these augmentations do "
-                    f"not transform them: {unsafe} — remove them or disable "
-                    "load_instance_masks"
+                    "instance masks/keypoints are loaded but these "
+                    f"augmentations do not transform them: {unsafe} — "
+                    "remove them or disable the annotation loading"
                 )
+        if has_inst:
             sample["instance_masks"] = batch["gt_instance_masks"]
+        if has_kp:
+            sample["keypoints"] = batch["gt_keypoints"]
         out = prep.batch_preprocess(aug_rng, sample, aug_options)
         new = dict(
             batch, image=out["image"], gt_boxes=out["boxes"], gt_mask=out["mask"],
@@ -65,6 +69,8 @@ def make_augmented_batch_fn(aug_options):
         )
         if has_inst:
             new["gt_instance_masks"] = out["instance_masks"]
+        if has_kp:
+            new["gt_keypoints"] = out["keypoints"]
         return new
 
     return augment
