@@ -1,17 +1,23 @@
-"""Benchmark: Faster R-CNN R50 3-task MTL training throughput (images/sec/chip).
+"""Benchmark: Faster R-CNN R50 3-task MTL training throughput at the
+NORTH-STAR operating point (BASELINE.md config 4): the production
+`configs/faster_rcnn_resnet50_mtl_voc0712.config` — keep-aspect 600/1024
+resizer => static 1024x1024 canvas — built through the real config->
+builder path, batch-swept, reporting MFU and HBM-roofline fraction from
+XLA cost analysis plus an end-to-end number that includes the host data
+pipeline (JPEG decode -> resize -> batch -> device prefetch -> step).
 
-The north-star metric (BASELINE.md): images/sec/chip for Faster R-CNN
-ResNet-50 with all three MTL-SSL auxiliary tasks, target >= 2x an A100
-running the TF reference. The reference's own numbers are unrecorded
-(BASELINE.json "published": {}), so vs_baseline is computed against a
-documented assumption: A100_REFERENCE_IMG_PER_SEC = 20.0 (generous estimate
-for the TF1-era reference code on an A100; the 2x target is therefore
-vs_baseline >= 2.0).
+The reference's own numbers are unrecorded (BASELINE.json "published":
+{}), so vs_baseline is computed against a documented assumption:
+A100_REFERENCE_IMG_PER_SEC = 20.0 (generous estimate for the TF1-era
+reference on an A100; the north-star 2x target is vs_baseline >= 2.0).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
+import io
 import json
+import os
+import tempfile
 import time
 
 # NOTE: do NOT set JAX_COMPILATION_CACHE_DIR here — the persistent
@@ -23,73 +29,232 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_REFERENCE_IMG_PER_SEC = 20.0
-
-BATCH = 16
-CANVAS = (640, 640)
+CONFIG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "configs", "faster_rcnn_resnet50_mtl_voc0712.config")
+BATCH_SWEEP = (8, 16)
 STEPS = 10
 
+# per-chip peak numbers for MFU / roofline (bf16 FLOP/s, HBM bytes/s)
+_PEAKS = {
+    "v5 lite": (197e12, 819e9),
+    "v5e": (197e12, 819e9),
+    "v6 lite": (918e12, 1640e9),
+    "v6e": (918e12, 1640e9),
+    "v4": (275e12, 1200e9),
+    "v5p": (459e12, 2765e9),
+}
 
-def main():
-    from mtlx.detector.faster_rcnn import FasterRCNN, FasterRCNNConfig, MTLConfig
+
+def _peaks(device_kind: str):
+    kind = device_kind.lower()
+    for key, vals in _PEAKS.items():
+        if key in kind:
+            return vals
+    return _PEAKS["v5e"]  # this environment's chip
+
+
+def build_from_config():
+    from mtlx.builders import model_builder, optimizer_builder
+    from mtlx.config import config_util
     from mtlx.train.train_step import (
         create_train_state,
-        make_optimizer,
+        make_regularization_fn,
         make_train_step,
     )
 
-    cfg = FasterRCNNConfig(
-        num_classes=20,
-        canvas_size=CANVAS,
-        backbone="resnet50",
-        mtl=MTLConfig(multiobject=True, closeness=True, foreground=True),
+    configs = config_util.get_configs_from_pipeline_file(CONFIG)
+    train_config = configs["train_config"]
+    model = model_builder.build(
+        configs["model"], is_training=True,
+        max_gt_boxes=train_config.max_number_of_boxes or 100,
     )
-    model = FasterRCNN(cfg)
-    tx = make_optimizer(learning_rate=1e-3)
-    state = create_train_state(model, jax.random.PRNGKey(0), tx)
+    tx, _, ema_decay = optimizer_builder.build(train_config.optimizer, train_config)
+    reg_fn = make_regularization_fn(
+        model_builder.regularization_scopes(configs["model"])
+    )
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), tx, keep_ema=ema_decay is not None
+    )
+    step = make_train_step(model, regularization_fn=reg_fn, ema_decay=ema_decay)
+    return model, state, step, configs
 
-    rs = np.random.RandomState(0)
-    g = cfg.max_gt_boxes
-    boxes = np.zeros((BATCH, g, 4), np.float32)
+
+def synthetic_batch(model, batch_size: int, rs: np.random.RandomState):
+    ch, cw = model.cfg.canvas_size
+    g = model.cfg.max_gt_boxes
+    boxes = np.zeros((batch_size, g, 4), np.float32)
     n_valid = 8
-    for b in range(BATCH):
-        y0 = rs.uniform(0, CANVAS[0] - 64, n_valid)
-        x0 = rs.uniform(0, CANVAS[1] - 64, n_valid)
+    for b in range(batch_size):
+        y0 = rs.uniform(0, ch - 64, n_valid)
+        x0 = rs.uniform(0, cw - 64, n_valid)
         h = rs.uniform(32, 256, n_valid)
         w = rs.uniform(32, 256, n_valid)
         boxes[b, :n_valid] = np.stack(
-            [y0, x0, np.minimum(y0 + h, CANVAS[0]), np.minimum(x0 + w, CANVAS[1])], 1
+            [y0, x0, np.minimum(y0 + h, ch), np.minimum(x0 + w, cw)], 1
         )
-    mask = np.zeros((BATCH, g), bool)
+    mask = np.zeros((batch_size, g), bool)
     mask[:, :n_valid] = True
-    batch = {
-        "image": jnp.asarray(rs.uniform(0, 255, (BATCH, *CANVAS, 3)), jnp.float32),
-        "true_shape": jnp.asarray(np.tile([CANVAS], (BATCH, 1)), jnp.int32),
+    return {
+        "image": jnp.asarray(
+            rs.uniform(0, 255, (batch_size, ch, cw, 3)), jnp.float32
+        ),
+        "true_shape": jnp.asarray(
+            np.tile([[600, 1000]], (batch_size, 1)), np.int32
+        ),
         "gt_boxes": jnp.asarray(boxes),
-        "gt_classes": jnp.asarray(rs.randint(0, 20, (BATCH, g)), jnp.int32),
+        "gt_classes": jnp.asarray(
+            rs.randint(0, 20, (batch_size, g)), jnp.int32
+        ),
         "gt_mask": jnp.asarray(mask),
     }
 
-    step = jax.jit(make_train_step(model), donate_argnums=(0,))
+
+def time_batch(model, state, step_fn, batch_size: int, rs):
+    """(images/sec, step_seconds, cost_analysis dict or {})."""
+    # fresh buffers: the step donates its input state, so work on a copy
+    # to keep the caller's state valid across sweep points
+    state = jax.tree_util.tree_map(jnp.array, state)
+    batch = synthetic_batch(model, batch_size, rs)
+    step = jax.jit(step_fn, donate_argnums=(0,))
     rng = jax.random.PRNGKey(1)
 
-    # compile + warmup
-    state, metrics = step(state, batch, rng)
-    jax.block_until_ready(metrics["total_loss"])
+    cost = {}
+    try:
+        compiled = step.lower(state, batch, rng).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        cost = dict(ca or {})
+    except Exception:
+        pass
 
+    state, metrics = step(state, batch, rng)  # compile + warmup
+    jax.block_until_ready(metrics["total_loss"])
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, metrics = step(state, batch, rng)
     jax.block_until_ready(metrics["total_loss"])
-    dt = time.perf_counter() - t0
+    dt = (time.perf_counter() - t0) / STEPS
+    return batch_size / dt, dt, cost
 
-    img_per_sec = BATCH * STEPS / dt
+
+def host_pipeline_images_per_sec(model, state, step_fn, configs,
+                                 batch_size: int, num_steps: int = 12):
+    """End-to-end: TFRecord -> host JPEG decode/resize -> batch ->
+    device_prefetch -> jitted train step (the full production loop)."""
+    from PIL import Image
+
+    from mtlx.builders.model_builder import resizer_params
+    from mtlx.data import tfrecord
+    from mtlx.data.example_decoder import build_example
+    from mtlx.data.loader import DetectionDataset, batches, device_prefetch
+
+    state = jax.tree_util.tree_map(jnp.array, state)  # donation-safe copy
+    rs = np.random.RandomState(7)
+    with tempfile.TemporaryDirectory() as tmp:
+        record = os.path.join(tmp, "bench.record")
+        with tfrecord.TFRecordWriter(record) as w:
+            for i in range(32):
+                # natural-ish smooth image so JPEG decode cost is realistic
+                small = rs.uniform(0, 255, (30, 40, 3))
+                arr = np.asarray(
+                    Image.fromarray(small.astype(np.uint8)).resize(
+                        (800, 600), Image.BILINEAR
+                    )
+                )
+                buf = io.BytesIO()
+                Image.fromarray(arr).save(buf, format="JPEG", quality=90)
+                boxes = np.asarray(
+                    [[0.1, 0.1, 0.6, 0.5], [0.3, 0.4, 0.9, 0.95]], np.float32
+                )
+                ex = build_example(
+                    buf.getvalue(), b"jpeg", 600, 800, f"b{i}.jpg",
+                    boxes, [1, 2], ["a", "b"],
+                )
+                w.write(ex.SerializeToString())
+
+        fr = configs["model"].faster_rcnn
+        dataset = DetectionDataset(
+            [record],
+            canvas_size=model.cfg.canvas_size,
+            resizer=resizer_params(fr.image_resizer),
+            max_boxes=model.cfg.max_gt_boxes,
+        )
+        step = jax.jit(step_fn, donate_argnums=(0,))
+        rng = jax.random.PRNGKey(1)
+        it = device_prefetch(batches(dataset, batch_size, shuffle=True, seed=0))
+        drop = {"gt_difficult", "original_shape"}
+        t0 = None
+        done = 0
+        for batch, _ in it:
+            batch = {k: v for k, v in batch.items() if k not in drop}
+            state, metrics = step(state, batch, rng)
+            done += 1
+            if done == 2:  # skip compile + first prefetch fill
+                jax.block_until_ready(metrics["total_loss"])
+                t0 = time.perf_counter()
+                measured0 = done
+            if done >= num_steps + 2:
+                break
+        jax.block_until_ready(metrics["total_loss"])
+        dt = time.perf_counter() - t0
+        return (done - measured0) * batch_size / dt
+
+
+def main():
+    model, state, step_fn, configs = build_from_config()
+    device = jax.devices()[0]
+    peak_flops, peak_bw = _peaks(device.device_kind)
+    rs = np.random.RandomState(0)
+
+    sweep = {}
+    best_ips, best_dt, best_cost, best_bs = 0.0, None, {}, None
+    for bs in BATCH_SWEEP:
+        try:
+            ips, dt, cost = time_batch(model, state, step_fn, bs, rs)
+        except Exception as e:  # OOM at large batch: record and move on
+            sweep[str(bs)] = f"failed: {type(e).__name__}"
+            continue
+        sweep[str(bs)] = round(ips, 2)
+        if ips > best_ips:
+            best_ips, best_dt, best_cost, best_bs = ips, dt, cost, bs
+
+    mfu = hbm_frac = None
+    flops = best_cost.get("flops")
+    if flops and best_dt:
+        mfu = round(float(flops) / best_dt / peak_flops, 4)
+    byts = best_cost.get("bytes accessed")
+    if byts and best_dt:
+        hbm_frac = round(float(byts) / best_dt / peak_bw, 4)
+
+    try:
+        e2e = round(
+            host_pipeline_images_per_sec(model, state, step_fn, configs,
+                                         batch_size=min(8, best_bs or 8)), 2
+        )
+    except Exception as e:
+        e2e = f"failed: {type(e).__name__}"
+
     print(
         json.dumps(
             {
-                "metric": "images_per_sec_per_chip_frcnn_r50_mtl3_train",
-                "value": round(img_per_sec, 2),
+                "metric": "images_per_sec_per_chip_frcnn_r50_mtl3_train_1024",
+                "value": round(best_ips, 2),
                 "unit": "images/sec/chip",
-                "vs_baseline": round(img_per_sec / A100_REFERENCE_IMG_PER_SEC, 3),
+                "vs_baseline": round(best_ips / A100_REFERENCE_IMG_PER_SEC, 3),
+                "operating_point": {
+                    "config": os.path.basename(CONFIG),
+                    "canvas": list(model.cfg.canvas_size),
+                    "batch": best_bs,
+                    "dtype": "bfloat16",
+                },
+                "batch_sweep": sweep,
+                "mfu": mfu,
+                "hbm_roofline_frac": hbm_frac,
+                "e2e_images_per_sec_with_host_pipeline": e2e,
+                "e2e_note": "this dev box has 1 CPU core; host JPEG decode "
+                            "bounds the e2e number, device-only is `value`",
+                "device_kind": device.device_kind,
             }
         )
     )

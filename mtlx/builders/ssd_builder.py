@@ -29,6 +29,22 @@ def build(ssd_proto, is_training: bool, max_gt_boxes: int = 100, dtype=jnp.bfloa
         reduce_lowest = True
 
     m = ssd_proto.matcher.argmax_matcher
+
+    coder_scales = (10.0, 10.0, 5.0, 5.0)
+    if ssd_proto.box_coder.WhichOneof("box_coder_oneof") == "faster_rcnn_box_coder":
+        bc = ssd_proto.box_coder.faster_rcnn_box_coder
+        coder_scales = (
+            bc.y_scale or 10.0, bc.x_scale or 10.0,
+            bc.height_scale or 5.0, bc.width_scale or 5.0,
+        )
+
+    similarity = "iou"
+    sim_kind = ssd_proto.similarity_calculator.WhichOneof("region_similarity")
+    if sim_kind == "ioa_similarity":
+        similarity = "ioa"
+    elif sim_kind == "neg_sq_dist_similarity":
+        similarity = "neg_sq_dist"
+
     pp = ssd_proto.post_processing
     nms = pp.batch_non_max_suppression
     score_converter = {0: "identity", 1: "sigmoid", 2: "softmax"}[pp.score_converter]
@@ -42,10 +58,20 @@ def build(ssd_proto, is_training: bool, max_gt_boxes: int = 100, dtype=jnp.bfloa
     neg_per_pos = float(miner.max_negatives_per_positive or 3)
     min_neg = miner.min_negatives_per_image or 3
 
+    # box predictor knobs (reference box_predictor.proto ConvolutionalBoxPredictor)
     kernel_size = 3
+    predictor_min_depth = predictor_max_depth = layers_before = 0
+    use_dropout, dropout_keep, apply_sigmoid = False, 0.8, False
     bp = ssd_proto.box_predictor
     if bp.WhichOneof("box_predictor_oneof") == "convolutional_box_predictor":
-        kernel_size = bp.convolutional_box_predictor.kernel_size or 3
+        cbp = bp.convolutional_box_predictor
+        kernel_size = cbp.kernel_size or 3
+        predictor_min_depth = cbp.min_depth
+        predictor_max_depth = cbp.max_depth
+        layers_before = cbp.num_layers_before_predictor
+        use_dropout = cbp.use_dropout
+        dropout_keep = cbp.dropout_keep_probability
+        apply_sigmoid = cbp.apply_sigmoid_to_scores
 
     cfg = SSDConfig(
         num_classes=ssd_proto.num_classes,
@@ -60,6 +86,8 @@ def build(ssd_proto, is_training: bool, max_gt_boxes: int = 100, dtype=jnp.bfloa
         reduce_boxes_in_lowest_layer=reduce_lowest,
         matched_threshold=m.matched_threshold if ssd_proto.HasField("matcher") else 0.5,
         unmatched_threshold=m.unmatched_threshold if ssd_proto.HasField("matcher") else 0.5,
+        similarity=similarity,
+        box_coder_scales=coder_scales,
         classification_loss=cls_loss,
         localization_weight=loss.localization_weight,
         classification_weight=loss.classification_weight,
@@ -72,6 +100,12 @@ def build(ssd_proto, is_training: bool, max_gt_boxes: int = 100, dtype=jnp.bfloa
         max_detections_per_class=nms.max_detections_per_class,
         max_total_detections=nms.max_total_detections,
         kernel_size=kernel_size,
+        predictor_min_depth=predictor_min_depth,
+        predictor_max_depth=predictor_max_depth,
+        num_layers_before_predictor=layers_before,
+        use_dropout=use_dropout and is_training,
+        dropout_keep_prob=dropout_keep,
+        apply_sigmoid_to_scores=apply_sigmoid,
         max_gt_boxes=max_gt_boxes,
         dtype=dtype,
     )

@@ -1,19 +1,25 @@
 """SSD meta-architecture (reference meta_architectures/ssd_meta_arch.py,
 SURVEY.md §3.3) — single-shot multi-feature-map detector, TPU-native.
 
-Same functional design as the Faster R-CNN meta-arch: one jitted program,
-static shapes, vmap over batch, PRNG-free forward (no sampling — SSD
-assigns every anchor). Classic 3:1 hard-negative mining is implemented as
-a static top-k over negative losses (the reference reaches the same
-behavior through its HardExampleMiner configured with a large
-num_hard_examples; a full NMS-based miner is available in
-mtlx.losses.losses.hard_example_mining_mask).
+Same functional design as the Faster R-CNN meta-arch and the SAME
+DetectionModel method signatures, so the config->train->eval drivers are
+meta-arch agnostic: one jitted program, static shapes, vmap over batch.
+Groundtruth boxes arrive in absolute canvas pixels (the loader contract);
+anchors live in canvas-normalized coordinates, so the loss normalizes GT
+by the static canvas, and postprocess converts canvas-normalized
+detections to true-image-normalized at the boundary (CLAUDE.md geometry
+convention).
+
+Classic 3:1 hard-negative mining is implemented as a static top-k over
+negative losses (the reference reaches the same behavior through its
+HardExampleMiner configured with a large num_hard_examples; a full
+NMS-based miner is available in mtlx.losses.losses.hard_example_mining_mask).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +30,7 @@ from mtlx.anchors.multi_grid import create_ssd_anchors
 from mtlx.assign import matcher as matcher_lib
 from mtlx.assign import similarity as sim_lib
 from mtlx.assign.target_assigner import TargetAssigner
-from mtlx.backbones.feature_maps import ExtraFeatureLayers
+from mtlx.backbones.feature_maps import MultiResolutionFeatureMaps, ssd_layer_depths
 from mtlx.backbones.mobilenet import MobileNetV1
 from mtlx.coders import box_coders
 from mtlx.heads import box_predictors
@@ -39,15 +45,19 @@ class SSDConfig:
     feature_extractor: str = "ssd_mobilenet_v1"  # or ssd_inception_v2
     depth_multiplier: float = 1.0
     min_depth: int = 8
+    # feature pyramid (reference feature_map_generators layout)
+    insert_1x1_conv: bool = True
     # anchors
     num_layers: int = 6
     min_scale: float = 0.2
     max_scale: float = 0.95
     aspect_ratios: Tuple[float, ...] = (1.0, 2.0, 0.5, 3.0, 1.0 / 3.0)
     reduce_boxes_in_lowest_layer: bool = True
-    # matcher
+    # matcher / target assignment
     matched_threshold: float = 0.5
     unmatched_threshold: float = 0.5
+    similarity: str = "iou"  # iou | ioa | neg_sq_dist
+    box_coder_scales: Tuple[float, ...] = (10.0, 10.0, 5.0, 5.0)
     # losses
     classification_loss: str = "weighted_sigmoid"  # or weighted_softmax
     localization_weight: float = 1.0
@@ -55,6 +65,13 @@ class SSDConfig:
     negatives_per_positive: float = 3.0
     min_negatives_per_image: int = 3
     normalize_loss_by_num_matches: bool = True
+    # box predictor (reference ConvolutionalBoxPredictor proto)
+    predictor_min_depth: int = 0
+    predictor_max_depth: int = 0
+    num_layers_before_predictor: int = 0
+    use_dropout: bool = False
+    dropout_keep_prob: float = 0.8
+    apply_sigmoid_to_scores: bool = False
     # post-processing
     score_converter: str = "sigmoid"
     nms_score_threshold: float = 1e-8
@@ -83,25 +100,37 @@ class SSDModules(nn.Module):
             self.backbone = MobileNetV1(
                 c.depth_multiplier, c.min_depth, dtype=c.dtype, name="backbone"
             )
-        self.extra_layers = ExtraFeatureLayers(dtype=c.dtype, name="extra")
+        self.feature_maps = MultiResolutionFeatureMaps(
+            layer_depths=tuple(ssd_layer_depths(c.num_layers)),
+            depth_multiplier=c.depth_multiplier,
+            min_depth=c.min_depth,
+            insert_1x1_conv=c.insert_1x1_conv,
+            dtype=c.dtype,
+            name="extra",
+        )
         self.predictors = [
             box_predictors.ConvolutionalBoxPredictor(
                 num_classes=c.num_classes,
                 num_anchors_per_location=self.anchors_per_location[i],
                 box_code_size=c.box_code_size,
                 kernel_size=c.kernel_size,
-                use_dropout=False,
+                min_depth=c.predictor_min_depth,
+                max_depth=c.predictor_max_depth,
+                num_layers_before_predictor=c.num_layers_before_predictor,
+                use_dropout=c.use_dropout,
+                dropout_keep_prob=c.dropout_keep_prob,
+                apply_sigmoid_to_scores=c.apply_sigmoid_to_scores,
                 dtype=c.dtype,
                 name=f"box_predictor_{i}",
             )
             for i in range(c.num_layers)
         ]
 
-    def __call__(self, images):
-        feats = self.extra_layers(self.backbone(images))
+    def __call__(self, images, deterministic: bool = True):
+        feats = self.feature_maps(self.backbone(images))
         cls_list, box_list = [], []
         for predictor, fmap in zip(self.predictors, feats):
-            cls, box = predictor(fmap)
+            cls, box = predictor(fmap, deterministic=deterministic)
             cls_list.append(cls)
             box_list.append(box)
         return (
@@ -112,7 +141,8 @@ class SSDModules(nn.Module):
 
 
 class SSD:
-    """Functional SSD detector with the DetectionModel 4-method API."""
+    """Functional SSD detector with the DetectionModel 4-method API
+    (same signatures as FasterRCNN so train/eval drivers are agnostic)."""
 
     def __init__(self, cfg: SSDConfig):
         self.cfg = cfg
@@ -126,9 +156,14 @@ class SSD:
         self.modules = SSDModules(
             cfg, tuple(self._gen.num_anchors_per_location)
         )
-        self.box_coder = box_coders.make_faster_rcnn_coder()
+        self.box_coder = box_coders.make_faster_rcnn_coder(cfg.box_coder_scales)
+        similarity_fn = {
+            "iou": sim_lib.iou_similarity,
+            "ioa": sim_lib.ioa_similarity,
+            "neg_sq_dist": sim_lib.neg_sq_dist_similarity,
+        }[cfg.similarity]
         self._assigner = TargetAssigner(
-            similarity_fn=sim_lib.iou_similarity,
+            similarity_fn=similarity_fn,
             matcher_fn=matcher_lib.make_argmax_matcher(
                 matched_threshold=cfg.matched_threshold,
                 unmatched_threshold=cfg.unmatched_threshold,
@@ -137,8 +172,8 @@ class SSD:
             box_coder=self.box_coder,
         )
         # anchors are trace-time constants: feature-map shapes follow from
-        # the static canvas (MobileNet endpoints at /16 and /32, then 4
-        # stride-2 extra layers; SAME padding => ceil division, floor 1)
+        # the static canvas (endpoints at /16 and /32, then stride-2 extra
+        # layers; SAME padding => ceil division, floor 1)
         self.feature_map_shapes = self._feature_shapes(cfg.canvas_size, cfg.num_layers)
         self.anchors = self._gen.generate(self.feature_map_shapes)
 
@@ -154,9 +189,10 @@ class SSD:
             shapes.append((h, w))
         return shapes
 
-    def init_variables(self, rng):
+    def init_variables(self, rng, batch_size: int = 1):
         import numpy as np
 
+        del batch_size  # shapes are batch-independent
         h, w = self.cfg.canvas_size
         dummy = jnp.zeros((1, h, w, 3), jnp.float32)
         cpu = jax.local_devices(backend="cpu")[0]
@@ -170,8 +206,22 @@ class SSD:
         extractors use (2/255)x - 1)."""
         return images * (2.0 / 255.0) - 1.0
 
-    def predict(self, variables, images: Array) -> Dict[str, Array]:
-        cls_logits, box_encodings, shapes = self.modules.apply(variables, images)
+    def predict(
+        self,
+        variables,
+        images: Array,
+        true_shapes: Optional[Array] = None,
+        training: bool = False,
+        rng=None,
+        groundtruth=None,
+    ) -> Dict[str, Array]:
+        del true_shapes, groundtruth  # fixed-shape resize; no sampling stage
+        rngs = None
+        if training and self.cfg.use_dropout and rng is not None:
+            rngs = {"dropout": rng}
+        cls_logits, box_encodings, shapes = self.modules.apply(
+            variables, images, deterministic=not training, rngs=rngs
+        )
         if box_encodings.shape[1] != self.anchors.shape[0]:
             raise ValueError(
                 f"anchor count {self.anchors.shape[0]} != predictor outputs "
@@ -184,7 +234,13 @@ class SSD:
             "anchors": self.anchors,
         }
 
-    def loss(self, pred: Dict[str, Array], groundtruth) -> Dict[str, Array]:
+    def _normalize_gt(self, gt_boxes: Array) -> Array:
+        """Absolute canvas pixels -> canvas-normalized (the anchor frame)."""
+        ch, cw = self.cfg.canvas_size
+        return gt_boxes / jnp.asarray([ch, cw, ch, cw], gt_boxes.dtype)
+
+    def loss(self, pred: Dict[str, Array], groundtruth, rng=None) -> Dict[str, Array]:
+        del rng  # no sampled minibatch in SSD (every anchor is assigned)
         c = self.cfg
         anchors = pred["anchors"]
         k = c.num_classes
@@ -242,7 +298,7 @@ class SSD:
         cls_l, loc_l = jax.vmap(per_image)(
             pred["class_predictions_with_background"],
             pred["box_encodings"],
-            groundtruth["boxes"],
+            self._normalize_gt(groundtruth["boxes"]),
             groundtruth["classes"],
             groundtruth["mask"],
         )
@@ -253,11 +309,14 @@ class SSD:
         out["total_loss"] = out["Loss/classification_loss"] + out["Loss/localization_loss"]
         return out
 
-    def postprocess(self, pred: Dict[str, Array]) -> Dict[str, Array]:
+    def postprocess(
+        self, pred: Dict[str, Array], true_shapes: Optional[Array] = None
+    ) -> Dict[str, Array]:
         c = self.cfg
         anchors = pred["anchors"]
+        ch, cw = c.canvas_size
 
-        def per_image(cls_logits, box_enc):
+        def per_image(cls_logits, box_enc, true_shape):
             boxes = self.box_coder.decode(box_enc, anchors)
             if c.score_converter == "sigmoid":
                 scores = jax.nn.sigmoid(cls_logits)[:, 1:]
@@ -265,6 +324,9 @@ class SSD:
                 scores = jax.nn.softmax(cls_logits, axis=-1)[:, 1:]
             else:
                 scores = cls_logits[:, 1:]
+            # restrict NMS + clipping to the true-image region of the canvas
+            th = true_shape[0].astype(jnp.float32) / ch
+            tw = true_shape[1].astype(jnp.float32) / cw
             res = nms_lib.multiclass_non_max_suppression(
                 boxes[:, None, :],
                 scores,
@@ -272,12 +334,22 @@ class SSD:
                 iou_threshold=c.nms_iou_threshold,
                 max_size_per_class=c.max_detections_per_class,
                 max_total_size=c.max_total_detections,
-                clip_window=jnp.asarray([0.0, 0.0, 1.0, 1.0]),
+                clip_window=jnp.stack(
+                    [jnp.float32(0.0), jnp.float32(0.0), th, tw]
+                ),
             )
-            return res.boxes, res.scores, res.classes, res.num_valid
+            # canvas-normalized -> true-image-normalized at the boundary
+            scale = jnp.stack([1.0 / th, 1.0 / tw, 1.0 / th, 1.0 / tw])
+            out_boxes = jnp.clip(res.boxes * scale, 0.0, 1.0)
+            return out_boxes, res.scores, res.classes, res.num_valid
 
+        b = pred["box_encodings"].shape[0]
+        if true_shapes is None:
+            true_shapes = jnp.tile(jnp.asarray([[ch, cw]], jnp.int32), (b, 1))
         boxes, scores, classes, num = jax.vmap(per_image)(
-            pred["class_predictions_with_background"], pred["box_encodings"]
+            pred["class_predictions_with_background"],
+            pred["box_encodings"],
+            true_shapes,
         )
         return {
             "detection_boxes": boxes,

@@ -123,6 +123,13 @@ def evaluate_checkpoint(model, state, dataset, eval_config, categories,
                     det["detection_classes"][j][:n_det] + 1,
                     det["detection_scores"][j][:n_det],
                     category_index,
+                    instance_masks=(
+                        viz.paste_instance_masks(
+                            det["detection_masks"][j][:n_det], boxes_norm,
+                            int(th), int(tw),
+                        )
+                        if "detection_masks" in det else None
+                    ),
                     min_score_thresh=0.3,
                 )
                 writer.image(f"Detections_Left_Groundtruth_Right/{done}", image, step)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -66,9 +67,15 @@ class ConvolutionalBoxPredictor(nn.Module):
     num_anchors_per_location: int
     box_code_size: int = 4
     kernel_size: int = 3
-    depth: int = 0  # optional intermediate 1x1 conv depth (0 = none)
+    # intermediate-conv depth config (reference box_predictor.proto:
+    # depth = max(min(features_depth, max_depth), min_depth); that many
+    # 1x1 ReLU convs applied num_layers_before_predictor times when > 0)
+    min_depth: int = 0
+    max_depth: int = 0
+    num_layers_before_predictor: int = 0
     use_dropout: bool = False
     dropout_keep_prob: float = 0.8
+    apply_sigmoid_to_scores: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -77,8 +84,13 @@ class ConvolutionalBoxPredictor(nn.Module):
         a = self.num_anchors_per_location
         k = self.kernel_size
         x = features.astype(self.dtype)
-        if self.depth > 0:
-            x = nn.relu(nn.Conv(self.depth, (1, 1), dtype=self.dtype, name="reduce")(x))
+        depth = max(min(features.shape[-1], self.max_depth), self.min_depth)
+        if depth > 0 and self.num_layers_before_predictor > 0:
+            for i in range(self.num_layers_before_predictor):
+                x = nn.relu(
+                    nn.Conv(depth, (1, 1), dtype=self.dtype,
+                            name=f"conv_{i}_1x1_{depth}")(x)
+                )
         cls_in = x
         if self.use_dropout:
             cls_in = nn.Dropout(1.0 - self.dropout_keep_prob, deterministic=deterministic)(cls_in)
@@ -90,10 +102,10 @@ class ConvolutionalBoxPredictor(nn.Module):
             a * self.box_code_size, (k, k), padding="SAME", dtype=self.dtype,
             name="box_encoder",
         )(x)
-        return (
-            cls.astype(jnp.float32).reshape(b, -1, self.num_classes + 1),
-            box.astype(jnp.float32).reshape(b, -1, self.box_code_size),
-        )
+        cls = cls.astype(jnp.float32).reshape(b, -1, self.num_classes + 1)
+        if self.apply_sigmoid_to_scores:
+            cls = jax.nn.sigmoid(cls)
+        return (cls, box.astype(jnp.float32).reshape(b, -1, self.box_code_size))
 
 
 class MaskRCNNBoxPredictor(nn.Module):

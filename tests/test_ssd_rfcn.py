@@ -26,10 +26,11 @@ def ssd_model():
 
 
 def make_gt(b=2):
+    # absolute canvas pixels (the loader contract; SSD normalizes internally)
     return {
         "boxes": jnp.tile(
             jnp.asarray([[[0.1, 0.1, 0.5, 0.5], [0.4, 0.5, 0.9, 0.95],
-                          [0, 0, 0, 0], [0, 0, 0, 0]]]),
+                          [0, 0, 0, 0], [0, 0, 0, 0]]]) * 128.0,
             (b, 1, 1),
         ),
         "classes": jnp.tile(jnp.asarray([[0, 2, 0, 0]]), (b, 1)),
