@@ -144,12 +144,20 @@ class ResNetStage(nn.Module):
     dtype: Dtype = jnp.bfloat16
     bn_trainable: bool = False
     slim_stride_order: bool = False
+    # rematerialize each bottleneck in the backward pass: the train step is
+    # HBM-bandwidth-bound (bench.py roofline), so recomputing unit
+    # internals on the MXU is cheaper than round-tripping saved
+    # activations through HBM. Numerically identical; params unchanged.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         stride_unit = self.num_units - 1 if self.slim_stride_order else 0
+        unit_cls = (
+            nn.remat(Bottleneck, static_argnums=(2,)) if self.remat else Bottleneck
+        )
         for i in range(self.num_units):
-            x = Bottleneck(
+            x = unit_cls(
                 depth=self.depth,
                 depth_bottleneck=self.depth // 4,
                 stride=self.stride if i == stride_unit else 1,
@@ -168,12 +176,14 @@ class ResNetProposalFeatures(nn.Module):
     dtype: Dtype = jnp.bfloat16
     bn_trainable: bool = False
     slim_stride_order: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         sizes = BLOCK_SIZES[self.depth]
         bt = self.bn_trainable
         so = self.slim_stride_order
+        rm = self.remat
         x = x.astype(self.dtype)
         x = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
@@ -186,13 +196,13 @@ class ResNetProposalFeatures(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=pool_pad)
         if so:
             # slim: blockN strides at its LAST unit (transition out)
-            x = ResNetStage(sizes[0], 256, 2, self.dtype, bt, True, name="block1")(x, train)
-            x = ResNetStage(sizes[1], 512, 2, self.dtype, bt, True, name="block2")(x, train)
-            x = ResNetStage(sizes[2], 1024, 1, self.dtype, bt, True, name="block3")(x, train)
+            x = ResNetStage(sizes[0], 256, 2, self.dtype, bt, True, rm, name="block1")(x, train)
+            x = ResNetStage(sizes[1], 512, 2, self.dtype, bt, True, rm, name="block2")(x, train)
+            x = ResNetStage(sizes[2], 1024, 1, self.dtype, bt, True, rm, name="block3")(x, train)
         else:
-            x = ResNetStage(sizes[0], 256, 1, self.dtype, bt, name="block1")(x, train)
-            x = ResNetStage(sizes[1], 512, 2, self.dtype, bt, name="block2")(x, train)
-            x = ResNetStage(sizes[2], 1024, 2, self.dtype, bt, name="block3")(x, train)
+            x = ResNetStage(sizes[0], 256, 1, self.dtype, bt, False, rm, name="block1")(x, train)
+            x = ResNetStage(sizes[1], 512, 2, self.dtype, bt, False, rm, name="block2")(x, train)
+            x = ResNetStage(sizes[2], 1024, 2, self.dtype, bt, False, rm, name="block3")(x, train)
         return x
 
 
@@ -203,13 +213,14 @@ class ResNetBoxClassifierFeatures(nn.Module):
     dtype: Dtype = jnp.bfloat16
     bn_trainable: bool = False
     slim_stride_order: bool = False  # stride 1 -> only affects unit naming parity
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         sizes = BLOCK_SIZES[self.depth]
         return ResNetStage(
             sizes[3], 2048, 1, self.dtype, self.bn_trainable,
-            self.slim_stride_order, name="block4"
+            self.slim_stride_order, self.remat, name="block4"
         )(x.astype(self.dtype), train)
 
 

@@ -118,6 +118,13 @@ class FasterRCNNConfig:
     # optional second-stage hard example mining (reference
     # faster_rcnn.hard_example_miner); None = balanced sampling only
     hard_example_miner: Any = None  # loss_lib.HardExampleMinerConfig
+    # rematerialize backbone bottlenecks in the backward pass. MEASURED
+    # NEGATIVE for throughput at the 1024^2 operating point (TPU v5e,
+    # 2026-08-16: 67.7 -> 64.8 img/s at batch 16; XLA cost analysis bytes
+    # did not drop, flops +24% — the saved activations were not the HBM
+    # traffic the roofline suggested). Kept as an option because it buys
+    # activation memory for larger canvases/batches; numerically identical.
+    backbone_remat: bool = False
     # misc
     batch_norm_trainable: bool = False  # feature_extractor.batch_norm_trainable
     # feature_extractor.slim_stride_order: stride stages at the LAST unit
@@ -184,11 +191,13 @@ class FasterRCNNModules(nn.Module):
         depth = c.resnet_depth
         self.proposal_features = resnet.ResNetProposalFeatures(
             depth=depth, dtype=c.dtype, bn_trainable=c.batch_norm_trainable,
-            slim_stride_order=c.slim_stride_order, name="backbone",
+            slim_stride_order=c.slim_stride_order, remat=c.backbone_remat,
+            name="backbone",
         )
         self.classifier_features = resnet.ResNetBoxClassifierFeatures(
             depth=depth, dtype=c.dtype, bn_trainable=c.batch_norm_trainable,
-            slim_stride_order=c.slim_stride_order, name="classifier_backbone",
+            slim_stride_order=c.slim_stride_order, remat=c.backbone_remat,
+            name="classifier_backbone",
         )
         self._setup_heads()
 
