@@ -50,3 +50,71 @@ def test_spatially_sharded_backbone_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(sharded), np.asarray(plain), rtol=2e-4, atol=2e-4
     )
+
+
+def test_spatial_train_step_matches_data_parallel():
+    """FULL train step under the 2-D (data, spatial) mesh == plain DP step
+    (losses and updated params), i.e. spatial partitioning covers the
+    whole program — backbone, RPN, sampling, second stage, aux heads,
+    losses, gradients — not just the backbone forward."""
+    from mtlx.detector.faster_rcnn import FasterRCNN, FasterRCNNConfig, MTLConfig
+    from mtlx.train.train_step import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = FasterRCNNConfig(
+        num_classes=3, canvas_size=(64, 64), anchor_scales=(0.5, 1.0),
+        anchor_aspect_ratios=(1.0,), anchor_base_size=(32.0, 32.0),
+        rpn_depth=16, first_stage_pre_nms_top_k=16,
+        first_stage_max_proposals=8, first_stage_minibatch_size=16,
+        second_stage_batch_size=8, max_gt_boxes=4, dtype=jnp.float32,
+        mtl=MTLConfig(multiobject=True, closeness=True, foreground=True),
+    )
+    model = FasterRCNN(cfg)
+    tx = make_optimizer(learning_rate=0.01)
+    state = create_train_state(model, jax.random.PRNGKey(0), tx)
+
+    rs = np.random.RandomState(0)
+    b, g = 2, 4
+    batch = {
+        "image": rs.uniform(0, 255, (b, 64, 64, 3)).astype(np.float32),
+        "true_shape": np.tile([[64, 64]], (b, 1)).astype(np.int32),
+        "gt_boxes": np.tile(
+            np.asarray([[[8, 8, 40, 40], [20, 28, 56, 60],
+                         [0, 0, 0, 0], [0, 0, 0, 0]]], np.float32),
+            (b, 1, 1),
+        ),
+        "gt_classes": np.zeros((b, g), np.int32),
+        "gt_mask": np.tile(np.asarray([[True, True, False, False]]), (b, 1)),
+    }
+    rng = jax.random.PRNGKey(1)
+
+    # plain DP on a 2-device mesh
+    dp_mesh = mesh_lib.create_mesh(jax.devices()[:2])
+    dp_state = mesh_lib.replicate(dp_mesh, state)
+    dp_step = jax.jit(make_train_step(model))
+    dp_new, dp_metrics = dp_step(
+        dp_state, mesh_lib.shard_batch(dp_mesh, batch), rng
+    )
+
+    # same batch under (data=2, spatial=4)
+    smesh = spatial.create_spatial_mesh(n_data=2, n_spatial=4)
+    sp_state = jax.device_put(state, spatial.replicated(smesh))
+    sp_step = spatial.make_spatial_train_step(model, smesh)
+    sp_new, sp_metrics = sp_step(
+        sp_state, spatial.shard_batch_spatial(smesh, batch), rng
+    )
+
+    np.testing.assert_allclose(
+        float(sp_metrics["total_loss"]), float(dp_metrics["total_loss"]),
+        rtol=2e-4, atol=2e-4,
+    )
+    dl = jax.tree_util.tree_leaves(dp_new.params)
+    sl = jax.tree_util.tree_leaves(sp_new.params)
+    worst = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b_))))
+        for a, b_ in zip(dl, sl)
+    )
+    assert worst < 2e-4, worst
