@@ -484,9 +484,7 @@ class FasterRCNN:
             # refine path: aux heads run on per-ROI pooled RPN features and
             # their hidden activations augment the detection features
             pooled_rpn = jax.vmap(
-                lambda f, bx: jnp.mean(
-                    roi_lib.crop_and_resize_mxu(f, bx, (7, 7)), axis=(1, 2)
-                )
+                lambda f, bx: roi_lib.mean_pooled_crop(f, bx, (7, 7))
             )(feats, norm_proposals).astype(jnp.float32)
             aux_hidden = self.modules.apply(
                 variables,
@@ -525,12 +523,11 @@ class FasterRCNN:
             pred["foreground_logits"] = apply(
                 variables, feats, method=FasterRCNNModules.foreground
             )
-        # MXU crop in model dtype: the gather-based crop in fp32 costed
-        # ~90ms/step here (HBM-bound row gathers + scatter-add backward)
+        # MXU contraction in model dtype: the gather-based crop in fp32
+        # costed ~90ms/step here (HBM-bound row gathers + scatter-add
+        # backward); mean_pooled_crop further removes the crop intermediate
         pool_roi = lambda boxes_norm: jax.vmap(
-            lambda f, bx: jnp.mean(
-                roi_lib.crop_and_resize_mxu(f, bx, (7, 7)), axis=(1, 2)
-            )
+            lambda f, bx: roi_lib.mean_pooled_crop(f, bx, (7, 7))
         )(feats, boxes_norm).astype(jnp.float32)
         if c.mtl.multiobject:
             windows = recycle.enlarged_windows(gt["boxes"], c.mtl.window_enlarge_factor)

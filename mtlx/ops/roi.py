@@ -136,6 +136,31 @@ def crop_and_resize_mxu(
     return out
 
 
+def mean_pooled_crop(
+    image: Array, boxes: Array, crop_size: Tuple[int, int] = (7, 7)
+) -> Array:
+    """Exactly `crop_and_resize(image, boxes, crop_size).mean(axis=(1,2))`
+    WITHOUT materializing the crop. Average-pooling a bilinear resample is
+    a linear functional of the source, so the whole thing collapses to two
+    vector contractions with the per-box mean interpolation weights:
+
+        pooled[n, c] = (mean_y Wy[n])·X·(mean_x Wx[n])
+
+    This removes the [N, crop_h, W, C] intermediate — the dominant HBM
+    traffic of the MTL aux/refine pooled-window paths (bench.py phase
+    decomposition) — while keeping the contraction on the MXU.
+    Returns [N, C].
+    """
+    h, w, _ = image.shape
+    ch, cw = crop_size
+    dt = image.dtype
+    y1, x1, y2, x2 = (boxes[:, i].astype(jnp.float32) for i in range(4))
+    ry = jnp.mean(_interp_matrix(y1, y2, ch, h), axis=1).astype(dt)  # [N, H]
+    rx = jnp.mean(_interp_matrix(x1, x2, cw, w), axis=1).astype(dt)  # [N, W]
+    tmp = jnp.einsum("nh,hwc->nwc", ry, image, preferred_element_type=dt)
+    return jnp.einsum("nw,nwc->nc", rx, tmp, preferred_element_type=dt)
+
+
 def batch_crop_and_resize(
     images: Array, boxes: Array, crop_size: Tuple[int, int], use_mxu: bool = True, **kw
 ) -> Array:

@@ -216,3 +216,36 @@ def test_crop_and_resize_mxu_gradients():
     g = jax.grad(f)(image)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.sum(jnp.abs(g))) > 0
+
+
+def test_mean_pooled_crop_matches_crop_then_mean():
+    """mean_pooled_crop == crop_and_resize().mean(axis=(1,2)) exactly (the
+    pooled bilinear crop is a linear functional — no crop materialized)."""
+    rng = np.random.RandomState(3)
+    image = rng.uniform(-1, 1, (13, 17, 5)).astype(np.float32)
+    boxes = np.asarray(
+        [
+            [0.0, 0.0, 1.0, 1.0],
+            [0.25, 0.1, 0.8, 0.7],
+            [-0.2, 0.4, 0.6, 1.3],  # out-of-range taps -> zero weights
+            [0.5, 0.5, 0.5, 0.5],   # degenerate
+        ],
+        np.float32,
+    )
+    ref = np.asarray(
+        roi.crop_and_resize(jnp.asarray(image), jnp.asarray(boxes), (7, 7))
+    ).mean(axis=(1, 2))
+    fused = np.asarray(
+        roi.mean_pooled_crop(jnp.asarray(image), jnp.asarray(boxes), (7, 7))
+    )
+    np.testing.assert_allclose(fused, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_mean_pooled_crop_gradients():
+    image = jnp.asarray(
+        np.random.RandomState(0).uniform(0, 1, (8, 8, 2)).astype(np.float32)
+    )
+    boxes = jnp.asarray([[0.1, 0.1, 0.9, 0.9]])
+    g = jax.grad(lambda img: jnp.sum(roi.mean_pooled_crop(img, boxes)))(image)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.sum(jnp.abs(g))) > 0
