@@ -20,6 +20,8 @@ from mtlx.config.protos import example_pb2
 # canonical dict keys (reference core/standard_fields.InputDataFields)
 class InputDataFields:
     image = "image"
+    image_encoded = "image_encoded"
+    image_format = "image_format"
     source_id = "source_id"
     groundtruth_boxes = "groundtruth_boxes"
     groundtruth_classes = "groundtruth_classes"
@@ -127,7 +129,8 @@ def _ints(fmap, key):
 
 
 def decode_example(serialized: bytes, decode_image: bool = True,
-                   load_instance_masks: bool = False) -> Dict:
+                   load_instance_masks: bool = False,
+                   return_encoded: bool = False) -> Dict:
     """Parse one serialized Example -> InputDataFields dict (numpy).
 
     groundtruth_classes are returned 1-based as stored (the loader shifts
@@ -165,6 +168,10 @@ def decode_example(serialized: bytes, decode_image: bool = True,
         raw = fmap["image/encoded"].bytes_list.value[0]
         img = Image.open(io.BytesIO(raw))
         out[InputDataFields.image] = np.asarray(img.convert("RGB"), np.uint8)
+    if return_encoded and "image/encoded" in fmap:
+        out[InputDataFields.image_encoded] = fmap["image/encoded"].bytes_list.value[0]
+        if "image/format" in fmap:
+            out[InputDataFields.image_format] = fmap["image/format"].bytes_list.value[0]
     ky = _floats(fmap, "image/object/keypoint/y")
     if len(ky):
         kx = _floats(fmap, "image/object/keypoint/x")

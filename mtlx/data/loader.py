@@ -25,6 +25,35 @@ from mtlx.data.example_decoder import InputDataFields, decode_example
 from mtlx.ops.shape_utils import pad_or_clip_along_axis
 
 
+# native fused JPEG decode + resize (tools/build_native.py); optional —
+# the PIL path below is the fallback and the semantic reference
+try:
+    from mtlx.data import _imgcodec_ext as _imgcodec
+except ImportError:  # pragma: no cover - depends on build
+    _imgcodec = None
+
+_JPEG_FORMATS = (b"jpeg", b"jpg", b"JPEG", b"JPG")
+
+
+def keep_aspect_target(h: int, w: int, min_dimension: int,
+                       max_dimension: int) -> Tuple[int, int]:
+    """Target (th, tw) of the reference keep_aspect_ratio_resizer."""
+    scale = min(min_dimension / min(h, w), max_dimension / max(h, w))
+    return int(round(h * scale)), int(round(w * scale))
+
+
+def native_decode_resize(encoded: bytes, kind: str, params) -> "np.ndarray":
+    """Fused libjpeg decode (+DCT-scaled) + bilinear resize onto the
+    resizer target. Raises ValueError on undecodable input."""
+    h0, w0 = _imgcodec.dims(encoded)
+    if kind == "fixed":
+        th, tw = params["height"], params["width"]
+    else:
+        th, tw = keep_aspect_target(h0, w0, **params)
+    pixels, _, _, oh, ow = _imgcodec.decode(encoded, th, tw)
+    return np.frombuffer(pixels, np.uint8).reshape(oh, ow, 3)
+
+
 def resize_keep_aspect(
     image: np.ndarray, min_dimension: int, max_dimension: int
 ) -> Tuple[np.ndarray, float]:
@@ -101,9 +130,12 @@ class DetectionDataset:
     def get(self, i: int) -> Dict[str, np.ndarray]:
         """One canvas-shaped sample (numpy)."""
         ex = decode_example(
-            self._read(i), load_instance_masks=self.load_instance_masks
+            self._read(i), decode_image=False,
+            load_instance_masks=self.load_instance_masks,
+            return_encoded=True,
         )
-        image = ex[InputDataFields.image]
+        enc = ex[InputDataFields.image_encoded]
+        fmt = ex.get(InputDataFields.image_format, b"jpeg")
         boxes_norm = ex[InputDataFields.groundtruth_boxes]
         classes = ex[InputDataFields.groundtruth_classes].astype(np.int32) - 1
         difficult = ex[InputDataFields.groundtruth_difficult]
@@ -117,12 +149,28 @@ class DetectionDataset:
             if keypoints_norm is not None and len(keypoints_norm):
                 keypoints_norm = keypoints_norm[keep]
 
-        h0, w0 = image.shape[:2]
         kind, params = self.resizer
-        if kind == "keep_aspect":
-            image, _ = resize_keep_aspect(image, **params)
-        else:
-            image = resize_fixed(image, **params)
+        image = None
+        h0 = w0 = -1
+        if _imgcodec is not None and fmt in _JPEG_FORMATS:
+            try:  # native fused decode+resize (GIL-free)
+                h0, w0 = _imgcodec.dims(enc)
+                image = native_decode_resize(enc, kind, params)
+            except ValueError:
+                image = None  # corrupt/unsupported -> PIL fallback
+        if image is None:
+            import io
+
+            from PIL import Image as _PILImage
+
+            full = np.asarray(
+                _PILImage.open(io.BytesIO(enc)).convert("RGB"), np.uint8
+            )
+            h0, w0 = full.shape[:2]
+            if kind == "keep_aspect":
+                image, _ = resize_keep_aspect(full, **params)
+            else:
+                image = resize_fixed(full, **params)
         th, tw = image.shape[:2]
         ch, cw = self.canvas_size
         if th > ch or tw > cw:  # canvas chosen from resizer, shouldn't happen
