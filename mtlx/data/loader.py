@@ -127,15 +127,85 @@ class DetectionDataset:
             self._handles[path] = f
         return tfrecord.read_record_at(f, off)
 
-    def get(self, i: int) -> Dict[str, np.ndarray]:
-        """One canvas-shaped sample (numpy)."""
-        ex = decode_example(
+    def _parse(self, i: int) -> Dict:
+        """Proto parse only — no image decode."""
+        return decode_example(
             self._read(i), decode_image=False,
             load_instance_masks=self.load_instance_masks,
             return_encoded=True,
         )
-        enc = ex[InputDataFields.image_encoded]
-        fmt = ex.get(InputDataFields.image_format, b"jpeg")
+
+    def _decode_one(self, enc: bytes, fmt: bytes):
+        """(resized image, source h, source w) — native fast path with PIL
+        fallback (corrupt input, non-JPEG, unbuilt extension)."""
+        kind, params = self.resizer
+        if _imgcodec is not None and fmt in _JPEG_FORMATS:
+            try:  # native fused decode+resize (GIL-free)
+                h0, w0 = _imgcodec.dims(enc)
+                return native_decode_resize(enc, kind, params), h0, w0
+            except ValueError:
+                pass  # corrupt/unsupported -> PIL fallback
+        import io
+
+        from PIL import Image as _PILImage
+
+        full = np.asarray(
+            _PILImage.open(io.BytesIO(enc)).convert("RGB"), np.uint8
+        )
+        h0, w0 = full.shape[:2]
+        if kind == "keep_aspect":
+            image, _ = resize_keep_aspect(full, **params)
+        else:
+            image = resize_fixed(full, **params)
+        return image, h0, w0
+
+    def get(self, i: int) -> Dict[str, np.ndarray]:
+        """One canvas-shaped sample (numpy)."""
+        ex = self._parse(i)
+        image, h0, w0 = self._decode_one(
+            ex[InputDataFields.image_encoded],
+            ex.get(InputDataFields.image_format, b"jpeg"),
+        )
+        return self._assemble(ex, image, h0, w0, i)
+
+    def get_batch(
+        self, indices: Sequence[int], decode_threads: int = 4
+    ) -> List[Dict[str, np.ndarray]]:
+        """Batch of samples with the images decoded by the native thread
+        pool (GIL released — scales across host cores). Falls back to
+        per-sample get() when the extension is unavailable or any image
+        is not a plain JPEG."""
+        exs = [self._parse(i) for i in indices]
+        blobs = [ex[InputDataFields.image_encoded] for ex in exs]
+        fmts = [ex.get(InputDataFields.image_format, b"jpeg") for ex in exs]
+        if _imgcodec is None or any(f not in _JPEG_FORMATS for f in fmts):
+            return [self.get(int(i)) for i in indices]
+        kind, params = self.resizer
+        try:
+            targets = []
+            for blob in blobs:
+                h0, w0 = _imgcodec.dims(blob)
+                if kind == "fixed":
+                    targets.append((params["height"], params["width"], h0, w0))
+                else:
+                    th, tw = keep_aspect_target(h0, w0, **params)
+                    targets.append((th, tw, h0, w0))
+            decoded = _imgcodec.decode_batch(
+                blobs, [t[0] for t in targets], [t[1] for t in targets],
+                decode_threads,
+            )
+        except ValueError:
+            return [self.get(int(i)) for i in indices]
+        out = []
+        for ex, i, (pixels, _, _, oh, ow), (_, _, h0, w0) in zip(
+            exs, indices, decoded, targets
+        ):
+            image = np.frombuffer(pixels, np.uint8).reshape(oh, ow, 3)
+            out.append(self._assemble(ex, image, h0, w0, int(i)))
+        return out
+
+    def _assemble(self, ex: Dict, image: np.ndarray, h0: int, w0: int,
+                  i: int) -> Dict[str, np.ndarray]:
         boxes_norm = ex[InputDataFields.groundtruth_boxes]
         classes = ex[InputDataFields.groundtruth_classes].astype(np.int32) - 1
         difficult = ex[InputDataFields.groundtruth_difficult]
@@ -149,28 +219,6 @@ class DetectionDataset:
             if keypoints_norm is not None and len(keypoints_norm):
                 keypoints_norm = keypoints_norm[keep]
 
-        kind, params = self.resizer
-        image = None
-        h0 = w0 = -1
-        if _imgcodec is not None and fmt in _JPEG_FORMATS:
-            try:  # native fused decode+resize (GIL-free)
-                h0, w0 = _imgcodec.dims(enc)
-                image = native_decode_resize(enc, kind, params)
-            except ValueError:
-                image = None  # corrupt/unsupported -> PIL fallback
-        if image is None:
-            import io
-
-            from PIL import Image as _PILImage
-
-            full = np.asarray(
-                _PILImage.open(io.BytesIO(enc)).convert("RGB"), np.uint8
-            )
-            h0, w0 = full.shape[:2]
-            if kind == "keep_aspect":
-                image, _ = resize_keep_aspect(full, **params)
-            else:
-                image = resize_fixed(full, **params)
         th, tw = image.shape[:2]
         ch, cw = self.canvas_size
         if th > ch or tw > cw:  # canvas chosen from resizer, shouldn't happen
@@ -247,9 +295,11 @@ def batches(
     seed: int = 0,
     epochs: Optional[int] = None,
     drop_remainder: bool = True,
+    decode_threads: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Host batch iterator (shuffled each epoch with a fixed seed —
-    deterministic data order, SURVEY.md §6.2)."""
+    deterministic data order, SURVEY.md §6.2). decode_threads > 0 decodes
+    each batch's JPEGs through the native GIL-free thread pool."""
     rng = np.random.RandomState(seed)
     epoch = 0
     n = len(dataset)
@@ -261,7 +311,11 @@ def batches(
                 if drop_remainder:
                     break
                 idx = np.concatenate([idx, order[: batch_size - len(idx)]])
-            yield _collate([dataset.get(int(i)) for i in idx])
+            if decode_threads > 0:
+                samples = dataset.get_batch(idx, decode_threads)
+            else:
+                samples = [dataset.get(int(i)) for i in idx]
+            yield _collate(samples)
         epoch += 1
 
 

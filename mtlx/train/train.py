@@ -96,6 +96,9 @@ def parse_args(argv=None):
     p.add_argument("--deterministic", action="store_true",
                    help="fixed data order + PRNG keys (always true for the "
                         "PRNG; this additionally disables shuffling)")
+    p.add_argument("--decode_threads", type=int, default=0,
+                   help=">0 decodes each batch's JPEGs through the native "
+                        "GIL-free thread pool (mtlx/data/_imgcodec.cc)")
     p.add_argument("--grain_workers", type=int, default=0,
                    help=">0 uses the grain multiprocess loader with this "
                         "many workers (production host input parallelism)")
@@ -234,7 +237,8 @@ def main(argv=None):
             )
         )
     else:
-        host_iter = batches(dataset, batch_size, shuffle=shuffle, seed=args.seed)
+        host_iter = batches(dataset, batch_size, shuffle=shuffle,
+                            seed=args.seed, decode_threads=args.decode_threads)
     data_iter = device_prefetch(
         host_iter,
         sharding=mesh_lib.batch_sharding(mesh),

@@ -134,3 +134,56 @@ def test_loader_native_path_matches_pil_path(tmp_path, monkeypatch):
         native["image"].astype(int) - pil["image"].astype(int)
     ).mean()
     assert diff < 4.0, diff
+
+
+def test_get_batch_matches_get(tmp_path):
+    from mtlx.data import tfrecord
+    from mtlx.data.example_decoder import build_example
+
+    record = str(tmp_path / "b.record")
+    with tfrecord.TFRecordWriter(record) as w:
+        for i in range(5):
+            arr = _smooth(100 + 10 * i, 140, seed=i)
+            boxes = np.asarray([[0.1, 0.1, 0.8, 0.8]], np.float32)
+            ex = build_example(
+                _jpeg(arr), b"jpeg", arr.shape[0], 140, f"{i}.jpg",
+                boxes, [1], ["a"],
+            )
+            w.write(ex.SerializeToString())
+    ds = loader_lib.DetectionDataset(
+        [record], canvas_size=(96, 96),
+        resizer=("keep_aspect", {"min_dimension": 64, "max_dimension": 96}),
+        max_boxes=4,
+    )
+    singles = [ds.get(i) for i in range(5)]
+    batched = ds.get_batch(list(range(5)), decode_threads=3)
+    for a, b in zip(singles, batched):
+        assert set(a) == set(b)
+        for k in a:
+            if k == "source_id":
+                assert a[k] == b[k]
+            else:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_batches_with_decode_threads(tmp_path):
+    from mtlx.data import tfrecord
+    from mtlx.data.example_decoder import build_example
+
+    record = str(tmp_path / "c.record")
+    with tfrecord.TFRecordWriter(record) as w:
+        for i in range(4):
+            arr = _smooth(80, 80, seed=i)
+            ex = build_example(
+                _jpeg(arr), b"jpeg", 80, 80, f"{i}.jpg",
+                np.asarray([[0.2, 0.2, 0.6, 0.6]], np.float32), [1], ["a"],
+            )
+            w.write(ex.SerializeToString())
+    ds = loader_lib.DetectionDataset(
+        [record], canvas_size=(64, 64),
+        resizer=("fixed", {"height": 64, "width": 64}), max_boxes=4,
+    )
+    b0 = next(loader_lib.batches(ds, 4, shuffle=False, decode_threads=2))
+    b1 = next(loader_lib.batches(ds, 4, shuffle=False, decode_threads=0))
+    np.testing.assert_array_equal(b0["image"], b1["image"])
+    np.testing.assert_array_equal(b0["gt_boxes"], b1["gt_boxes"])
