@@ -68,9 +68,16 @@ def evaluate_checkpoint(model, state, dataset, eval_config, categories,
     from mtlx.utils import visualization_utils as viz
     from mtlx.utils.label_map_util import create_category_index
 
-    evaluators = build_evaluators(eval_config, categories)
+    ignore_gt = eval_config.ignore_groundtruth
+    evaluators = [] if ignore_gt else build_evaluators(eval_config, categories)
     category_index = create_category_index(categories)
-    num_viz = eval_config.num_visualizations if writer is not None else 0
+    viz_dir = eval_config.visualization_export_dir
+    num_viz = (
+        eval_config.num_visualizations if (writer is not None or viz_dir) else 0
+    )
+    if viz_dir:
+        os.makedirs(viz_dir, exist_ok=True)
+    detections_export = [] if eval_config.export_path else None
     eval_step = jax.jit(make_eval_step(model))
     num = min(
         eval_config.num_examples or len(dataset), len(dataset)
@@ -115,6 +122,15 @@ def evaluate_checkpoint(model, state, dataset, eval_config, categories,
                 evaluator.add_single_detected_image_info(
                     s["source_id"], det_info
                 )
+            if detections_export is not None:
+                detections_export.append({
+                    "source_id": s["source_id"],
+                    "detection_boxes": det_info["detection_boxes"].tolist(),
+                    "detection_scores":
+                        det_info["detection_scores"].tolist(),
+                    "detection_classes":
+                        det_info["detection_classes"].tolist(),
+                })
             if done < num_viz:
                 image = np.array(s["image"][:th, :tw], np.uint8, copy=True)
                 viz.visualize_boxes_and_labels_on_image_array(
@@ -132,8 +148,20 @@ def evaluate_checkpoint(model, state, dataset, eval_config, categories,
                     ),
                     min_score_thresh=0.3,
                 )
-                writer.image(f"Detections_Left_Groundtruth_Right/{done}", image, step)
+                if writer is not None:
+                    writer.image(
+                        f"Detections_Left_Groundtruth_Right/{done}", image, step
+                    )
+                if viz_dir:
+                    from PIL import Image as _PILImage
+
+                    _PILImage.fromarray(image).save(os.path.join(
+                        viz_dir, f"export-{step}-{done}.png"
+                    ))
             done += 1
+    if detections_export is not None:
+        with open(eval_config.export_path, "w") as f:
+            json.dump(detections_export, f)
     metrics = {}
     for evaluator in evaluators:
         metrics.update(evaluator.evaluate())

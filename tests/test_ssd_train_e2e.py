@@ -158,6 +158,57 @@ def test_ssd_train_eval_export(workdir, capsys):
     assert (b >= -1e-5).all() and (b <= 1 + 1e-5).all()
 
 
+def test_eval_export_knobs(workdir, capsys):
+    """eval_config.visualization_export_dir / export_path /
+    ignore_groundtruth are honored (reference eval_util behavior), using
+    the checkpoint trained above."""
+    import os
+
+    from mtlx.eval import eval as eval_cli
+
+    base = open(workdir["config"]).read()
+    viz_dir = str(workdir["tmp"] / "vizout")
+    export_path = str(workdir["tmp"] / "detections.json")
+    cfg2 = base.replace(
+        "eval_config { num_examples: 4 }",
+        'eval_config { num_examples: 2 num_visualizations: 2\n'
+        f'  visualization_export_dir: "{viz_dir}"\n'
+        f'  export_path: "{export_path}" }}',
+    )
+    assert cfg2 != base
+    cfg2_path = str(workdir["tmp"] / "pipeline_export.config")
+    open(cfg2_path, "w").write(cfg2)
+    eval_cli.main(
+        ["--pipeline_config_path", cfg2_path,
+         "--checkpoint_dir", str(workdir["tmp"] / "train"),
+         "--eval_dir", str(workdir["tmp"] / "eval2"), "--run_once"]
+    )
+    out = capsys.readouterr().out
+    assert "Precision/mAP@0.5IOU" in out
+    pngs = os.listdir(viz_dir)
+    assert len(pngs) == 2 and all(p.endswith(".png") for p in pngs)
+    dets = json.load(open(export_path))
+    assert len(dets) == 2
+    assert {"source_id", "detection_boxes", "detection_scores",
+            "detection_classes"} <= set(dets[0])
+
+    # ignore_groundtruth: detections/visualizations without metrics
+    cfg3 = base.replace(
+        "eval_config { num_examples: 4 }",
+        "eval_config { num_examples: 2 ignore_groundtruth: true }",
+    )
+    cfg3_path = str(workdir["tmp"] / "pipeline_nogt.config")
+    open(cfg3_path, "w").write(cfg3)
+    eval_cli.main(
+        ["--pipeline_config_path", cfg3_path,
+         "--checkpoint_dir", str(workdir["tmp"] / "train"),
+         "--eval_dir", str(workdir["tmp"] / "eval3"), "--run_once"]
+    )
+    out = capsys.readouterr().out
+    assert "Precision/mAP@0.5IOU" not in out
+    assert "eval/images_per_sec" in out
+
+
 def test_ssd_predictor_depth_knobs_change_params(workdir):
     """num_layers_before_predictor/min_depth create the intermediate conv
     (builder-knob-changes-behavior test, VERDICT round-1 item 3)."""
