@@ -32,15 +32,39 @@ _FIELD_MAPS = {
     "ssd_random_crop_fixed_aspect_ratio": ("aspect_ratio",),
     "random_rotation90": (),
     "random_image_scale": ("min_scale_ratio", "max_scale_ratio"),
-    "random_pad_image": (),
+    "random_pad_image": (
+        "min_image_height", "min_image_width",
+        "max_image_height", "max_image_width", "pad_color",
+    ),
     "random_crop_pad_image": (
         "min_object_covered", "min_aspect_ratio", "max_aspect_ratio",
         "min_area", "max_area", "overlap_thresh", "random_coef",
+        "min_padded_size_ratio", "max_padded_size_ratio", "pad_color",
     ),
     "random_crop_to_aspect_ratio": ("aspect_ratio", "overlap_thresh"),
     "random_resize_method": ("target_height", "target_width"),
+    "resize_image": ("new_height", "new_width", "method"),
     "scale_boxes_to_pixel_coordinates": (),
 }
+
+_SSD_OP_CROP_FIELDS = (
+    "min_object_covered", "min_aspect_ratio", "max_aspect_ratio",
+    "min_area", "max_area", "overlap_thresh", "random_coef",
+)
+
+
+def _ssd_operations(sub, with_pad: bool):
+    """SSDRandomCrop*.operations -> tuple of per-branch kwargs dicts
+    (empty tuple = the preprocessor's default 7-way schedule)."""
+    ops = []
+    for op in sub.operations:
+        d = {f: getattr(op, f) for f in _SSD_OP_CROP_FIELDS}
+        if with_pad:
+            d["min_padded_size_ratio"] = tuple(op.min_padded_size_ratio)
+            d["max_padded_size_ratio"] = tuple(op.max_padded_size_ratio)
+            d["pad_color"] = (op.pad_color_r, op.pad_color_g, op.pad_color_b)
+        ops.append(d)
+    return tuple(ops)
 
 
 def build_step(step_proto) -> Tuple[str, dict]:
@@ -59,6 +83,10 @@ def build_step(step_proto) -> Tuple[str, dict]:
         if hasattr(value, "__len__") and not isinstance(value, str):
             value = tuple(value)
         kwargs[field] = value
+    if which in ("ssd_random_crop", "ssd_random_crop_fixed_aspect_ratio"):
+        kwargs["operations"] = _ssd_operations(sub, with_pad=False)
+    elif which == "ssd_random_crop_pad":
+        kwargs["operations"] = _ssd_operations(sub, with_pad=True)
     return which, kwargs
 
 

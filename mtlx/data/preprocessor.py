@@ -247,11 +247,15 @@ def random_rotation90(rng, sample, probability: float = 0.5):
     return out
 
 
-def _resample_scaled(img, sy, sx):
-    """out[i, j] = bilinear(in, i / sy, j / sx) on the fixed canvas."""
+def _resample_scaled(img, sy, sx, method: str = "bilinear"):
+    """out[i, j] = interp(in, i / sy, j / sx) on the fixed canvas."""
     H, W = img.shape[0], img.shape[1]
     ys = jnp.arange(H, dtype=jnp.float32) / sy
     xs = jnp.arange(W, dtype=jnp.float32) / sx
+    if method == "nearest":
+        yn = jnp.clip(jnp.round(ys).astype(jnp.int32), 0, H - 1)
+        xn = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, W - 1)
+        return img[yn][:, xn]
     y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 1)
     x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 1)
     y1 = jnp.clip(y0 + 1, 0, H - 1)
@@ -291,23 +295,49 @@ def random_image_scale(rng, sample, min_scale_ratio: float = 0.5,
 
 
 def random_pad_image(rng, sample, min_image_height=0, min_image_width=0,
-                     max_image_height=0, max_image_width=0, pad_color=()):
+                     max_image_height=0, max_image_width=0, pad_color=(),
+                     min_size_ratio=(), max_size_ratio=()):
     """Grow the true region by padding above/left of the content (the
     reference pads to a random larger size; on the fixed canvas the true
-    region expands toward the canvas bounds)."""
+    region expands toward the canvas bounds).
+
+    min/max_image_height/width bound the padded size absolutely;
+    min/max_size_ratio (the reference's *_padded_size_ratio, [h, w]) bound
+    it as multiples of the current true size. All bounds are clamped to
+    the static canvas."""
     img = sample["image"]
     H, W = img.shape[0], img.shape[1]
     th = sample["true_shape"][0]
     tw = sample["true_shape"][1]
+    min_h = jnp.maximum(th, jnp.asarray(min_image_height, jnp.int32))
+    min_w = jnp.maximum(tw, jnp.asarray(min_image_width, jnp.int32))
     max_h = jnp.asarray(max_image_height or H, jnp.int32)
     max_w = jnp.asarray(max_image_width or W, jnp.int32)
+    if len(min_size_ratio) == 2:
+        min_h = jnp.maximum(
+            min_h, jnp.ceil(min_size_ratio[0] * th).astype(jnp.int32)
+        )
+        min_w = jnp.maximum(
+            min_w, jnp.ceil(min_size_ratio[1] * tw).astype(jnp.int32)
+        )
+    if len(max_size_ratio) == 2:
+        max_h = jnp.minimum(
+            max_h, jnp.floor(max_size_ratio[0] * th).astype(jnp.int32)
+        )
+        max_w = jnp.minimum(
+            max_w, jnp.floor(max_size_ratio[1] * tw).astype(jnp.int32)
+        )
     r1, r2, r3, r4 = jax.random.split(rng, 4)
     new_h = jnp.clip(
-        jax.random.randint(r1, (), 0, H + 1), th, jnp.minimum(max_h, H)
+        jax.random.randint(r1, (), 0, H + 1),
+        jnp.minimum(min_h, H), jnp.maximum(jnp.minimum(max_h, H), min_h),
     )
+    new_h = jnp.minimum(new_h, H)
     new_w = jnp.clip(
-        jax.random.randint(r2, (), 0, W + 1), tw, jnp.minimum(max_w, W)
+        jax.random.randint(r2, (), 0, W + 1),
+        jnp.minimum(min_w, W), jnp.maximum(jnp.minimum(max_w, W), min_w),
     )
+    new_w = jnp.minimum(new_w, W)
     top = jax.random.randint(r3, (), 0, H) % jnp.maximum(new_h - th, 1)
     left = jax.random.randint(r4, (), 0, W) % jnp.maximum(new_w - tw, 1)
     fill = jnp.asarray(pad_color if len(pad_color) == 3 else (0.0, 0.0, 0.0),
@@ -348,32 +378,98 @@ def random_crop_pad_image(rng, sample, min_object_covered=1.0,
         r1, sample, min_object_covered, min_aspect_ratio, max_aspect_ratio,
         min_area, max_area, overlap_thresh, random_coef,
     )
-    return random_pad_image(r2, s, pad_color=tuple(pad_color))
+    return random_pad_image(
+        r2, s, pad_color=tuple(pad_color),
+        min_size_ratio=tuple(min_padded_size_ratio),
+        max_size_ratio=tuple(max_padded_size_ratio),
+    )
+
+
+# The reference's 7-branch SSD patch-sampling schedule: keep the image, or
+# crop requiring min-IoU with some groundtruth box in {.1,.3,.5,.7,.9,any}.
+_SSD_DEFAULT_OPERATIONS = tuple(
+    dict(min_object_covered=t, min_aspect_ratio=0.5, max_aspect_ratio=2.0,
+         min_area=0.1, max_area=1.0, overlap_thresh=t, random_coef=0.0)
+    for t in (0.1, 0.3, 0.5, 0.7, 0.9, 0.0)
+)
+
+_CROP_KEYS = ("min_object_covered", "min_aspect_ratio", "max_aspect_ratio",
+              "min_area", "max_area", "overlap_thresh", "random_coef")
+
+
+def _ssd_branches(rng, operations, keep_branch, make_branch):
+    """Uniform lax.switch over per-operation crop branches (+ an implicit
+    keep-the-image branch when using the default schedule, matching the
+    reference's 1-in-7 identity arm)."""
+    branches = [make_branch(op) for op in operations]
+    if keep_branch:
+        branches = [lambda s: s] + branches
+    rng_pick, rng_crop = jax.random.split(rng)
+    idx = jax.random.randint(rng_pick, (), 0, len(branches))
+    return branches, idx, rng_crop
+
+
+def ssd_random_crop(rng, sample, operations=()):
+    """Classic SSD patch sampling (reference ssd_random_crop): uniformly
+    pick one of the configured operations (default: the standard 7-way
+    schedule). Implemented as a lax.switch over jitted random_crop_image
+    branches (static shapes)."""
+    keep = not operations
+    ops = tuple(operations) or _SSD_DEFAULT_OPERATIONS
+
+    def make_branch(op):
+        kw = {k: op[k] for k in _CROP_KEYS if k in op}
+
+        def fn(s):
+            return random_crop_image(rng_crop, s, **kw)
+        return fn
+
+    branches, idx, rng_crop = _ssd_branches(rng, ops, keep, make_branch)
+    return jax.lax.switch(idx, branches, sample)
 
 
 def ssd_random_crop_pad(rng, sample, operations=()):
-    r1, r2 = jax.random.split(rng)
-    from_crop = ssd_random_crop(r1, sample, operations)
-    return random_pad_image(r2, from_crop)
+    """Crop-then-pad per the configured operations; each operation carries
+    its own pad-size ratios and pad color (reference ssd_random_crop_pad)."""
+    keep = not operations
+    ops = tuple(operations) or _SSD_DEFAULT_OPERATIONS
+
+    def make_branch(op):
+        kw = {k: op[k] for k in _CROP_KEYS if k in op}
+        pad_kw = dict(
+            pad_color=tuple(op.get("pad_color", ())),
+            min_size_ratio=tuple(op.get("min_padded_size_ratio", ())),
+            max_size_ratio=tuple(op.get("max_padded_size_ratio", ())),
+        )
+
+        def fn(s):
+            r1, r2 = jax.random.split(rng_crop)
+            return random_pad_image(r2, random_crop_image(r1, s, **kw),
+                                    **pad_kw)
+        return fn
+
+    branches, idx, rng_crop = _ssd_branches(rng, ops, keep, make_branch)
+    return jax.lax.switch(idx, branches, sample)
 
 
 def ssd_random_crop_fixed_aspect_ratio(rng, sample, operations=(),
                                        aspect_ratio: float = 1.0):
-    rng_pick, rng_crop = jax.random.split(rng)
-    branch = jax.random.randint(rng_pick, (), 0, 7)
+    """ssd_random_crop with every branch's aspect ratio forced to the
+    configured value (reference ssd_random_crop_fixed_aspect_ratio)."""
+    keep = not operations
+    ops = tuple(operations) or _SSD_DEFAULT_OPERATIONS
 
-    def make_branch(thresh):
+    def make_branch(op):
+        kw = {k: op[k] for k in _CROP_KEYS if k in op}
+        kw["min_aspect_ratio"] = aspect_ratio
+        kw["max_aspect_ratio"] = aspect_ratio
+
         def fn(s):
-            return random_crop_image(
-                rng_crop, s, min_object_covered=thresh,
-                min_aspect_ratio=aspect_ratio,
-                max_aspect_ratio=aspect_ratio, min_area=0.1, max_area=1.0,
-                overlap_thresh=thresh,
-            )
+            return random_crop_image(rng_crop, s, **kw)
         return fn
 
-    branches = [lambda s: s] + [make_branch(t) for t in (0.1, 0.3, 0.5, 0.7, 0.9, 0.0)]
-    return jax.lax.switch(branch, branches, sample)
+    branches, idx, rng_crop = _ssd_branches(rng, ops, keep, make_branch)
+    return jax.lax.switch(idx, branches, sample)
 
 
 def random_resize_method(rng, sample, target_height: int, target_width: int):
@@ -389,6 +485,36 @@ def random_resize_method(rng, sample, target_height: int, target_width: int):
     scaled = _resample_scaled(img, sy, sx)
     new_h = jnp.minimum(target_height, H)
     new_w = jnp.minimum(target_width, W)
+    rows = jnp.arange(H)[:, None, None]
+    cols = jnp.arange(W)[None, :, None]
+    inside = (rows < new_h) & (cols < new_w)
+    out = dict(sample)
+    out["image"] = jnp.where(inside, scaled, 0.0)
+    out["boxes"] = sample["boxes"] * jnp.stack([sy, sx, sy, sx])
+    out["true_shape"] = jnp.asarray([new_h, new_w], sample["true_shape"].dtype)
+    return out
+
+
+def resize_image(rng, sample, new_height: int = 0, new_width: int = 0,
+                 method: int = 3):
+    """Deterministic resize of the true region to (new_height, new_width)
+    on the static canvas (reference preprocessor.resize_image). `method`
+    follows the ResizeImage proto enum: 1 AREA, 2 BICUBIC, 3 BILINEAR,
+    4 NEAREST_NEIGHBOR. AREA/BICUBIC are computed as bilinear (documented
+    approximation on the fixed canvas); NEAREST is exact."""
+    del rng
+    if not new_height or not new_width:
+        raise ValueError("resize_image requires new_height and new_width")
+    th = sample["true_shape"][0].astype(jnp.float32)
+    tw = sample["true_shape"][1].astype(jnp.float32)
+    img = sample["image"]
+    H, W = img.shape[0], img.shape[1]
+    sy = jnp.minimum(new_height / th, H / th)
+    sx = jnp.minimum(new_width / tw, W / tw)
+    kind = "nearest" if method == 4 else "bilinear"
+    scaled = _resample_scaled(img, sy, sx, method=kind)
+    new_h = min(new_height, H)
+    new_w = min(new_width, W)
     rows = jnp.arange(H)[:, None, None]
     cols = jnp.arange(W)[None, :, None]
     inside = (rows < new_h) & (cols < new_w)
@@ -544,34 +670,6 @@ def random_black_patches(rng, sample, max_black_patches=10, probability=0.5,
     return out
 
 
-def ssd_random_crop(rng, sample, operations=()):
-    """Classic SSD patch sampling (reference ssd_random_crop): uniformly
-    pick one of 7 strategies — keep the image, or crop with a minimum
-    object coverage in {0.1, 0.3, 0.5, 0.7, 0.9, any}. Implemented as a
-    lax.switch over jitted random_crop_image branches (static shapes)."""
-    del operations  # the standard 7-way schedule; custom ops use random_crop_image
-    rng_pick, rng_crop = jax.random.split(rng)
-    branch = jax.random.randint(rng_pick, (), 0, 7)
-
-    def make_branch(thresh):
-        def fn(s):
-            # the per-branch value constrains window SAMPLING
-            # (min_object_covered, as in the SSD paper / reference) and is
-            # also the post-hoc IoA keep threshold (the reference pairs
-            # min_object_covered with overlap_thresh of the same value)
-            return random_crop_image(
-                rng_crop, s,
-                min_object_covered=thresh,
-                min_aspect_ratio=0.5, max_aspect_ratio=2.0,
-                min_area=0.1, max_area=1.0,
-                overlap_thresh=thresh, random_coef=0.0,
-            )
-        return fn
-
-    branches = [lambda s: s] + [make_branch(t) for t in (0.1, 0.3, 0.5, 0.7, 0.9, 0.0)]
-    return jax.lax.switch(branch, branches, sample)
-
-
 def subtract_channel_mean(rng, sample, means=(0.0, 0.0, 0.0)):
     out = dict(sample)
     out["image"] = sample["image"] - jnp.asarray(means)
@@ -604,6 +702,7 @@ TRANSFORMS: Dict[str, Callable] = {
     "random_crop_pad_image": random_crop_pad_image,
     "random_crop_to_aspect_ratio": random_crop_to_aspect_ratio,
     "random_resize_method": random_resize_method,
+    "resize_image": resize_image,
     "scale_boxes_to_pixel_coordinates": scale_boxes_to_pixel_coordinates,
     "random_black_patches": random_black_patches,
     "subtract_channel_mean": subtract_channel_mean,

@@ -201,6 +201,68 @@ def test_preprocessor_builder():
     assert steps[1][1]["max_delta"] == pytest.approx(0.1)
 
 
+def test_preprocessor_builder_threads_crop_pad_knobs():
+    """Per-branch SSD crop operations, pad knobs, and resize_image reach
+    the transform kwargs (previously parsed-but-dropped config surface)."""
+    from mtlx.builders import preprocessor_builder
+    from mtlx.config.protos import preprocessor_pb2
+
+    step = preprocessor_pb2.PreprocessingStep()
+    text_format.Parse(
+        """ssd_random_crop {
+             operations { min_object_covered: 0.25 min_aspect_ratio: 0.6
+                          max_aspect_ratio: 1.4 min_area: 0.2 max_area: 0.8
+                          overlap_thresh: 0.25 random_coef: 0.15 }
+             operations { min_object_covered: 0.75 min_aspect_ratio: 1.0
+                          max_aspect_ratio: 1.0 min_area: 0.5 max_area: 1.0
+                          overlap_thresh: 0.75 random_coef: 0.0 }
+           }""", step)
+    name, kwargs = preprocessor_builder.build_step(step)
+    assert name == "ssd_random_crop" and len(kwargs["operations"]) == 2
+    assert kwargs["operations"][0]["min_object_covered"] == pytest.approx(0.25)
+    assert kwargs["operations"][1]["overlap_thresh"] == pytest.approx(0.75)
+
+    step = preprocessor_pb2.PreprocessingStep()
+    text_format.Parse(
+        """ssd_random_crop_pad {
+             operations { min_object_covered: 0.5 min_aspect_ratio: 0.5
+                          max_aspect_ratio: 2.0 min_area: 0.3 max_area: 1.0
+                          overlap_thresh: 0.5 random_coef: 0.1
+                          min_padded_size_ratio: 1.0 min_padded_size_ratio: 1.0
+                          max_padded_size_ratio: 2.0 max_padded_size_ratio: 2.0
+                          pad_color_r: 0.3 pad_color_g: 0.6 pad_color_b: 0.9 }
+           }""", step)
+    _, kwargs = preprocessor_builder.build_step(step)
+    op = kwargs["operations"][0]
+    assert op["max_padded_size_ratio"] == (2.0, 2.0)
+    assert op["pad_color"] == pytest.approx((0.3, 0.6, 0.9))
+
+    step = preprocessor_pb2.PreprocessingStep()
+    text_format.Parse(
+        """random_pad_image { min_image_height: 20 min_image_width: 10
+                              max_image_height: 40 max_image_width: 30
+                              pad_color: 1.0 pad_color: 2.0 pad_color: 3.0 }""",
+        step)
+    _, kwargs = preprocessor_builder.build_step(step)
+    assert kwargs["min_image_height"] == 20
+    assert kwargs["pad_color"] == (1.0, 2.0, 3.0)
+
+    step = preprocessor_pb2.PreprocessingStep()
+    text_format.Parse(
+        """random_crop_pad_image { min_padded_size_ratio: 1.5
+                                   min_padded_size_ratio: 1.5 }""", step)
+    _, kwargs = preprocessor_builder.build_step(step)
+    assert kwargs["min_padded_size_ratio"] == (1.5, 1.5)
+
+    step = preprocessor_pb2.PreprocessingStep()
+    text_format.Parse(
+        "resize_image { new_height: 64 new_width: 48 method: NEAREST_NEIGHBOR }",
+        step)
+    name, kwargs = preprocessor_builder.build_step(step)
+    assert name == "resize_image"
+    assert kwargs == {"new_height": 64, "new_width": 48, "method": 4}
+
+
 def test_config_save_roundtrip(tmp_path):
     configs = _parse(MINI_CONFIG)
     pipeline = config_util.create_pipeline_proto_from_configs(configs)

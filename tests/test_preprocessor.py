@@ -197,9 +197,78 @@ def test_all_declared_transforms_run():
     s = make_sample()
     for i, name in enumerate(sorted(preprocessor.TRANSFORMS)):
         fn = preprocessor.TRANSFORMS[name]
-        if name == "random_resize_method":
+        if name in ("random_resize_method", "resize_image"):
             out = fn(jax.random.PRNGKey(i), s, 16, 16)
         else:
             out = fn(jax.random.PRNGKey(i), s)
         assert out["image"].shape == s["image"].shape, name
         assert np.isfinite(np.asarray(out["boxes"])).all(), name
+
+
+def test_ssd_random_crop_honors_operations():
+    """A single operation with random_coef=1 forces the keep-original arm
+    every draw — proves .operations replaces the default 7-way schedule
+    (which crops with probability 6/7 per draw)."""
+    op = dict(min_object_covered=0.0, min_aspect_ratio=1.0,
+              max_aspect_ratio=1.0, min_area=0.5, max_area=0.5,
+              overlap_thresh=0.0, random_coef=1.0)
+    s = make_sample()
+    crops = 0
+    for i in range(12):
+        out = preprocessor.ssd_random_crop(
+            jax.random.PRNGKey(i), s, operations=(op,)
+        )
+        np.testing.assert_allclose(out["image"], s["image"])
+        np.testing.assert_allclose(out["boxes"], s["boxes"])
+        # default schedule must crop at least once over 12 seeds
+        dflt = preprocessor.ssd_random_crop(jax.random.PRNGKey(i), s)
+        crops += int(not np.allclose(dflt["image"], s["image"]))
+    assert crops > 0
+
+
+def test_ssd_random_crop_pad_operation_pad_color():
+    """ssd_random_crop_pad threads per-operation pad colors into the
+    padded region."""
+    op = dict(min_object_covered=0.0, min_aspect_ratio=1.0,
+              max_aspect_ratio=1.0, min_area=1.0, max_area=1.0,
+              overlap_thresh=0.0, random_coef=1.0,  # keep-original crop arm
+              min_padded_size_ratio=(2.0, 2.0),
+              max_padded_size_ratio=(2.0, 2.0),
+              pad_color=(7.0, 8.0, 9.0))
+    s = make_sample(th=16, tw=16)
+    out = preprocessor.ssd_random_crop_pad(
+        jax.random.PRNGKey(0), s, operations=(op,)
+    )
+    ts = np.asarray(out["true_shape"])
+    assert ts.tolist() == [32, 32]  # 2x ratio of the 16x16 true region
+    img = np.asarray(out["image"])
+    # some padded pixel carries the configured color
+    assert (img.reshape(-1, 3) == [7.0, 8.0, 9.0]).all(axis=1).any()
+
+
+def test_random_pad_image_min_max_bounds():
+    s = make_sample(th=8, tw=8)
+    for i in range(6):
+        out = preprocessor.random_pad_image(
+            jax.random.PRNGKey(i), s,
+            min_image_height=20, min_image_width=12,
+            max_image_height=24, max_image_width=16,
+        )
+        th, tw = np.asarray(out["true_shape"]).tolist()
+        assert 20 <= th <= 24 and 12 <= tw <= 16
+
+
+def test_resize_image_deterministic_and_nearest():
+    s = make_sample()
+    out = preprocessor.resize_image(None, s, 16, 24)
+    assert np.asarray(out["true_shape"]).tolist() == [16, 24]
+    np.testing.assert_allclose(
+        out["boxes"], np.asarray(s["boxes"]) * [0.5, 0.75, 0.5, 0.75]
+    )
+    near = preprocessor.resize_image(None, s, 16, 16, method=4)
+    img = np.asarray(near["image"])[:16, :16]
+    assert set(np.unique(img)) <= {0.0, 255.0}  # nearest keeps exact values
+    import pytest
+
+    with pytest.raises(ValueError):
+        preprocessor.resize_image(None, s, 0, 16)
