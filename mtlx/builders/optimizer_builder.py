@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import optax
 
-from mtlx.train.train_step import make_optimizer
+from mtlx.train.train_step import freeze_transform, make_optimizer
 
 
 def build_learning_rate(lr_proto):
@@ -57,6 +57,7 @@ def build(optimizer_proto, train_config=None):
     kind = optimizer_proto.WhichOneof("optimizer")
     clip = train_config.gradient_clipping_by_norm if train_config else 0.0
     bias_mult = train_config.bias_grad_multiplier if train_config else 0.0
+    freeze = tuple(train_config.freeze_variables) if train_config else ()
     ema_decay = (
         optimizer_proto.moving_average_decay
         if optimizer_proto.use_moving_average
@@ -71,26 +72,29 @@ def build(optimizer_proto, train_config=None):
             momentum=p.momentum_optimizer_value,
             gradient_clipping_by_norm=clip,
             bias_grad_multiplier=bias_mult,
+            freeze_variables=freeze,
         )
         return tx, lr, ema_decay
+
+    def _chain(inner):
+        chain = []
+        frozen = freeze_transform(freeze)
+        if frozen is not None:
+            chain.append(frozen)
+        if clip:
+            chain.append(optax.clip_by_global_norm(clip))
+        chain.append(inner)
+        return optax.chain(*chain)
+
     if kind == "rms_prop_optimizer":
         p = optimizer_proto.rms_prop_optimizer
         lr = build_learning_rate(p.learning_rate)
-        chain = []
-        if clip:
-            chain.append(optax.clip_by_global_norm(clip))
-        chain.append(
-            optax.rmsprop(
-                lr, decay=p.decay, eps=p.epsilon, momentum=p.momentum_optimizer_value
-            )
-        )
-        return optax.chain(*chain), lr, ema_decay
+        return _chain(optax.rmsprop(
+            lr, decay=p.decay, eps=p.epsilon,
+            momentum=p.momentum_optimizer_value,
+        )), lr, ema_decay
     if kind == "adam_optimizer":
         p = optimizer_proto.adam_optimizer
         lr = build_learning_rate(p.learning_rate)
-        chain = []
-        if clip:
-            chain.append(optax.clip_by_global_norm(clip))
-        chain.append(optax.adam(lr))
-        return optax.chain(*chain), lr, ema_decay
+        return _chain(optax.adam(lr)), lr, ema_decay
     raise ValueError(f"unknown optimizer {kind!r}")

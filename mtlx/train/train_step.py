@@ -86,17 +86,38 @@ def make_regularization_fn(scopes) -> Optional[Callable]:
     return reg_fn
 
 
+def freeze_transform(patterns) -> Optional[optax.GradientTransformation]:
+    """train_config.freeze_variables: zero the updates of every param
+    whose '/'-joined path matches one of the regex patterns (reference
+    variables_helper.freeze_gradients_matching_regex — applied to the
+    gradients before clipping, so frozen params neither move nor
+    contribute to the clip norm)."""
+    import re
+
+    patterns = [p for p in (patterns or []) if p]
+    if not patterns:
+        return None
+    compiled = [re.compile(p) for p in patterns]
+
+    def mask(params):
+        def hit(path, _):
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            return any(c.search(name) for c in compiled)
+        return jax.tree_util.tree_map_with_path(hit, params)
+
+    return optax.masked(optax.set_to_zero(), mask)
+
+
 def make_optimizer(
     learning_rate: Any = 1e-3,
     momentum: float = 0.9,
     gradient_clipping_by_norm: float = 10.0,
     bias_grad_multiplier: float = 0.0,
+    freeze_variables=(),
 ) -> optax.GradientTransformation:
-    """Momentum SGD + grad clip (+ optional bias gradient multiplier),
-    mirroring the reference train_config knobs."""
+    """Momentum SGD + grad clip (+ optional bias gradient multiplier and
+    frozen-variable patterns), mirroring the reference train_config knobs."""
     chain = []
-    if gradient_clipping_by_norm and gradient_clipping_by_norm > 0:
-        chain.append(optax.clip_by_global_norm(gradient_clipping_by_norm))
     if bias_grad_multiplier and bias_grad_multiplier > 0:
         def bias_mask(params):
             return jax.tree_util.tree_map_with_path(
@@ -110,6 +131,11 @@ def make_optimizer(
                 optax.scale(bias_grad_multiplier), bias_mask
             )
         )
+    frozen = freeze_transform(freeze_variables)
+    if frozen is not None:
+        chain.append(frozen)
+    if gradient_clipping_by_norm and gradient_clipping_by_norm > 0:
+        chain.append(optax.clip_by_global_norm(gradient_clipping_by_norm))
     chain.append(optax.sgd(learning_rate, momentum=momentum))
     return optax.chain(*chain)
 

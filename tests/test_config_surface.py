@@ -168,6 +168,46 @@ def test_optimizer_builder_returns_ema_decay():
     assert decay is None
 
 
+def test_freeze_variables_zeroes_matching_updates():
+    """train_config.freeze_variables regexes pin matching params
+    (reference variables_helper.freeze_gradients_matching_regex)."""
+    opt = pipeline_pb2.Optimizer()
+    text_format.Parse(
+        "momentum_optimizer { learning_rate { constant_learning_rate "
+        "{ learning_rate: 0.1 } } momentum_optimizer_value: 0.0 }",
+        opt,
+    )
+    tc = pipeline_pb2.TrainConfig()
+    tc.freeze_variables.append("backbone/conv1")
+    tx, _, _ = optimizer_builder.build(opt, tc)
+    params = {
+        "backbone": {"conv1": {"kernel": jnp.ones(3)},
+                     "conv2": {"kernel": jnp.ones(3)}},
+        "rpn": {"bias": jnp.ones(2)},
+    }
+    grads = jax.tree.map(jnp.ones_like, params)
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    assert np.all(np.asarray(updates["backbone"]["conv1"]["kernel"]) == 0.0)
+    assert np.all(np.asarray(updates["backbone"]["conv2"]["kernel"]) != 0.0)
+    assert np.all(np.asarray(updates["rpn"]["bias"]) != 0.0)
+
+    # no patterns -> no masking wrapper, everything moves
+    tx2, _, _ = optimizer_builder.build(opt, pipeline_pb2.TrainConfig())
+    u2, _ = tx2.update(grads, tx2.init(params), params)
+    assert np.all(np.asarray(u2["backbone"]["conv1"]["kernel"]) != 0.0)
+
+    # adam path honors the same patterns
+    opt2 = pipeline_pb2.Optimizer()
+    text_format.Parse(
+        "adam_optimizer { learning_rate { constant_learning_rate "
+        "{ learning_rate: 0.1 } } }", opt2)
+    tx3, _, _ = optimizer_builder.build(opt2, tc)
+    u3, _ = tx3.update(grads, tx3.init(params), params)
+    assert np.all(np.asarray(u3["backbone"]["conv1"]["kernel"]) == 0.0)
+    assert np.all(np.asarray(u3["rpn"]["bias"]) != 0.0)
+
+
 def test_ema_updates_in_train_step():
     from mtlx.detector.faster_rcnn import FasterRCNN, FasterRCNNConfig
     from mtlx.train.train_step import (
