@@ -203,6 +203,7 @@ def _build_faster_rcnn(fr, is_training: bool, max_gt_boxes: int, dtype):
             anchor_base_size=(float(g.height or 256), float(g.width or 256)),
             rpn_depth=fr.first_stage_box_predictor_depth,
             rpn_kernel_size=rpn_kernel_size,
+            rpn_atrous_rate=fr.first_stage_atrous_rate or 1,
             rpn_conv_initializer=rpn_init,
             first_stage_nms_score_threshold=fr.first_stage_nms_score_threshold,
             first_stage_nms_iou_threshold=fr.first_stage_nms_iou_threshold,
@@ -239,6 +240,7 @@ def _build_faster_rcnn(fr, is_training: bool, max_gt_boxes: int, dtype):
         anchor_base_size=(float(g.height or 256), float(g.width or 256)),
         rpn_depth=fr.first_stage_box_predictor_depth,
         rpn_kernel_size=rpn_kernel_size,
+        rpn_atrous_rate=fr.first_stage_atrous_rate or 1,
         rpn_conv_initializer=rpn_init,
         first_stage_nms_score_threshold=fr.first_stage_nms_score_threshold,
         first_stage_nms_iou_threshold=fr.first_stage_nms_iou_threshold,

@@ -114,6 +114,8 @@ class FasterRCNNConfig:
     # default (lecun_normal)
     rpn_kernel_size: int = 3
     rpn_conv_initializer: Any = None
+    # first_stage_atrous_rate: dilation of the RPN trunk conv
+    rpn_atrous_rate: int = 1
     second_stage_fc_initializer: Any = None
     # optional second-stage hard example mining (reference
     # faster_rcnn.hard_example_miner); None = balanced sampling only
@@ -207,6 +209,7 @@ class FasterRCNNModules(nn.Module):
         self.rpn = box_predictors.RPNHead(
             num_anchors_per_location=num_anchors, depth=c.rpn_depth,
             kernel_size=c.rpn_kernel_size, kernel_init=c.rpn_conv_initializer,
+            atrous_rate=c.rpn_atrous_rate,
             dtype=c.dtype, name="rpn",
         )
         self.box_predictor = box_predictors.MaskRCNNBoxPredictor(

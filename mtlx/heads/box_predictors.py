@@ -36,6 +36,9 @@ class RPNHead(nn.Module):
     depth: int = 512
     kernel_size: int = 3
     kernel_init: Any = None
+    # first_stage_atrous_rate (reference faster_rcnn.proto field 7):
+    # dilation of the kxk RPN trunk conv
+    atrous_rate: int = 1
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -46,6 +49,7 @@ class RPNHead(nn.Module):
         init_kw = {} if self.kernel_init is None else {"kernel_init": self.kernel_init}
         x = nn.relu(
             nn.Conv(self.depth, (k, k), padding="SAME", dtype=self.dtype,
+                    kernel_dilation=(self.atrous_rate, self.atrous_rate),
                     name="conv", **init_kw)(features.astype(self.dtype))
         )
         obj = nn.Conv(2 * a, (1, 1), dtype=self.dtype, name="objectness", **init_kw)(x)

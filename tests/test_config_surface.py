@@ -269,6 +269,32 @@ def test_rpn_kernel_size_and_initializer_reach_head():
     assert 0.001 < kernel.std() < 0.02
 
 
+def test_first_stage_atrous_rate_reaches_rpn():
+    """first_stage_atrous_rate dilates the RPN trunk conv: same param
+    shapes, different receptive field -> different outputs."""
+    from mtlx.heads.box_predictors import RPNHead
+
+    model = model_builder.build(
+        _model_proto(extra="first_stage_atrous_rate: 2"), is_training=True
+    )
+    assert model.cfg.rpn_atrous_rate == 2
+    assert model_builder.build(
+        _model_proto(), is_training=True
+    ).cfg.rpn_atrous_rate == 1
+
+    feats = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+    h1 = RPNHead(num_anchors_per_location=2, depth=8, atrous_rate=1,
+                 dtype=jnp.float32)
+    h2 = RPNHead(num_anchors_per_location=2, depth=8, atrous_rate=2,
+                 dtype=jnp.float32)
+    v1 = h1.init(jax.random.PRNGKey(1), feats)
+    obj1, _ = h1.apply(v1, feats)
+    obj2, _ = h2.apply(v1, feats)  # same params: dilation changes output
+    assert jax.tree.map(lambda a: a.shape, v1) == \
+        jax.tree.map(lambda a: a.shape, h2.init(jax.random.PRNGKey(1), feats))
+    assert not np.allclose(np.asarray(obj1), np.asarray(obj2))
+
+
 def test_fc_initializer_reaches_box_predictor():
     predictor = """
       fc_hyperparams {
