@@ -97,6 +97,11 @@ def evaluate_checkpoint(model, state, dataset, eval_config, categories,
                 k: np.concatenate([v, np.repeat(v[-1:], pad, 0)]) for k, v in batch.items()
             }
         det = jax.device_get(eval_step(state, batch))
+        # eval_config.eval_instance_masks gates mask evaluation /
+        # visualization (reference eval.proto field 12) — masks are
+        # dropped from the results unless enabled
+        if not eval_config.eval_instance_masks:
+            det.pop("detection_masks", None)
         for j, s in enumerate(samples):
             th, tw = s["true_shape"]
             gt_n = int(s["gt_mask"].sum())

@@ -23,11 +23,23 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
-def _manager(directory: str, max_to_keep: int = 5) -> ocp.CheckpointManager:
+def _manager(directory: str, max_to_keep: int = 5,
+             keep_every_n_hours: float = 0.0) -> ocp.CheckpointManager:
+    import datetime
+
+    # train_config.keep_checkpoint_every_n_hours (reference tf.train.Saver
+    # option): checkpoints older than max_to_keep survive pruning at this
+    # time interval.
+    keep_interval = (
+        datetime.timedelta(hours=float(keep_every_n_hours))
+        if keep_every_n_hours else None
+    )
     return ocp.CheckpointManager(
         os.path.abspath(directory),
         options=ocp.CheckpointManagerOptions(
-            max_to_keep=max_to_keep, create=True, enable_async_checkpointing=True
+            max_to_keep=max_to_keep, create=True,
+            keep_time_interval=keep_interval,
+            enable_async_checkpointing=True,
         ),
     )
 
@@ -35,9 +47,10 @@ def _manager(directory: str, max_to_keep: int = 5) -> ocp.CheckpointManager:
 class CheckpointManager:
     """Thin wrapper owning the orbax manager for a train dir."""
 
-    def __init__(self, directory: str, max_to_keep: int = 5):
+    def __init__(self, directory: str, max_to_keep: int = 5,
+                 keep_every_n_hours: float = 0.0):
         self.directory = os.path.abspath(directory)
-        self._mgr = _manager(directory, max_to_keep)
+        self._mgr = _manager(directory, max_to_keep, keep_every_n_hours)
 
     def save(self, step: int, state) -> None:
         self._mgr.save(step, args=ocp.args.StandardSave(_to_pytree(state)))

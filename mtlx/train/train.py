@@ -183,7 +183,10 @@ def main(argv=None):
     state = create_train_state(
         model, jax.random.PRNGKey(args.seed), tx, keep_ema=ema_decay is not None
     )
-    manager = ckpt_lib.CheckpointManager(args.train_dir)
+    manager = ckpt_lib.CheckpointManager(
+        args.train_dir,
+        keep_every_n_hours=train_config.keep_checkpoint_every_n_hours,
+    )
     latest = manager.latest_step()
     if latest is not None:
         state = manager.restore(state)
@@ -227,18 +230,23 @@ def main(argv=None):
     writer = SummaryWriter(args.train_dir)
     rng = jax.random.PRNGKey(args.seed + 1)
     shuffle = input_config.shuffle and not args.deterministic
+    # input_reader.num_epochs: 0 = repeat forever (reference tf.train
+    # string_input_producer semantics); otherwise the run ends when the
+    # dataset is exhausted, even before num_steps.
+    num_epochs = input_config.num_epochs or None
     if args.grain_workers > 0:
         from mtlx.data.grain_loader import make_grain_loader
 
         host_iter = (
             dict(b) for b in make_grain_loader(
                 dataset, batch_size, seed=args.seed, shuffle=shuffle,
-                worker_count=args.grain_workers,
+                worker_count=args.grain_workers, num_epochs=num_epochs,
             )
         )
     else:
         host_iter = batches(dataset, batch_size, shuffle=shuffle,
-                            seed=args.seed, decode_threads=args.decode_threads)
+                            seed=args.seed, decode_threads=args.decode_threads,
+                            epochs=num_epochs)
     data_iter = device_prefetch(
         host_iter,
         sharding=mesh_lib.batch_sharding(mesh),

@@ -124,3 +124,77 @@ def test_iou_threshold_boundary():
     )
     aps, *_ = ev.evaluate()
     np.testing.assert_allclose(aps, [0.0])
+
+
+def test_eval_instance_masks_gates_mask_visualization(monkeypatch, tmp_path):
+    """eval_config.eval_instance_masks controls whether detection_masks
+    participate in evaluation output (reference eval.proto field 12)."""
+    import jax
+
+    from mtlx.config.protos import pipeline_pb2
+    from mtlx.eval import eval as eval_cli
+
+    class StubModel:
+        def preprocess(self, images):
+            return images
+
+        def predict(self, variables, images, true_shape, training=False):
+            return {}
+
+        def postprocess(self, pred, true_shape):
+            b = true_shape.shape[0]
+            return {
+                "detection_boxes": np.tile(
+                    np.asarray([[[0.1, 0.1, 0.5, 0.5]]], np.float32),
+                    (b, 1, 1)),
+                "detection_scores": np.full((b, 1), 0.9, np.float32),
+                "detection_classes": np.zeros((b, 1), np.int32),
+                "num_detections": np.ones((b,), np.int32),
+                "detection_masks": np.ones((b, 1, 8, 8), np.float32),
+            }
+
+    class StubState:
+        params = {}
+        batch_stats = {}
+
+    class StubDataset:
+        def __len__(self):
+            return 1
+
+        def get(self, i):
+            return {
+                "image": np.zeros((16, 16, 3), np.uint8),
+                "true_shape": np.asarray([16, 16]),
+                "gt_boxes": np.asarray([[1.0, 1.0, 8.0, 8.0]], np.float32),
+                "gt_classes": np.asarray([0]),
+                "gt_mask": np.asarray([True]),
+                "gt_difficult": np.asarray([0]),
+                "source_id": f"im{i}",
+            }
+
+    # make_eval_step jits through the stub; run on CPU arrays directly
+    def fake_jit(f=None, **kw):
+        return f if f is not None else (lambda g: g)
+
+    monkeypatch.setattr(jax, "jit", fake_jit)
+    calls = []
+    from mtlx.utils import visualization_utils as viz
+
+    monkeypatch.setattr(
+        viz, "paste_instance_masks",
+        lambda masks, boxes, h, w: calls.append(1)
+        or np.zeros((len(boxes), h, w), np.uint8),
+    )
+    cats = [{"id": 1, "name": "cat"}]
+    for flag, expected in ((False, 0), (True, 1)):
+        ec = pipeline_pb2.EvalConfig()
+        ec.num_examples = 1
+        ec.num_visualizations = 1
+        ec.visualization_export_dir = str(tmp_path / f"viz{int(flag)}")
+        ec.eval_instance_masks = flag
+        calls.clear()
+        m = eval_cli.evaluate_checkpoint(
+            StubModel(), StubState(), StubDataset(), ec, cats
+        )
+        assert len(calls) == expected, flag
+        assert "Precision/mAP@0.5IOU" in m

@@ -209,6 +209,27 @@ def test_eval_export_knobs(workdir, capsys):
     assert "eval/images_per_sec" in out
 
 
+def test_num_epochs_bounds_training(workdir, capsys):
+    """train_input_reader.num_epochs: 1 ends the run when the dataset is
+    exhausted (4 examples / batch 2 = 2 steps), before num_steps: 3."""
+    from mtlx.train import train as train_cli
+
+    base = open(workdir["config"]).read()
+    # first label_map_path occurrence = the train input reader
+    needle = 'label_map_path: "%s"' % str(workdir["tmp"] / "label_map.pbtxt")
+    cfg = base.replace(needle, needle + "\n  num_epochs: 1", 1)
+    assert "num_epochs" in cfg
+    cfg_path = str(workdir["tmp"] / "pipeline_epochs.config")
+    open(cfg_path, "w").write(cfg)
+    train_cli.main(
+        ["--pipeline_config_path", cfg_path,
+         "--train_dir", str(workdir["tmp"] / "train_epochs"),
+         "--log_every", "1"]
+    )
+    out = capsys.readouterr().out
+    assert "[train] done at step 2" in out
+
+
 def test_ssd_predictor_depth_knobs_change_params(workdir):
     """num_layers_before_predictor/min_depth create the intermediate conv
     (builder-knob-changes-behavior test, VERDICT round-1 item 3)."""

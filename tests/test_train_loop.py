@@ -61,3 +61,36 @@ def test_no_aug_options_is_identity():
     batch = _tiny_batch(2)
     out = aug(jax.random.PRNGKey(0), jnp.int32(5), batch)
     assert out is batch
+
+
+def test_batches_epochs_bound(tmp_path):
+    """input_reader.num_epochs: the host iterator stops after the
+    configured number of passes (reference string_input_producer)."""
+    from mtlx.data.loader import batches
+
+    class FakeDataset:
+        def __len__(self):
+            return 5
+
+        def get(self, i):
+            return {
+                "image": np.zeros((4, 4, 3), np.uint8),
+                "true_shape": np.asarray([4, 4]),
+            }
+
+    out = list(batches(FakeDataset(), 2, shuffle=False, epochs=2))
+    assert len(out) == 4  # 2 full batches per epoch (remainder dropped), 2 epochs
+
+
+def test_checkpoint_keep_every_n_hours_option(tmp_path):
+    """train_config.keep_checkpoint_every_n_hours reaches the orbax
+    retention policy (reference tf.train.Saver option)."""
+    import datetime
+
+    from mtlx.train.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "a"), keep_every_n_hours=2.5)
+    opts = mgr._mgr._options
+    assert opts.keep_time_interval == datetime.timedelta(hours=2.5)
+    mgr2 = CheckpointManager(str(tmp_path / "b"))
+    assert mgr2._mgr._options.keep_time_interval is None
