@@ -152,7 +152,14 @@ def build_localization_loss(proto) -> Callable:
 
 
 def build_losses(loss_proto):
-    """Loss proto -> (cls_fn, loc_fn, cls_weight, loc_weight, miner_config)."""
+    """Loss proto -> (cls_fn, loc_fn, cls_weight, loc_weight, miner_config).
+
+    The per-loss `anchorwise_output` flag is accepted for config
+    compatibility but has no effect: it only controlled whether the TF
+    implementation returned a per-anchor tensor instead of a scalar, and
+    mtlx losses are always computed per-anchor and reduced in the
+    meta-arch (the hard-example miner consumes the per-anchor form
+    directly)."""
     cls_fn = build_classification_loss(loss_proto.classification_loss)
     loc_fn = build_localization_loss(loss_proto.localization_loss)
     miner = None

@@ -162,6 +162,13 @@ def _build_faster_rcnn(fr, is_training: bool, max_gt_boxes: int, dtype):
         )
     predict_masks, mask_depth = False, 256
     if predictor_kind == "mask_rcnn_box_predictor":
+        if sp.mask_rcnn_box_predictor.predict_keypoints:
+            # parity with the reference box_predictor, which raises
+            # "Keypoint prediction is unimplemented" for this flag
+            raise ValueError(
+                "predict_keypoints is unimplemented for "
+                "MaskRCNNBoxPredictor (as in the reference)"
+            )
         use_dropout = sp.mask_rcnn_box_predictor.use_dropout
         keep_prob = sp.mask_rcnn_box_predictor.dropout_keep_probability
         predict_masks = sp.mask_rcnn_box_predictor.predict_instance_masks

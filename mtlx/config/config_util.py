@@ -84,3 +84,59 @@ def _set_initial_learning_rate(optimizer, lr: float):
         rate.initial_learning_rate = lr
     elif sched == "cosine_decay_learning_rate":
         rate.learning_rate_base = lr
+
+
+# TF1 queue-runner / parameter-server knobs that have no equivalent in a
+# single-program SPMD input pipeline. They are accepted for config
+# compatibility (the text proto is the public API) and reported as
+# ignored rather than silently dropped.
+_QUEUE_ERA_TRAIN_FIELDS = (
+    "batch_queue_capacity", "num_batch_queue_threads",
+    "prefetch_queue_capacity", "startup_delay_steps",
+    "replicas_to_aggregate",
+)
+_QUEUE_ERA_READER_FIELDS = ("queue_capacity", "min_after_dequeue",
+                            "num_readers")
+_TF1_EVAL_FIELDS = ("save_graph", "eval_master")
+
+
+def compatibility_notes(configs: Dict) -> list:
+    """Human-readable notes for accepted-but-inapplicable TF1-era knobs
+    that are explicitly set in the config. The JAX pipeline replaces queue
+    runners with device prefetch and the PS architecture with synchronous
+    SPMD (== sync_replicas: true semantics)."""
+    notes = []
+    tc = configs.get("train_config")
+    if tc is not None:
+        for f in _QUEUE_ERA_TRAIN_FIELDS:
+            if tc.HasField(f):
+                notes.append(
+                    f"train_config.{f}={getattr(tc, f)} is a TF1 queue/PS "
+                    "knob; the prefetching SPMD input pipeline has no "
+                    "equivalent (ignored)"
+                )
+        if tc.HasField("sync_replicas"):
+            notes.append(
+                f"train_config.sync_replicas={tc.sync_replicas}: training "
+                "is always synchronous data-parallel (psum over the mesh); "
+                "async parameter-server mode does not exist here"
+            )
+    for key in ("train_input_config", "eval_input_config"):
+        rc = configs.get(key)
+        if rc is None:
+            continue
+        for f in _QUEUE_ERA_READER_FIELDS:
+            if rc.HasField(f):
+                notes.append(
+                    f"{key}.{f}={getattr(rc, f)} is a TF1 queue knob; "
+                    "reading is sequential + thread-pooled decode (ignored)"
+                )
+    ec = configs.get("eval_config")
+    if ec is not None:
+        for f in _TF1_EVAL_FIELDS:
+            if ec.HasField(f):
+                notes.append(
+                    f"eval_config.{f} is TF1 graph/cluster machinery with "
+                    "no JAX equivalent (ignored)"
+                )
+    return notes

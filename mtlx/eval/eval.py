@@ -197,6 +197,8 @@ def main(argv=None):
     from mtlx.utils.summary_writer import SummaryWriter
 
     configs = config_util.get_configs_from_pipeline_file(args.pipeline_config_path)
+    for note in config_util.compatibility_notes(configs):
+        print(f"[eval] note: {note}", flush=True)
     eval_config = configs["eval_config"]
     input_config = configs["eval_input_config"]
     model = model_builder.build(configs["model"], is_training=False)

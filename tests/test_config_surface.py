@@ -307,3 +307,38 @@ def test_fc_initializer_reaches_box_predictor():
         variables["params"]["box_predictor"]["class_logits"]["kernel"]
     )
     assert kernel.std() < 0.002
+
+
+def test_compatibility_notes_for_queue_era_knobs():
+    """TF1 queue/PS knobs are reported as ignored, not silently dropped."""
+    from mtlx.config import config_util
+
+    pipeline = pipeline_pb2.TrainEvalPipelineConfig()
+    text_format.Parse(
+        """train_config { batch_queue_capacity: 150 sync_replicas: true }
+           train_input_reader { num_readers: 4 }
+           eval_config { eval_master: 'grpc://x' }""",
+        pipeline,
+    )
+    configs = {
+        "train_config": pipeline.train_config,
+        "train_input_config": pipeline.train_input_reader,
+        "eval_config": pipeline.eval_config,
+    }
+    notes = "\n".join(config_util.compatibility_notes(configs))
+    assert "batch_queue_capacity=150" in notes
+    assert "num_readers=4" in notes
+    assert "always synchronous" in notes
+    assert "eval_master" in notes
+    # nothing explicitly set -> no notes
+    assert config_util.compatibility_notes(
+        {"train_config": pipeline_pb2.TrainConfig()}
+    ) == []
+
+
+def test_predict_keypoints_raises_like_reference():
+    with pytest.raises(ValueError, match="predict_keypoints"):
+        model_builder.build(
+            _model_proto(predictor="predict_keypoints: true"),
+            is_training=True,
+        )
