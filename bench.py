@@ -182,7 +182,12 @@ def host_pipeline_images_per_sec(model, state, step_fn, configs,
         )
         step = jax.jit(step_fn, donate_argnums=(0,))
         rng = jax.random.PRNGKey(1)
-        it = device_prefetch(batches(dataset, batch_size, shuffle=True, seed=0))
+        import sys
+        sys.setswitchinterval(0.001)  # see train.py main — GIL fairness
+        it = device_prefetch(
+            batches(dataset, batch_size, shuffle=True, seed=0,
+                    decode_threads=2)
+        )
         drop = {"gt_difficult", "original_shape"}
         t0 = None
         done = 0

@@ -115,17 +115,21 @@ class DetectionDataset:
         # per-host shard
         self._files = self._files[process_index::process_count]
         self._handles: Dict[str, object] = {}
+        # seek+read on a shared handle must not interleave across threads
+        # (device_prefetch producer vs. direct get() callers)
+        self._read_lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self._files)
 
     def _read(self, i: int) -> bytes:
         path, off = self._files[i]
-        f = self._handles.get(path)
-        if f is None:
-            f = open(path, "rb")
-            self._handles[path] = f
-        return tfrecord.read_record_at(f, off)
+        with self._read_lock:
+            f = self._handles.get(path)
+            if f is None:
+                f = open(path, "rb")
+                self._handles[path] = f
+            return tfrecord.read_record_at(f, off)
 
     def _parse(self, i: int) -> Dict:
         """Proto parse only — no image decode."""
@@ -321,33 +325,57 @@ def batches(
 
 def device_prefetch(iterator, size: int = 2, sharding=None):
     """Background-thread prefetch + device_put (double buffering) —
-    replaces the reference's prefetch queue (SURVEY.md §3.1 prefetcher)."""
+    replaces the reference's prefetch queue (SURVEY.md §3.1 prefetcher).
+
+    The producer thread shuts down when the consumer stops iterating
+    (generator close / GC) — an abandoned producer must not keep pulling
+    from `iterator` (it would race later readers of the same dataset)."""
     import jax
 
     q: queue_lib.Queue = queue_lib.Queue(maxsize=size)
+    stop = threading.Event()
     _END = object()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue_lib.Full:
+                continue
+        return False
 
     def producer():
         try:
             for batch in iterator:
+                if stop.is_set():
+                    return
                 ids = batch.pop("source_id", None)
-                if sharding is not None:
-                    batch = jax.tree_util.tree_map(
-                        lambda x: jax.device_put(x, sharding), batch
-                    )
-                else:
-                    batch = jax.tree_util.tree_map(jax.device_put, batch)
-                q.put((batch, ids))
-            q.put(_END)
+                # one device_put over the whole tree: fewer dispatch
+                # round-trips than a per-leaf tree_map
+                batch = jax.device_put(
+                    batch, sharding if sharding is not None else None
+                )
+                if not _put((batch, ids)):
+                    return
+            _put(_END)
         except BaseException as e:  # surface errors to the consumer
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # unblock a producer stuck in q.put
+        try:
+            q.get_nowait()
+        except queue_lib.Empty:
+            pass

@@ -96,9 +96,10 @@ def parse_args(argv=None):
     p.add_argument("--deterministic", action="store_true",
                    help="fixed data order + PRNG keys (always true for the "
                         "PRNG; this additionally disables shuffling)")
-    p.add_argument("--decode_threads", type=int, default=0,
+    p.add_argument("--decode_threads", type=int, default=2,
                    help=">0 decodes each batch's JPEGs through the native "
-                        "GIL-free thread pool (mtlx/data/_imgcodec.cc)")
+                        "GIL-free thread pool (mtlx/data/_imgcodec.cc); "
+                        "0 = single-threaded PIL/native decode")
     p.add_argument("--grain_workers", type=int, default=0,
                    help=">0 uses the grain multiprocess loader with this "
                         "many workers (production host input parallelism)")
@@ -111,6 +112,12 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    import sys as _sys
+
+    # finer GIL switching: the prefetch producer thread and the step
+    # dispatch otherwise starve each other on few-core hosts (measured:
+    # producer 148 -> 175 img/s at 1ms vs the 5ms default)
+    _sys.setswitchinterval(0.001)
     args = parse_args(argv)
     if args.platform:
         import jax

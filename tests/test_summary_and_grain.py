@@ -64,3 +64,72 @@ def test_grain_loader_batches(tmp_path):
     assert batches[0]["image"].shape == (2, 32, 32, 3)
     assert batches[0]["gt_boxes"].shape == (2, 3, 4)
     assert batches[0]["gt_mask"].dtype == bool
+
+
+def test_device_prefetch_stops_abandoned_producer(tmp_path):
+    """An early-stopped consumer must shut the producer thread down —
+    an abandoned producer kept pulling from the source iterator and raced
+    later readers of the same dataset's file handles (seek corruption)."""
+    import time
+
+    from mtlx.data.loader import device_prefetch
+
+    produced = []
+
+    def src():
+        i = 0
+        while True:
+            produced.append(i)
+            i += 1
+            yield {"image": np.zeros((1, 4, 4, 3), np.uint8),
+                   "source_id": ["x"]}
+
+    it = device_prefetch(src())
+    for j, (batch, ids) in enumerate(it):
+        assert batch["image"].shape == (1, 4, 4, 3)
+        if j >= 2:
+            break
+    it.close()
+    n_at_close = len(produced)
+    time.sleep(0.5)
+    # at most one in-flight item after close; a leaky producer would have
+    # produced dozens more in 0.5s
+    assert len(produced) <= n_at_close + 2
+
+
+def test_device_prefetch_sequential_iterators_share_dataset(tmp_path):
+    """Two prefetch iterators over the same dataset in sequence decode
+    cleanly (regression: the first iterator's leaked producer corrupted
+    the second's record reads)."""
+    import io
+
+    from PIL import Image
+
+    from mtlx.data import tfrecord
+    from mtlx.data.example_decoder import build_example
+    from mtlx.data.loader import DetectionDataset, batches, device_prefetch
+
+    record = str(tmp_path / "p.record")
+    with tfrecord.TFRecordWriter(record) as w:
+        for i in range(6):
+            buf = io.BytesIO()
+            Image.fromarray(np.full((20, 20, 3), i * 30, np.uint8)).save(
+                buf, format="JPEG"
+            )
+            w.write(
+                build_example(
+                    buf.getvalue(), b"jpeg", 20, 20, f"p{i}.jpg",
+                    np.asarray([[0.1, 0.1, 0.9, 0.9]], np.float32), [1], ["a"],
+                ).SerializeToString()
+            )
+    ds = DetectionDataset(
+        [record], canvas_size=(32, 32),
+        resizer=("fixed", {"height": 32, "width": 32}), max_boxes=3,
+    )
+    for trial in range(3):
+        it = device_prefetch(batches(ds, 2, shuffle=True, seed=trial))
+        for j, (batch, ids) in enumerate(it):
+            assert batch["image"].shape == (2, 32, 32, 3)
+            if j >= 1:
+                break  # abandon mid-epoch on purpose
+        it.close()
