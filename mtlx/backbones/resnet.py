@@ -64,6 +64,63 @@ class FrozenBatchNorm(nn.Module):
         return y.astype(self.dtype)
 
 
+class SpaceToDepthConv1(nn.Module):
+    """The 7x7/2 stem conv computed as a 4x4/1 conv over a 2x2
+    space-to-depth input (the standard TPU stem optimization, e.g. MLPerf
+    ResNet): C=3 badly underfills the MXU's contraction lanes at 7*7*3,
+    while the transformed 4*4*12 form runs on 4x fewer spatial positions.
+
+    Numerically EXACT (zero-padded kernel reindexing, verified in
+    tests/test_keypoints_backbones.py) and parameter-compatible: the
+    param is the same (7, 7, 3, 64) "kernel" an nn.Conv named conv1
+    would own, so checkpoints are interchangeable with the plain stem.
+
+    Derivation: out[i] = sum_u xp[2i+u] K[u] with xp = pad(x, 3). With
+    u' = u+1, K8 = pad-front(K), xq = pad(x, (4, 2)):
+    out[i] = sum_{u'} xq[2i+u'] K8[u'] — an 8x8/2 VALID conv, which
+    factors as a 4x4/1 VALID conv over the 2x2 space-to-depth of xq.
+    """
+
+    features: int = 64
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, 3, self.features),
+            jnp.float32,
+        )
+        b, h, w, c = x.shape
+        if h % 2 or w % 2:  # odd canvas: fall back to the plain form
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(2, 2), padding=[(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        xq = jnp.pad(x.astype(self.dtype), ((0, 0), (4, 2), (4, 2), (0, 0)))
+        hq, wq = h + 6, w + 6
+        s = (
+            xq.reshape(b, hq // 2, 2, wq // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, hq // 2, wq // 2, 4 * c)
+        )
+        k8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k12 = (
+            k8.reshape(4, 2, 4, 2, 3, self.features)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 4 * c, self.features)
+        )
+        return jax.lax.conv_general_dilated(
+            s, k12.astype(self.dtype),
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 def make_norm(trainable: bool, dtype, name: str):
     """BN factory: frozen affine (fine-tuning default) or real BatchNorm
     (feature_extractor.batch_norm_trainable). Both use the same param
@@ -177,6 +234,9 @@ class ResNetProposalFeatures(nn.Module):
     bn_trainable: bool = False
     slim_stride_order: bool = False
     remat: bool = False
+    # exact 2x2 space-to-depth form of the stem conv (see SpaceToDepthConv1);
+    # default pending an on-chip measurement at the operating point
+    conv0_space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -185,10 +245,13 @@ class ResNetProposalFeatures(nn.Module):
         so = self.slim_stride_order
         rm = self.remat
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
-            dtype=self.dtype, name="conv1",
-        )(x)
+        if self.conv0_space_to_depth:
+            x = SpaceToDepthConv1(64, dtype=self.dtype, name="conv1")(x)
+        else:
+            x = nn.Conv(
+                64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                use_bias=False, dtype=self.dtype, name="conv1",
+            )(x)
         x = nn.relu(apply_norm(make_norm(bt, self.dtype, "bn1"), x, train))
         # slim pools with TF SAME padding ((0,1) on even inputs); the
         # default keeps the symmetric (1,1) used since round 1

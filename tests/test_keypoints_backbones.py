@@ -170,3 +170,55 @@ def test_inception_v4_endpoints():
     ep16, final = m.apply(v, jnp.zeros((1, 64, 64, 3)))
     assert ep16.shape == (1, 4, 4, 1024)
     assert final.shape == (1, 2, 2, 1536)
+
+
+def test_conv0_space_to_depth_exact():
+    """The space-to-depth stem equals the plain 7x7/2 conv bit-for-bit in
+    fp32 (same params; even and odd canvases; batch > 1)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from mtlx.backbones.resnet import SpaceToDepthConv1
+
+    rng = jax.random.PRNGKey(0)
+    mod = SpaceToDepthConv1(64, dtype=jnp.float32)
+    for hw in ((64, 64), (64, 96), (63, 64)):  # odd H exercises fallback
+        x = jax.random.normal(jax.random.fold_in(rng, hw[0]),
+                              (2, hw[0], hw[1], 3), jnp.float32)
+        v = mod.init(rng, x)
+        out = mod.apply(v, x)
+        ref = lax.conv_general_dilated(
+            x, v["params"]["kernel"], window_strides=(2, 2),
+            padding=[(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        assert out.shape == ref.shape, hw
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_conv0_space_to_depth_checkpoint_compatible():
+    """Param tree of the stem is unchanged: conv1/kernel (7,7,3,64), so
+    converted TF checkpoints restore into either stem form."""
+    import jax
+    import jax.numpy as jnp
+
+    from mtlx.backbones.resnet import ResNetProposalFeatures
+
+    x = jnp.zeros((1, 64, 64, 3))
+    a = ResNetProposalFeatures(50, jnp.float32, conv0_space_to_depth=True)
+    b = ResNetProposalFeatures(50, jnp.float32, conv0_space_to_depth=False)
+    va = a.init(jax.random.PRNGKey(0), x)
+    vb = b.init(jax.random.PRNGKey(0), x)
+    sa = jax.tree.map(lambda t: t.shape, va)
+    sb = jax.tree.map(lambda t: t.shape, vb)
+    assert sa == sb
+    # identical outputs with shared params
+    ya = a.apply(va, x)
+    yb = b.apply(va, x)
+    import numpy as np
+
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                               rtol=1e-5, atol=1e-5)
