@@ -129,11 +129,13 @@ def time_batch(model, state, step_fn, batch_size: int, rs):
         pass
 
     state, metrics = step(state, batch, rng)  # compile + warmup
-    jax.block_until_ready(metrics["total_loss"])
+    # device_get is the only true sync on remote backends
+    # (block_until_ready can return before execution finishes)
+    float(jax.device_get(metrics["total_loss"]))
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, metrics = step(state, batch, rng)
-    jax.block_until_ready(metrics["total_loss"])
+    float(jax.device_get(metrics["total_loss"]))
     dt = (time.perf_counter() - t0) / STEPS
     return batch_size / dt, dt, cost
 
@@ -180,13 +182,21 @@ def host_pipeline_images_per_sec(model, state, step_fn, configs,
             resizer=resizer_params(fr.image_resizer),
             max_boxes=model.cfg.max_gt_boxes,
         )
-        step = jax.jit(step_fn, donate_argnums=(0,))
+        from mtlx.train.train_step import pad_batch_to_canvas
+
+        raw_step = jax.jit(step_fn, donate_argnums=(0,))
+
+        def step(state, batch, rng):
+            return raw_step(
+                state, pad_batch_to_canvas(batch, model.cfg.canvas_size), rng
+            )
+
         rng = jax.random.PRNGKey(1)
         import sys
         sys.setswitchinterval(0.001)  # see train.py main — GIL fairness
         it = device_prefetch(
             batches(dataset, batch_size, shuffle=True, seed=0,
-                    decode_threads=2)
+                    decode_threads=2, pack_images=True)
         )
         drop = {"gt_difficult", "original_shape"}
         t0 = None
@@ -196,12 +206,14 @@ def host_pipeline_images_per_sec(model, state, step_fn, configs,
             state, metrics = step(state, batch, rng)
             done += 1
             if done == 2:  # skip compile + first prefetch fill
-                jax.block_until_ready(metrics["total_loss"])
+                # device_get is the only true sync on remote backends
+                # (block_until_ready can return before execution finishes)
+                float(jax.device_get(metrics["total_loss"]))
                 t0 = time.perf_counter()
                 measured0 = done
             if done >= num_steps + 2:
                 break
-        jax.block_until_ready(metrics["total_loss"])
+        float(jax.device_get(metrics["total_loss"]))
         dt = time.perf_counter() - t0
         return (done - measured0) * batch_size / dt
 

@@ -234,8 +234,11 @@ class ResNetProposalFeatures(nn.Module):
     bn_trainable: bool = False
     slim_stride_order: bool = False
     remat: bool = False
-    # exact 2x2 space-to-depth form of the stem conv (see SpaceToDepthConv1);
-    # default pending an on-chip measurement at the operating point
+    # exact 2x2 space-to-depth form of the stem conv (see SpaceToDepthConv1).
+    # MEASURED NEGATIVE at the 1024^2 operating point (TPU v5e, 2026-08-17:
+    # 72.0 -> 69.9 img/s, XLA cost-analysis bytes 8.47 -> 8.79 GB/img) —
+    # XLA's native small-C stem handling is already good here; kept as a
+    # documented option for other generations/canvas sizes
     conv0_space_to_depth: bool = False
 
     @nn.compact

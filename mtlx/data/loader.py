@@ -282,13 +282,30 @@ class DetectionDataset:
         }
 
 
-def _collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
+_PACK_MULTIPLE = 128  # transfer-bucket granularity (keeps jit variants few)
+
+
+def _collate(samples: List[Dict],
+             pack_images: bool = False) -> Dict[str, np.ndarray]:
     out = {}
     for key in samples[0]:
         if key == "source_id":
             out[key] = [s[key] for s in samples]
         else:
             out[key] = np.stack([s[key] for s in samples])
+    if pack_images and "true_shape" in out:
+        # ship only the true-content region, rounded up to the bucket
+        # multiple: host->device transfer is the e2e bottleneck on thin
+        # links (PCIe shared across chips; 62 MB/s on this dev tunnel) and
+        # the canvas padding is all zeros anyway. The train step pads back
+        # to the static canvas on device (train_step.pad_batch_to_canvas);
+        # each distinct bucket shape is one extra jit specialization.
+        ch, cw = out["image"].shape[1:3]
+        hs = int(out["true_shape"][:, 0].max())
+        ws = int(out["true_shape"][:, 1].max())
+        hb = min(ch, -(-hs // _PACK_MULTIPLE) * _PACK_MULTIPLE)
+        wb = min(cw, -(-ws // _PACK_MULTIPLE) * _PACK_MULTIPLE)
+        out["image"] = np.ascontiguousarray(out["image"][:, :hb, :wb])
     return out
 
 
@@ -300,10 +317,12 @@ def batches(
     epochs: Optional[int] = None,
     drop_remainder: bool = True,
     decode_threads: int = 0,
+    pack_images: bool = False,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Host batch iterator (shuffled each epoch with a fixed seed —
     deterministic data order, SURVEY.md §6.2). decode_threads > 0 decodes
-    each batch's JPEGs through the native GIL-free thread pool."""
+    each batch's JPEGs through the native GIL-free thread pool.
+    pack_images ships bucketed true-shape images (see _collate)."""
     rng = np.random.RandomState(seed)
     epoch = 0
     n = len(dataset)
@@ -319,7 +338,7 @@ def batches(
                 samples = dataset.get_batch(idx, decode_threads)
             else:
                 samples = [dataset.get(int(i)) for i in idx]
-            yield _collate(samples)
+            yield _collate(samples, pack_images)
         epoch += 1
 
 

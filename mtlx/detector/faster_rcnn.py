@@ -127,6 +127,9 @@ class FasterRCNNConfig:
     # traffic the roofline suggested). Kept as an option because it buys
     # activation memory for larger canvases/batches; numerically identical.
     backbone_remat: bool = False
+    # exact space-to-depth stem conv (resnet backbones; see
+    # backbones/resnet.py SpaceToDepthConv1) — checkpoint-compatible
+    conv0_space_to_depth: bool = False
     # misc
     batch_norm_trainable: bool = False  # feature_extractor.batch_norm_trainable
     # feature_extractor.slim_stride_order: stride stages at the LAST unit
@@ -194,6 +197,7 @@ class FasterRCNNModules(nn.Module):
         self.proposal_features = resnet.ResNetProposalFeatures(
             depth=depth, dtype=c.dtype, bn_trainable=c.batch_norm_trainable,
             slim_stride_order=c.slim_stride_order, remat=c.backbone_remat,
+            conv0_space_to_depth=c.conv0_space_to_depth,
             name="backbone",
         )
         self.classifier_features = resnet.ResNetBoxClassifierFeatures(

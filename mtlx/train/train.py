@@ -103,6 +103,12 @@ def parse_args(argv=None):
     p.add_argument("--grain_workers", type=int, default=0,
                    help=">0 uses the grain multiprocess loader with this "
                         "many workers (production host input parallelism)")
+    p.add_argument("--pack_transfer", type=int, default=1,
+                   help="1 = ship images cropped to the 128-bucketed true "
+                        "shape and pad to the canvas on device — cuts "
+                        "host->device bytes on keep-aspect configs; each "
+                        "distinct bucket adds one jit specialization. "
+                        "0 = always transfer the full canvas")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize() "
                         "(coordinator/process env vars per the standard JAX "
@@ -143,6 +149,7 @@ def main(argv=None):
         create_train_state,
         make_regularization_fn,
         make_train_step,
+        pad_batch_to_canvas,
     )
     from mtlx.utils.summary_writer import SummaryWriter
 
@@ -222,7 +229,11 @@ def main(argv=None):
 
     augment = make_augmented_batch_fn(aug_options)
 
+    canvas = getattr(model.cfg, "canvas_size", None)
+
     def step_fn(state, batch, rng):
+        if canvas is not None:
+            batch = pad_batch_to_canvas(batch, canvas)
         batch = augment(jax.random.fold_in(rng, 0), state.step, batch)
         return raw_step(state, batch, jax.random.fold_in(rng, 1))
 
@@ -255,7 +266,8 @@ def main(argv=None):
     else:
         host_iter = batches(dataset, batch_size, shuffle=shuffle,
                             seed=args.seed, decode_threads=args.decode_threads,
-                            epochs=num_epochs)
+                            epochs=num_epochs,
+                            pack_images=bool(args.pack_transfer))
     data_iter = device_prefetch(
         host_iter,
         sharding=mesh_lib.batch_sharding(mesh),

@@ -86,6 +86,22 @@ def make_regularization_fn(scopes) -> Optional[Callable]:
     return reg_fn
 
 
+def pad_batch_to_canvas(batch: Dict[str, jax.Array], canvas) -> Dict:
+    """Restore the static canvas for images that arrived cropped to a
+    transfer bucket (loader pack_images): pad bottom/right with zeros —
+    exactly the bytes the loader stripped. No-op at full canvas size."""
+    ch, cw = canvas
+    img = batch["image"]
+    h, w = img.shape[1], img.shape[2]
+    if (h, w) == (ch, cw):
+        return batch
+    if h > ch or w > cw:
+        raise ValueError(f"image {img.shape} exceeds canvas {canvas}")
+    out = dict(batch)
+    out["image"] = jnp.pad(img, ((0, 0), (0, ch - h), (0, cw - w), (0, 0)))
+    return out
+
+
 def freeze_transform(patterns) -> Optional[optax.GradientTransformation]:
     """train_config.freeze_variables: zero the updates of every param
     whose '/'-joined path matches one of the regex patterns (reference

@@ -94,3 +94,41 @@ def test_checkpoint_keep_every_n_hours_option(tmp_path):
     assert opts.keep_time_interval == datetime.timedelta(hours=2.5)
     mgr2 = CheckpointManager(str(tmp_path / "b"))
     assert mgr2._mgr._options.keep_time_interval is None
+
+
+def test_pack_images_and_pad_to_canvas_roundtrip():
+    """Loader pack_images ships the 128-bucketed true region; the device
+    pad restores the exact canvas batch (transfer-bytes optimization)."""
+    from mtlx.data.loader import _collate
+    from mtlx.train.train_step import pad_batch_to_canvas
+
+    rs = np.random.RandomState(0)
+    samples = []
+    for th, tw in ((100, 200), (120, 260)):
+        img = np.zeros((512, 512, 3), np.uint8)
+        img[:th, :tw] = rs.randint(0, 255, (th, tw, 3), np.uint8)
+        samples.append({
+            "image": img,
+            "true_shape": np.asarray([th, tw], np.int32),
+            "gt_boxes": np.zeros((4, 4), np.float32),
+            "source_id": "s",
+        })
+    full = _collate(samples, pack_images=False)
+    packed = _collate(samples, pack_images=True)
+    assert full["image"].shape == (2, 512, 512, 3)
+    assert packed["image"].shape == (2, 128, 384, 3)  # ceil(120/128), ceil(260/128)
+    restored = pad_batch_to_canvas(
+        {k: jnp.asarray(v) for k, v in packed.items() if k != "source_id"},
+        (512, 512),
+    )
+    np.testing.assert_array_equal(np.asarray(restored["image"]), full["image"])
+    # no-op at full canvas
+    same = pad_batch_to_canvas(
+        {"image": jnp.asarray(full["image"])}, (512, 512)
+    )
+    assert same["image"].shape == (2, 512, 512, 3)
+    # oversize rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        pad_batch_to_canvas({"image": jnp.zeros((1, 600, 600, 3))}, (512, 512))
