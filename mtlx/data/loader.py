@@ -285,6 +285,22 @@ class DetectionDataset:
 _PACK_MULTIPLE = 128  # transfer-bucket granularity (keeps jit variants few)
 
 
+def pack_batch_images(images: np.ndarray,
+                      true_shapes: np.ndarray) -> np.ndarray:
+    """Crop a canvas-shaped image batch to its 128-bucketed true region:
+    host->device transfer is the e2e bottleneck on thin links (PCIe
+    shared across chips; 62 MB/s on this dev tunnel) and the canvas
+    padding is all zeros anyway. The device side pads back to the static
+    canvas (train_step.pad_batch_to_canvas); each distinct bucket shape
+    is one extra jit specialization."""
+    ch, cw = images.shape[1:3]
+    hs = int(true_shapes[:, 0].max())
+    ws = int(true_shapes[:, 1].max())
+    hb = min(ch, -(-hs // _PACK_MULTIPLE) * _PACK_MULTIPLE)
+    wb = min(cw, -(-ws // _PACK_MULTIPLE) * _PACK_MULTIPLE)
+    return np.ascontiguousarray(images[:, :hb, :wb])
+
+
 def _collate(samples: List[Dict],
              pack_images: bool = False) -> Dict[str, np.ndarray]:
     out = {}
@@ -294,18 +310,7 @@ def _collate(samples: List[Dict],
         else:
             out[key] = np.stack([s[key] for s in samples])
     if pack_images and "true_shape" in out:
-        # ship only the true-content region, rounded up to the bucket
-        # multiple: host->device transfer is the e2e bottleneck on thin
-        # links (PCIe shared across chips; 62 MB/s on this dev tunnel) and
-        # the canvas padding is all zeros anyway. The train step pads back
-        # to the static canvas on device (train_step.pad_batch_to_canvas);
-        # each distinct bucket shape is one extra jit specialization.
-        ch, cw = out["image"].shape[1:3]
-        hs = int(out["true_shape"][:, 0].max())
-        ws = int(out["true_shape"][:, 1].max())
-        hb = min(ch, -(-hs // _PACK_MULTIPLE) * _PACK_MULTIPLE)
-        wb = min(cw, -(-ws // _PACK_MULTIPLE) * _PACK_MULTIPLE)
-        out["image"] = np.ascontiguousarray(out["image"][:, :hb, :wb])
+        out["image"] = pack_batch_images(out["image"], out["true_shape"])
     return out
 
 

@@ -87,9 +87,16 @@ def evaluate_checkpoint(model, state, dataset, eval_config, categories,
     for start in range(0, num, batch_size):
         idx = list(range(start, min(start + batch_size, num)))
         samples = [dataset.get(i) for i in idx]
+        from mtlx.data.loader import pack_batch_images
+
+        true_shapes = np.stack([s["true_shape"] for s in samples])
         batch = {
-            "image": np.stack([s["image"] for s in samples]).astype(np.float32),
-            "true_shape": np.stack([s["true_shape"] for s in samples]),
+            # bucketed transfer (pack_batch_images); the eval step pads
+            # back to the canvas on device
+            "image": pack_batch_images(
+                np.stack([s["image"] for s in samples]), true_shapes
+            ).astype(np.float32),
+            "true_shape": true_shapes,
         }
         if len(idx) < batch_size:  # pad the tail batch
             pad = batch_size - len(idx)

@@ -221,7 +221,11 @@ def make_train_step(
 
 
 def make_eval_step(model: FasterRCNN) -> Callable:
+    canvas = getattr(getattr(model, "cfg", None), "canvas_size", None)
+
     def step(state: TrainState, batch):
+        if canvas is not None:
+            batch = pad_batch_to_canvas(batch, canvas)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         images = model.preprocess(batch["image"].astype(jnp.float32))
         pred = model.predict(variables, images, batch["true_shape"], training=False)
