@@ -26,10 +26,14 @@ def _depth(channels: int, multiplier: float, min_depth: int) -> int:
 
 
 class MobileNetV1(nn.Module):
-    """Returns [conv11, conv13] feature maps (strides 16 and 32)."""
+    """Returns [conv11, conv13] feature maps (strides 16 and 32).
+
+    bn_epsilon follows the extractor's conv_hyperparams.batch_norm
+    (slim arg_scope default 0.001 when configured; 1e-5 otherwise)."""
 
     depth_multiplier: float = 1.0
     min_depth: int = 8
+    bn_epsilon: float = 1e-5
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -40,7 +44,7 @@ class MobileNetV1(nn.Module):
             strides=(2, 2), padding="SAME", use_bias=False, dtype=self.dtype,
             name="conv0",
         )(x)
-        out = nn.relu6(FrozenBatchNorm(dtype=self.dtype, name="conv0_bn")(out))
+        out = nn.relu6(FrozenBatchNorm(epsilon=self.bn_epsilon, dtype=self.dtype, name="conv0_bn")(out))
         endpoints = []
         for i, (stride, channels) in enumerate(_MOBILENET_V1_DEFS):
             c = _depth(channels, self.depth_multiplier, self.min_depth)
@@ -49,11 +53,11 @@ class MobileNetV1(nn.Module):
                 feature_group_count=out.shape[-1], use_bias=False,
                 dtype=self.dtype, name=f"conv{i + 1}_dw",
             )(out)
-            dw = nn.relu6(FrozenBatchNorm(dtype=self.dtype, name=f"conv{i + 1}_dw_bn")(dw))
+            dw = nn.relu6(FrozenBatchNorm(epsilon=self.bn_epsilon, dtype=self.dtype, name=f"conv{i + 1}_dw_bn")(dw))
             out = nn.Conv(
                 c, (1, 1), use_bias=False, dtype=self.dtype, name=f"conv{i + 1}_pw"
             )(dw)
-            out = nn.relu6(FrozenBatchNorm(dtype=self.dtype, name=f"conv{i + 1}_pw_bn")(out))
+            out = nn.relu6(FrozenBatchNorm(epsilon=self.bn_epsilon, dtype=self.dtype, name=f"conv{i + 1}_pw_bn")(out))
             if i in (10, 12):  # conv11, conv13
                 endpoints.append(out)
         return endpoints

@@ -79,6 +79,10 @@ def build(ssd_proto, is_training: bool, max_gt_boxes: int = 100, dtype=jnp.bfloa
         canvas_size=canvas_from_resizer(ssd_proto.image_resizer, stride=16),
         depth_multiplier=fe.depth_multiplier or 1.0,
         min_depth=fe.min_depth or 8,
+        bn_epsilon=(
+            fe.conv_hyperparams.batch_norm.epsilon
+            if fe.conv_hyperparams.HasField("batch_norm") else 1e-5
+        ),
         num_layers=num_layers,
         min_scale=min_scale,
         max_scale=max_scale,

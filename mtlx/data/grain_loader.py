@@ -47,8 +47,10 @@ def make_grain_loader(
     shuffle: bool = True,
     worker_count: int = 0,
     num_epochs: Optional[int] = None,
+    pack_images: bool = False,
 ) -> Iterator[dict]:
-    """Returns an iterator of batched numpy dicts via grain."""
+    """Returns an iterator of batched numpy dicts via grain. pack_images
+    ships 128-bucketed true-shape images (see loader.pack_batch_images)."""
     import grain.python as grain
 
     sampler = grain.IndexSampler(
@@ -65,4 +67,16 @@ def make_grain_loader(
         operations=[grain.Batch(batch_size=batch_size, drop_remainder=True)],
         worker_count=worker_count,
     )
-    return iter(loader)
+    if not pack_images:
+        return iter(loader)
+
+    from mtlx.data.loader import pack_batch_images
+
+    def packed():
+        for batch in loader:
+            b = dict(batch)
+            if "true_shape" in b:
+                b["image"] = pack_batch_images(b["image"], b["true_shape"])
+            yield b
+
+    return packed()

@@ -45,6 +45,9 @@ class SSDConfig:
     feature_extractor: str = "ssd_mobilenet_v1"  # or ssd_inception_v2
     depth_multiplier: float = 1.0
     min_depth: int = 8
+    # feature_extractor.conv_hyperparams.batch_norm.epsilon (slim arg_scope
+    # default 0.001 when a batch_norm block is configured)
+    bn_epsilon: float = 1e-5
     # feature pyramid (reference feature_map_generators layout)
     insert_1x1_conv: bool = True
     # anchors
@@ -98,7 +101,8 @@ class SSDModules(nn.Module):
             )
         else:
             self.backbone = MobileNetV1(
-                c.depth_multiplier, c.min_depth, dtype=c.dtype, name="backbone"
+                c.depth_multiplier, c.min_depth, bn_epsilon=c.bn_epsilon,
+                dtype=c.dtype, name="backbone"
             )
         self.feature_maps = MultiResolutionFeatureMaps(
             layer_depths=tuple(ssd_layer_depths(c.num_layers)),

@@ -261,6 +261,7 @@ def main(argv=None):
             dict(b) for b in make_grain_loader(
                 dataset, batch_size, seed=args.seed, shuffle=shuffle,
                 worker_count=args.grain_workers, num_epochs=num_epochs,
+                pack_images=bool(args.pack_transfer),
             )
         )
     else:

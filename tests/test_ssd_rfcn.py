@@ -158,3 +158,48 @@ def test_rfcn_predict_loss_postprocess():
     det = model.postprocess(eval_pred, ts)
     assert det["detection_boxes"].shape[0] == 2
     assert np.isfinite(np.asarray(det["detection_boxes"])).all()
+
+
+def test_ssd_bn_epsilon_threads_from_conv_hyperparams():
+    """conv_hyperparams.batch_norm.epsilon reaches the extractor's BN
+    (previously a fixed 1e-5 regardless of config)."""
+    import numpy as np
+    from google.protobuf import text_format
+
+    from mtlx.builders import ssd_builder
+    from mtlx.config.protos import pipeline_pb2
+
+    proto = pipeline_pb2.Ssd()
+    text_format.Parse(
+        """num_classes: 2
+           image_resizer { fixed_shape_resizer { height: 64 width: 64 } }
+           feature_extractor {
+             type: 'ssd_mobilenet_v1' depth_multiplier: 0.25 min_depth: 8
+             conv_hyperparams {
+               batch_norm { epsilon: 0.25 }
+             }
+           }
+           anchor_generator { ssd_anchor_generator { num_layers: 4 } }
+           box_predictor { convolutional_box_predictor { } }
+        """, proto)
+    model = ssd_builder.build(proto, is_training=False, max_gt_boxes=4,
+                              dtype=jnp.float32)
+    assert model.cfg.bn_epsilon == pytest.approx(0.25)
+
+    proto.feature_extractor.ClearField("conv_hyperparams")
+    model_default = ssd_builder.build(proto, is_training=False,
+                                      max_gt_boxes=4, dtype=jnp.float32)
+    assert model_default.cfg.bn_epsilon == pytest.approx(1e-5)
+
+    # the knob changes the forward numerics (epsilon enters the BN affine)
+    import jax
+
+    x = jnp.full((1, 64, 64, 3), 17.0)
+    v = model.init_variables(jax.random.PRNGKey(0))
+    a = model.predict(v, model.preprocess(x))
+    v2 = model_default.init_variables(jax.random.PRNGKey(0))
+    b = model_default.predict(v2, model_default.preprocess(x))
+    assert not np.allclose(
+        np.asarray(a["class_predictions_with_background"]),
+        np.asarray(b["class_predictions_with_background"]),
+    )
