@@ -218,6 +218,35 @@ def host_pipeline_images_per_sec(model, state, step_fn, configs,
         return (done - measured0) * batch_size / dt
 
 
+def inference_images_per_sec(model, state, batch_size: int = 8,
+                             steps: int = 10):
+    """Serving throughput: jitted preprocess+predict+postprocess on the
+    bucketed eval canvas, params committed to device (eval.py behavior)."""
+    from mtlx.train.train_step import make_eval_step
+
+    state = jax.device_put(jax.tree_util.tree_map(jnp.array, state))
+    ev = jax.jit(make_eval_step(model))
+    rs = np.random.RandomState(0)
+    ch, cw = model.cfg.canvas_size
+    batch = jax.device_put({
+        "image": jnp.asarray(
+            rs.uniform(0, 255, (batch_size, (ch * 3) // 4, cw, 3)),
+            jnp.float32,
+        ),
+        "true_shape": jnp.asarray(
+            np.tile([[600, 1000]], (batch_size, 1)), np.int32
+        ),
+    })
+    det = ev(state, batch)
+    float(jax.device_get(det["detection_scores"]).sum())
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        det = ev(state, batch)
+    float(jax.device_get(det["detection_scores"]).sum())
+    dt = (time.perf_counter() - t0) / steps
+    return batch_size / dt
+
+
 def main():
     model, state, step_fn, configs = build_from_config()
     device = jax.devices()[0]
@@ -252,6 +281,11 @@ def main():
     except Exception as e:
         e2e = f"failed: {type(e).__name__}"
 
+    try:
+        infer = round(inference_images_per_sec(model, state), 2)
+    except Exception as e:
+        infer = f"failed: {type(e).__name__}"
+
     print(
         json.dumps(
             {
@@ -269,6 +303,7 @@ def main():
                 "mfu": mfu,
                 "hbm_roofline_frac": hbm_frac,
                 "e2e_images_per_sec_with_host_pipeline": e2e,
+                "inference_images_per_sec": infer,
                 "e2e_note": "this dev box has 1 CPU core; host JPEG decode "
                             "bounds the e2e number, device-only is `value`",
                 "device_kind": device.device_kind,

@@ -74,7 +74,9 @@ class InferenceModel:
         import jax
 
         self.model = model
-        self.variables = variables
+        # device-commit once: host-resident params would be re-uploaded on
+        # every predict call (dominates serving latency on thin links)
+        self.variables = jax.device_put(variables)
         self.resizer = resizer
 
         def fn(variables, images, true_shapes):
