@@ -304,8 +304,10 @@ def main():
                 "hbm_roofline_frac": hbm_frac,
                 "e2e_images_per_sec_with_host_pipeline": e2e,
                 "inference_images_per_sec": infer,
-                "e2e_note": "this dev box has 1 CPU core; host JPEG decode "
-                            "bounds the e2e number, device-only is `value`",
+                "e2e_note": "e2e is bound by this dev box's ~62 MB/s "
+                            "host<->TPU tunnel (transfers measured "
+                            "dominant; decode is 179 img/s host-side); "
+                            "device-only is `value`",
                 "device_kind": device.device_kind,
             }
         )
