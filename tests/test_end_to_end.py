@@ -233,3 +233,46 @@ def test_restore_params_only_across_optimizers(workdir):
     bb = jax.tree_util.tree_leaves(restored.params["backbone"])[0]
     bb0 = jax.tree_util.tree_leaves(state.params["backbone"])[0]
     np.testing.assert_array_equal(np.asarray(bb), np.asarray(bb0))
+
+
+def test_packed_transfer_through_train_cli(workdir, capsys):
+    """--pack_transfer (default on) with a keep-aspect canvas: the loader
+    ships 128-bucketed [B,128,128,3] images for a 160x160 canvas and the
+    jitted step pads them back on device (regression for the transfer
+    packing path, which fixed-shape test configs never exercise)."""
+    from mtlx.data.loader import batches as loader_batches
+    from mtlx.builders.model_builder import resizer_params
+    from mtlx.config.protos import components_pb2
+    from mtlx.data.loader import DetectionDataset
+    from mtlx.train import train as train_cli
+
+    base = open(workdir["config"]).read()
+    cfg = base.replace(
+        "image_resizer {{ fixed_shape_resizer {{ height: 96 width: 96 }} }}"
+        .format(),
+        "image_resizer { keep_aspect_ratio_resizer "
+        "{ min_dimension: 72 max_dimension: 160 } }",
+    ).replace("num_steps: 4", "num_steps: 2")
+    assert "keep_aspect_ratio_resizer" in cfg
+    cfg_path = str(workdir["tmp"] / "pipeline_packed.config")
+    open(cfg_path, "w").write(cfg)
+
+    # precondition: this config really produces packed (non-canvas) batches
+    rz = components_pb2.ImageResizer()
+    rz.keep_aspect_ratio_resizer.min_dimension = 72
+    rz.keep_aspect_ratio_resizer.max_dimension = 160
+    ds = DetectionDataset([workdir["record"]], canvas_size=(160, 160),
+                          resizer=resizer_params(rz), max_boxes=8)
+    b = next(iter(loader_batches(ds, 2, shuffle=False, pack_images=True)))
+    assert b["image"].shape == (2, 128, 128, 3)
+
+    train_dir = str(workdir["tmp"] / "train_packed")
+    train_cli.main(
+        ["--pipeline_config_path", cfg_path,
+         "--train_dir", train_dir, "--log_every", "1"]
+    )
+    out = capsys.readouterr().out
+    assert "[train] done at step 2" in out
+    losses = [json.loads(line.split("[train] ", 1)[1])
+              for line in out.splitlines() if line.startswith("[train] {")]
+    assert losses and all(np.isfinite(l["total_loss"]) for l in losses)
