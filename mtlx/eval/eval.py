@@ -93,7 +93,10 @@ def evaluate_checkpoint(model, state, dataset, eval_config, categories,
     done = 0
     for start in range(0, num, batch_size):
         idx = list(range(start, min(start + batch_size, num)))
-        samples = [dataset.get(i) for i in idx]
+        if hasattr(dataset, "get_batch"):
+            samples = dataset.get_batch(idx, decode_threads=2)
+        else:
+            samples = [dataset.get(i) for i in idx]
         from mtlx.data.loader import pack_batch_images
 
         true_shapes = np.stack([s["true_shape"] for s in samples])
