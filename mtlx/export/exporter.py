@@ -115,6 +115,33 @@ class InferenceModel:
         )
 
     def predict_encoded_images(self, blobs: Sequence[bytes]) -> Dict[str, np.ndarray]:
+        """JPEG bytes in, detections out. Decodes fused-at-target-size
+        through the native GIL-free codec thread pool when available
+        (serving host path); PIL + python resize otherwise."""
+        from mtlx.data import loader as loader_lib
+
+        if loader_lib._imgcodec is not None:
+            try:
+                kind, params = self.resizer
+                ths, tws = [], []
+                for b in blobs:
+                    if kind == "fixed":
+                        th, tw = params["height"], params["width"]
+                    else:
+                        h0, w0 = loader_lib._imgcodec.dims(b)
+                        th, tw = loader_lib.keep_aspect_target(h0, w0, **params)
+                    ths.append(th)
+                    tws.append(tw)
+                decoded = loader_lib._imgcodec.decode_batch(
+                    list(blobs), ths, tws, 2
+                )
+                arrays = [
+                    np.frombuffer(px, np.uint8).reshape(oh, ow, 3)
+                    for px, _, _, oh, ow in decoded
+                ]
+                return self._predict_decoded(arrays, already_resized=True)
+            except (ValueError, TypeError):
+                pass  # non-JPEG input: PIL fallback below
         import io
 
         from PIL import Image
@@ -128,14 +155,17 @@ class InferenceModel:
         arrays = [decode_example(s)["image"] for s in serialized]
         return self._predict_decoded(arrays)
 
-    def _predict_decoded(self, arrays: List[np.ndarray]) -> Dict[str, np.ndarray]:
+    def _predict_decoded(self, arrays: List[np.ndarray],
+                         already_resized: bool = False) -> Dict[str, np.ndarray]:
         from mtlx.data.loader import resize_fixed, resize_keep_aspect
 
         canvas_h, canvas_w = self.model.cfg.canvas_size
         kind, params = self.resizer
         images, true_shapes = [], []
         for a in arrays:
-            if kind == "keep_aspect":
+            if already_resized:
+                pass  # native codec already resized to the target
+            elif kind == "keep_aspect":
                 a, _ = resize_keep_aspect(a, **params)
             else:
                 a = resize_fixed(a, **params)
