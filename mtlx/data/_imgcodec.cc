@@ -42,9 +42,11 @@ void err_exit(j_common_ptr cinfo) {
     longjmp(e->jb, 1);
 }
 
-// half-pixel-center bilinear, RGB interleaved uint8
+// bilinear, RGB interleaved uint8. legacy=0: half-pixel centers (TF2 /
+// jax convention); legacy=1: src = dst * scale (TF1 resize_images
+// align_corners=False — the reference's in-graph resize).
 void resize_bilinear(const unsigned char* src, int sh, int sw,
-                     unsigned char* dst, int th, int tw) {
+                     unsigned char* dst, int th, int tw, int legacy) {
     if (sh == th && sw == tw) {
         std::memcpy(dst, src, static_cast<size_t>(sh) * sw * 3);
         return;
@@ -54,7 +56,7 @@ void resize_bilinear(const unsigned char* src, int sh, int sw,
     std::vector<int> x0s(tw), x1s(tw);
     std::vector<float> wxs(tw);
     for (int x = 0; x < tw; x++) {
-        float fx = (x + 0.5f) * sx - 0.5f;
+        float fx = legacy ? x * sx : (x + 0.5f) * sx - 0.5f;
         if (fx < 0) fx = 0;
         if (fx > sw - 1) fx = static_cast<float>(sw - 1);
         int x0 = static_cast<int>(fx);
@@ -63,7 +65,7 @@ void resize_bilinear(const unsigned char* src, int sh, int sw,
         wxs[x] = fx - x0;
     }
     for (int y = 0; y < th; y++) {
-        float fy = (y + 0.5f) * sy - 0.5f;
+        float fy = legacy ? y * sy : (y + 0.5f) * sy - 0.5f;
         if (fy < 0) fy = 0;
         if (fy > sh - 1) fy = static_cast<float>(sh - 1);
         int y0 = static_cast<int>(fy);
@@ -90,7 +92,7 @@ void resize_bilinear(const unsigned char* src, int sh, int sw,
 // Returns false with `err` set on corrupt input.
 bool decode_impl(const unsigned char* data, size_t len, int th, int tw,
                  std::vector<unsigned char>& out, int& src_h, int& src_w,
-                 int& out_h, int& out_w, std::string& err) {
+                 int& out_h, int& out_w, std::string& err, int legacy = 0) {
     jpeg_decompress_struct cinfo;
     ErrMgr jerr;
     cinfo.err = jpeg_std_error(&jerr.pub);
@@ -107,7 +109,10 @@ bool decode_impl(const unsigned char* data, size_t len, int th, int tw,
     src_h = static_cast<int>(cinfo.image_height);
     src_w = static_cast<int>(cinfo.image_width);
     cinfo.out_color_space = JCS_RGB;  // grayscale/YCbCr -> RGB in-decode
-    if (th > 0 && tw > 0 && th < src_h && tw < src_w) {
+    // legacy (TF1-parity) mode decodes at full resolution: the reference
+    // resized from the full image, so DCT-scaled decode would change the
+    // input to the resize
+    if (!legacy && th > 0 && tw > 0 && th < src_h && tw < src_w) {
         double f = static_cast<double>(th) / src_h;
         double fx = static_cast<double>(tw) / src_w;
         if (fx > f) f = fx;
@@ -134,7 +139,7 @@ bool decode_impl(const unsigned char* data, size_t len, int th, int tw,
         out_h = th;
         out_w = tw;
         out.resize(static_cast<size_t>(th) * tw * 3);
-        resize_bilinear(raw.data(), dh, dw, out.data(), th, tw);
+        resize_bilinear(raw.data(), dh, dw, out.data(), th, tw, legacy);
     } else {
         out_h = dh;
         out_w = dw;
@@ -173,8 +178,9 @@ PyObject* py_dims(PyObject*, PyObject* args) {
 // out_h, out_w); pixels are RGB uint8 HWC
 PyObject* py_decode(PyObject*, PyObject* args) {
     Py_buffer buf;
-    int th = 0, tw = 0;
-    if (!PyArg_ParseTuple(args, "y*|ii", &buf, &th, &tw)) return nullptr;
+    int th = 0, tw = 0, legacy = 0;
+    if (!PyArg_ParseTuple(args, "y*|iii", &buf, &th, &tw, &legacy))
+        return nullptr;
     std::vector<unsigned char> out;
     int sh = 0, sw = 0, oh = 0, ow = 0;
     std::string err;
@@ -182,7 +188,7 @@ PyObject* py_decode(PyObject*, PyObject* args) {
     Py_BEGIN_ALLOW_THREADS
     ok = decode_impl(static_cast<const unsigned char*>(buf.buf),
                      static_cast<size_t>(buf.len), th, tw, out, sh, sw, oh,
-                     ow, err);
+                     ow, err, legacy);
     Py_END_ALLOW_THREADS
     PyBuffer_Release(&buf);
     if (!ok) {
@@ -200,8 +206,9 @@ PyObject* py_decode(PyObject*, PyObject* args) {
 //   -> list[(pixels, src_h, src_w, out_h, out_w)]
 PyObject* py_decode_batch(PyObject*, PyObject* args) {
     PyObject *blobs, *ths, *tws;
-    int threads = 4;
-    if (!PyArg_ParseTuple(args, "OOO|i", &blobs, &ths, &tws, &threads))
+    int threads = 4, legacy = 0;
+    if (!PyArg_ParseTuple(args, "OOO|ii", &blobs, &ths, &tws, &threads,
+                          &legacy))
         return nullptr;
     PyObject* seq = PySequence_Fast(blobs, "decode_batch: blobs not a sequence");
     if (!seq) return nullptr;
@@ -253,7 +260,7 @@ PyObject* py_decode_batch(PyObject*, PyObject* args) {
             if (i >= jobs.size()) break;
             Job& j = jobs[i];
             j.ok = decode_impl(j.data, j.len, j.th, j.tw, j.out, j.sh, j.sw,
-                               j.oh, j.ow, j.err);
+                               j.oh, j.ow, j.err, legacy);
         }
     };
     if (threads <= 1) {
@@ -288,10 +295,10 @@ PyMethodDef methods[] = {
     {"dims", py_dims, METH_VARARGS,
      "dims(jpeg_bytes) -> (height, width) from the header only"},
     {"decode", py_decode, METH_VARARGS,
-     "decode(jpeg_bytes, target_h=0, target_w=0) -> (rgb_bytes, src_h, "
+     "decode(jpeg_bytes, target_h=0, target_w=0, legacy=0) -> (rgb_bytes, src_h, "
      "src_w, out_h, out_w); fused DCT-scaled decode + bilinear resize"},
     {"decode_batch", py_decode_batch, METH_VARARGS,
-     "decode_batch(blobs, target_hs, target_ws, threads=4) -> list of "
+     "decode_batch(blobs, target_hs, target_ws, threads=4, legacy=0) -> list of "
      "decode() tuples, thread-pooled with the GIL released"},
     {nullptr, nullptr, 0, nullptr},
 };

@@ -42,16 +42,43 @@ def keep_aspect_target(h: int, w: int, min_dimension: int,
     return int(round(h * scale)), int(round(w * scale))
 
 
-def native_decode_resize(encoded: bytes, kind: str, params) -> "np.ndarray":
+def native_decode_resize(encoded: bytes, kind: str, params,
+                         tf1_resize: bool = False) -> "np.ndarray":
     """Fused libjpeg decode (+DCT-scaled) + bilinear resize onto the
-    resizer target. Raises ValueError on undecodable input."""
+    resizer target. Raises ValueError on undecodable input.
+
+    tf1_resize selects the reference's resize convention — TF1
+    resize_images align_corners=False (src = dst * scale, full-resolution
+    decode) — for bit-faithful mAP-parity evals; default is half-pixel
+    centers (TF2/jax convention)."""
     h0, w0 = _imgcodec.dims(encoded)
     if kind == "fixed":
         th, tw = params["height"], params["width"]
     else:
         th, tw = keep_aspect_target(h0, w0, **params)
-    pixels, _, _, oh, ow = _imgcodec.decode(encoded, th, tw)
+    pixels, _, _, oh, ow = _imgcodec.decode(encoded, th, tw, int(tf1_resize))
     return np.frombuffer(pixels, np.uint8).reshape(oh, ow, 3)
+
+
+def legacy_resize_bilinear(image: "np.ndarray", th: int, tw: int) -> "np.ndarray":
+    """Numpy TF1 resize_images (align_corners=False) bilinear — the
+    fallback for the native codec's legacy mode (non-JPEG inputs)."""
+    h, w = image.shape[:2]
+    fy = np.minimum(np.arange(th, dtype=np.float64) * (h / th), h - 1)
+    fx = np.minimum(np.arange(tw, dtype=np.float64) * (w / tw), w - 1)
+    y0 = fy.astype(np.int32)
+    x0 = fx.astype(np.int32)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (fy - y0)[:, None, None]
+    wx = (fx - x0)[None, :, None]
+    img = image.astype(np.float32)
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    if np.issubdtype(image.dtype, np.integer):
+        out = np.round(out)
+    return out.astype(image.dtype)
 
 
 def resize_keep_aspect(
@@ -95,9 +122,13 @@ class DetectionDataset:
         load_instance_masks: bool = False,
         mask_stride: int = 8,
         num_keypoints: int = 0,
+        tf1_resize: bool = False,
     ):
         self.canvas_size = canvas_size
         self.resizer = resizer
+        # TF1 resize_images align_corners=False convention for the
+        # initial keep-aspect resize (mAP-parity evals vs the reference)
+        self.tf1_resize = tf1_resize
         self.max_boxes = max_boxes
         self.keep_difficult = keep_difficult
         # instance masks are carried at canvas/mask_stride resolution —
@@ -146,7 +177,9 @@ class DetectionDataset:
         if _imgcodec is not None and fmt in _JPEG_FORMATS:
             try:  # native fused decode+resize (GIL-free)
                 h0, w0 = _imgcodec.dims(enc)
-                return native_decode_resize(enc, kind, params), h0, w0
+                return native_decode_resize(
+                    enc, kind, params, self.tf1_resize
+                ), h0, w0
             except ValueError:
                 pass  # corrupt/unsupported -> PIL fallback
         import io
@@ -157,7 +190,13 @@ class DetectionDataset:
             _PILImage.open(io.BytesIO(enc)).convert("RGB"), np.uint8
         )
         h0, w0 = full.shape[:2]
-        if kind == "keep_aspect":
+        if self.tf1_resize:
+            if kind == "fixed":
+                th, tw = params["height"], params["width"]
+            else:
+                th, tw = keep_aspect_target(h0, w0, **params)
+            image = legacy_resize_bilinear(full, th, tw)
+        elif kind == "keep_aspect":
             image, _ = resize_keep_aspect(full, **params)
         else:
             image = resize_fixed(full, **params)
@@ -196,7 +235,7 @@ class DetectionDataset:
                     targets.append((th, tw, h0, w0))
             decoded = _imgcodec.decode_batch(
                 blobs, [t[0] for t in targets], [t[1] for t in targets],
-                decode_threads,
+                decode_threads, int(self.tf1_resize),
             )
         except ValueError:
             return [self.get(int(i)) for i in indices]

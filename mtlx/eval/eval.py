@@ -26,6 +26,8 @@ def parse_args(argv=None):
     p.add_argument("--eval_dir", required=True)
     p.add_argument("--run_once", action="store_true")
     p.add_argument("--platform", default=None)
+    p.add_argument("--tf1_resize", action="store_true",
+                   help="TF1 resize_images convention (see train.py)")
     p.add_argument("--eval_batch_size", type=int, default=1,
                    help="images per eval step (reference runs batch 1; "
                         "larger batches cut eval wall-clock; tail batches "
@@ -225,6 +227,7 @@ def main(argv=None):
         canvas_size=model.cfg.canvas_size,
         resizer=resizer_params(_image_resizer(configs["model"])),
         max_boxes=100,
+        tf1_resize=args.tf1_resize,
     )
     if input_config.label_map_path:
         categories = list(

@@ -103,6 +103,11 @@ def parse_args(argv=None):
     p.add_argument("--grain_workers", type=int, default=0,
                    help=">0 uses the grain multiprocess loader with this "
                         "many workers (production host input parallelism)")
+    p.add_argument("--tf1_resize", action="store_true",
+                   help="use the reference's TF1 resize_images "
+                        "(align_corners=False) convention for the initial "
+                        "image resize — for mAP-parity runs against TF "
+                        "checkpoints")
     p.add_argument("--pack_transfer", type=int, default=1,
                    help="1 = ship images cropped to the 128-bucketed true "
                         "shape and pad to the canvas on device — cuts "
@@ -191,6 +196,7 @@ def main(argv=None):
             input_config.load_instance_masks
             and getattr(model.cfg, "predict_instance_masks", False)
         ),
+        tf1_resize=args.tf1_resize,
     )
     print(f"[train] {len(dataset)} examples, batch {batch_size}, "
           f"canvas {model.cfg.canvas_size}, {num_steps} steps", flush=True)

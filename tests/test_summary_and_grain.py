@@ -133,3 +133,40 @@ def test_device_prefetch_sequential_iterators_share_dataset(tmp_path):
             if j >= 1:
                 break  # abandon mid-epoch on purpose
         it.close()
+
+
+def test_tf1_resize_mode(tmp_path):
+    """DetectionDataset(tf1_resize=True) decodes with the TF1
+    resize_images convention (cross-checked against real TF in
+    tools/tf_compat_check.py); the two conventions differ measurably."""
+    import io
+
+    from PIL import Image
+
+    from mtlx.data import tfrecord
+    from mtlx.data.example_decoder import build_example
+    from mtlx.data.loader import DetectionDataset, legacy_resize_bilinear
+
+    rs = np.random.RandomState(3)
+    img = rs.randint(0, 255, (40, 60, 3), np.uint8)
+    record = str(tmp_path / "t.record")
+    with tfrecord.TFRecordWriter(record) as w:
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG", quality=100)
+        w.write(build_example(
+            buf.getvalue(), b"jpeg", 40, 60, "t.jpg",
+            np.asarray([[0.1, 0.1, 0.9, 0.9]], np.float32), [1], ["a"],
+        ).SerializeToString())
+    kw = dict(canvas_size=(32, 32),
+              resizer=("fixed", {"height": 20, "width": 30}), max_boxes=2)
+    a = DetectionDataset([record], **kw).get(0)["image"][:20, :30]
+    b = DetectionDataset([record], tf1_resize=True, **kw).get(0)["image"][:20, :30]
+    assert not np.array_equal(a, b)  # conventions differ on real content
+    # the tf1 path agrees with the numpy legacy reference on the decoded px
+    decoded = np.asarray(Image.open(io.BytesIO(buf.getvalue())))
+    want = legacy_resize_bilinear(decoded, 20, 30)
+    assert np.abs(b.astype(int) - want.astype(int)).max() <= 1
+    # get_batch (native pool) honors the flag too
+    ds_tf1 = DetectionDataset([record], tf1_resize=True, **kw)
+    bb = ds_tf1.get_batch([0], decode_threads=2)[0]["image"][:20, :30]
+    np.testing.assert_array_equal(bb, b)

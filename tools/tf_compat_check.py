@@ -142,6 +142,35 @@ def main():
         np.testing.assert_array_equal(ours, tf_sel)
     print("NMS: selection order identical to tf.image.non_max_suppression OK")
 
+    # --- tf1_resize mode vs tf.compat.v1.image.resize_images ---
+    from mtlx.data.loader import (
+        _imgcodec as codec,
+        legacy_resize_bilinear,
+        native_decode_resize,
+    )
+
+    src_img = rs.randint(0, 255, (90, 130, 3)).astype(np.uint8)
+    tf1 = tf.compat.v1.image.resize_images(
+        src_img[None].astype(np.float32), (60, 80), align_corners=False
+    ).numpy()[0]
+    ours_np = legacy_resize_bilinear(src_img, 60, 80).astype(np.float32)
+    # uint8 output quantization bounds the difference to rounding
+    assert np.abs(ours_np - tf1).max() <= 0.502, np.abs(ours_np - tf1).max()
+    if codec is not None:
+        jpg = io.BytesIO()
+        Image.fromarray(src_img).save(jpg, format="JPEG", quality=100)
+        nat = native_decode_resize(
+            jpg.getvalue(), "fixed", {"height": 60, "width": 80},
+            tf1_resize=True,
+        ).astype(np.float32)
+        decoded = np.asarray(Image.open(io.BytesIO(jpg.getvalue())))
+        tf1_j = tf.compat.v1.image.resize_images(
+            decoded[None].astype(np.float32), (60, 80), align_corners=False
+        ).numpy()[0]
+        assert np.abs(nat - tf1_j).max() <= 1.001, np.abs(nat - tf1_j).max()
+    print("tf1_resize: matches tf.compat.v1 resize_images "
+          "(align_corners=False) within quantization OK")
+
     print("ALL TF WIRE-COMPAT CHECKS PASSED")
 
 
