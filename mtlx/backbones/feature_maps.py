@@ -54,8 +54,11 @@ class MultiResolutionFeatureMaps(nn.Module):
         depth_fn = lambda d: max(int(d * self.depth_multiplier), self.min_depth)
         out: List[jnp.ndarray] = []
         next_endpoint = 0
+        num_extra = 0  # extras numbered by generated-layer count, so the
+        # param names are stable under layout changes that only add/remove
+        # leading from_layer entries (checkpoint compatibility)
         k = self.conv_kernel_size
-        for i, layer_depth in enumerate(self.layer_depths):
+        for layer_depth in self.layer_depths:
             if layer_depth < 0:
                 if next_endpoint >= len(endpoints):
                     raise ValueError(
@@ -72,16 +75,18 @@ class MultiResolutionFeatureMaps(nn.Module):
                 x = nn.relu(
                     nn.Conv(
                         depth_fn(layer_depth // 2), (1, 1),
-                        dtype=self.dtype, name=f"extra{i}_1x1",
+                        dtype=self.dtype, name=f"extra{num_extra}_1x1",
                     )(x)
                 )
             x = nn.relu(
                 nn.Conv(
                     depth_fn(layer_depth), (k, k), strides=(2, 2),
-                    padding="SAME", dtype=self.dtype, name=f"extra{i}_3x3",
+                    padding="SAME", dtype=self.dtype,
+                    name=f"extra{num_extra}_3x3",
                 )(x)
             )
             out.append(x)
+            num_extra += 1
         return out
 
 

@@ -34,17 +34,27 @@ class MobileNetV1(nn.Module):
     depth_multiplier: float = 1.0
     min_depth: int = 8
     bn_epsilon: float = 1e-5
+    # conv_hyperparams.batch_norm.{center,scale} (param presence; decay is
+    # inapplicable to frozen BN — moving stats are never updated)
+    bn_center: bool = True
+    bn_scale: bool = True
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
+        def bn(v, name):
+            return FrozenBatchNorm(
+                epsilon=self.bn_epsilon, center=self.bn_center,
+                scale=self.bn_scale, dtype=self.dtype, name=name,
+            )(v)
+
         x = x.astype(self.dtype)
         out = nn.Conv(
             _depth(32, self.depth_multiplier, self.min_depth), (3, 3),
             strides=(2, 2), padding="SAME", use_bias=False, dtype=self.dtype,
             name="conv0",
         )(x)
-        out = nn.relu6(FrozenBatchNorm(epsilon=self.bn_epsilon, dtype=self.dtype, name="conv0_bn")(out))
+        out = nn.relu6(bn(out, "conv0_bn"))
         endpoints = []
         for i, (stride, channels) in enumerate(_MOBILENET_V1_DEFS):
             c = _depth(channels, self.depth_multiplier, self.min_depth)
@@ -53,11 +63,11 @@ class MobileNetV1(nn.Module):
                 feature_group_count=out.shape[-1], use_bias=False,
                 dtype=self.dtype, name=f"conv{i + 1}_dw",
             )(out)
-            dw = nn.relu6(FrozenBatchNorm(epsilon=self.bn_epsilon, dtype=self.dtype, name=f"conv{i + 1}_dw_bn")(dw))
+            dw = nn.relu6(bn(dw, f"conv{i + 1}_dw_bn"))
             out = nn.Conv(
                 c, (1, 1), use_bias=False, dtype=self.dtype, name=f"conv{i + 1}_pw"
             )(dw)
-            out = nn.relu6(FrozenBatchNorm(epsilon=self.bn_epsilon, dtype=self.dtype, name=f"conv{i + 1}_pw_bn")(out))
+            out = nn.relu6(bn(out, f"conv{i + 1}_pw_bn"))
             if i in (10, 12):  # conv11, conv13
                 endpoints.append(out)
         return endpoints

@@ -21,7 +21,7 @@ TPU-first details:
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, NamedTuple, Sequence, Tuple
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -35,23 +35,44 @@ BLOCK_SIZES = {
 }
 
 
+class BNSpec(NamedTuple):
+    """Batch-norm hyperparameters (reference Hyperparams.batch_norm /
+    feature_extractor arg_scope). Defaults are slim resnet_arg_scope's:
+    decay 0.997, epsilon 1e-5, center + scale affine."""
+
+    momentum: float = 0.997  # reference batch_norm.decay
+    epsilon: float = 1e-5
+    center: bool = True  # beta/bias param present
+    scale: bool = True  # gamma/scale param present
+
+
 class FrozenBatchNorm(nn.Module):
     """Affine y = gamma * (x - mean) / sqrt(var + eps) + beta with
     non-trainable moving statistics (reference fine-tuning BN semantics).
 
     `mean`/`var` live in the `batch_stats` collection so a TF checkpoint
     converter can populate them; they receive no gradient and are never
-    updated by the train step.
+    updated by the train step. center/scale gate the beta/gamma params
+    (reference batch_norm.{center,scale}; absent params behave as 0/1,
+    matching slim's scale-less BN without a placeholder variable).
     """
 
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
+    center: bool = True
+    scale: bool = True
 
     @nn.compact
     def __call__(self, x):
         features = x.shape[-1]
-        gamma = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
-        beta = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+        gamma = (
+            self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+            if self.scale else jnp.ones((features,), jnp.float32)
+        )
+        beta = (
+            self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+            if self.center else jnp.zeros((features,), jnp.float32)
+        )
         mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
         ).value
@@ -121,16 +142,22 @@ class SpaceToDepthConv1(nn.Module):
         )
 
 
-def make_norm(trainable: bool, dtype, name: str):
+def make_norm(trainable: bool, dtype, name: str, bn: BNSpec = BNSpec()):
     """BN factory: frozen affine (fine-tuning default) or real BatchNorm
     (feature_extractor.batch_norm_trainable). Both use the same param
     (scale/bias) and batch_stats (mean/var) names, so checkpoints are
-    interchangeable between the two modes."""
+    interchangeable between the two modes. `bn` carries the reference's
+    batch_norm.{decay,epsilon,center,scale} sub-knobs."""
     if trainable:
         return nn.BatchNorm(
-            momentum=0.997, epsilon=1e-5, dtype=dtype, name=name
+            momentum=bn.momentum, epsilon=bn.epsilon,
+            use_bias=bn.center, use_scale=bn.scale,
+            dtype=dtype, name=name,
         )
-    return FrozenBatchNorm(dtype=dtype, name=name)
+    return FrozenBatchNorm(
+        epsilon=bn.epsilon, center=bn.center, scale=bn.scale,
+        dtype=dtype, name=name,
+    )
 
 
 def apply_norm(norm, x, train: bool):
@@ -156,6 +183,7 @@ class Bottleneck(nn.Module):
     dtype: Dtype = jnp.bfloat16
     bn_trainable: bool = False
     slim_padding: bool = False
+    bn: BNSpec = BNSpec()
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -173,7 +201,7 @@ class Bottleneck(nn.Module):
             )
 
         bn = lambda v, name: apply_norm(
-            make_norm(self.bn_trainable, self.dtype, name), v, train
+            make_norm(self.bn_trainable, self.dtype, name, self.bn), v, train
         )
 
         y = nn.relu(bn(conv(self.depth_bottleneck, 1, 1, "conv1")(x), "bn1"))
@@ -206,6 +234,7 @@ class ResNetStage(nn.Module):
     # internals on the MXU is cheaper than round-tripping saved
     # activations through HBM. Numerically identical; params unchanged.
     remat: bool = False
+    bn: BNSpec = BNSpec()
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -221,6 +250,7 @@ class ResNetStage(nn.Module):
                 dtype=self.dtype,
                 bn_trainable=self.bn_trainable,
                 slim_padding=self.slim_stride_order,
+                bn=self.bn,
                 name=f"unit{i + 1}",
             )(x, train)
         return x
@@ -240,6 +270,7 @@ class ResNetProposalFeatures(nn.Module):
     # XLA's native small-C stem handling is already good here; kept as a
     # documented option for other generations/canvas sizes
     conv0_space_to_depth: bool = False
+    bn: BNSpec = BNSpec()
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -247,6 +278,7 @@ class ResNetProposalFeatures(nn.Module):
         bt = self.bn_trainable
         so = self.slim_stride_order
         rm = self.remat
+        bn = self.bn
         x = x.astype(self.dtype)
         if self.conv0_space_to_depth:
             x = SpaceToDepthConv1(64, dtype=self.dtype, name="conv1")(x)
@@ -255,20 +287,20 @@ class ResNetProposalFeatures(nn.Module):
                 64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                 use_bias=False, dtype=self.dtype, name="conv1",
             )(x)
-        x = nn.relu(apply_norm(make_norm(bt, self.dtype, "bn1"), x, train))
+        x = nn.relu(apply_norm(make_norm(bt, self.dtype, "bn1", bn), x, train))
         # slim pools with TF SAME padding ((0,1) on even inputs); the
         # default keeps the symmetric (1,1) used since round 1
         pool_pad = "SAME" if so else [(1, 1), (1, 1)]
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=pool_pad)
         if so:
             # slim: blockN strides at its LAST unit (transition out)
-            x = ResNetStage(sizes[0], 256, 2, self.dtype, bt, True, rm, name="block1")(x, train)
-            x = ResNetStage(sizes[1], 512, 2, self.dtype, bt, True, rm, name="block2")(x, train)
-            x = ResNetStage(sizes[2], 1024, 1, self.dtype, bt, True, rm, name="block3")(x, train)
+            x = ResNetStage(sizes[0], 256, 2, self.dtype, bt, True, rm, bn, name="block1")(x, train)
+            x = ResNetStage(sizes[1], 512, 2, self.dtype, bt, True, rm, bn, name="block2")(x, train)
+            x = ResNetStage(sizes[2], 1024, 1, self.dtype, bt, True, rm, bn, name="block3")(x, train)
         else:
-            x = ResNetStage(sizes[0], 256, 1, self.dtype, bt, False, rm, name="block1")(x, train)
-            x = ResNetStage(sizes[1], 512, 2, self.dtype, bt, False, rm, name="block2")(x, train)
-            x = ResNetStage(sizes[2], 1024, 2, self.dtype, bt, False, rm, name="block3")(x, train)
+            x = ResNetStage(sizes[0], 256, 1, self.dtype, bt, False, rm, bn, name="block1")(x, train)
+            x = ResNetStage(sizes[1], 512, 2, self.dtype, bt, False, rm, bn, name="block2")(x, train)
+            x = ResNetStage(sizes[2], 1024, 2, self.dtype, bt, False, rm, bn, name="block3")(x, train)
         return x
 
 
@@ -280,13 +312,14 @@ class ResNetBoxClassifierFeatures(nn.Module):
     bn_trainable: bool = False
     slim_stride_order: bool = False  # stride 1 -> only affects unit naming parity
     remat: bool = False
+    bn: BNSpec = BNSpec()
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         sizes = BLOCK_SIZES[self.depth]
         return ResNetStage(
             sizes[3], 2048, 1, self.dtype, self.bn_trainable,
-            self.slim_stride_order, self.remat, name="block4"
+            self.slim_stride_order, self.remat, self.bn, name="block4"
         )(x.astype(self.dtype), train)
 
 

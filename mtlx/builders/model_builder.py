@@ -125,6 +125,13 @@ def _build_faster_rcnn(fr, is_training: bool, max_gt_boxes: int, dtype):
     if extractor_type not in FEATURE_EXTRACTORS:
         raise ValueError(f"unknown feature extractor {extractor_type!r}")
     stride = fr.feature_extractor.first_stage_features_stride or 16
+    # feature_extractor.batch_norm overrides the backbone arg_scope BN
+    # params (reference hyperparams_builder batch_norm semantics: a present
+    # block means slim BatchNorm proto defaults for unset sub-fields)
+    bn_params = None
+    if fr.feature_extractor.HasField("batch_norm"):
+        b = fr.feature_extractor.batch_norm
+        bn_params = (b.decay, b.epsilon, b.center, b.scale)
 
     ag = fr.first_stage_anchor_generator
     if ag.WhichOneof("anchor_generator_oneof") != "grid_anchor_generator":
@@ -231,6 +238,9 @@ def _build_faster_rcnn(fr, is_training: bool, max_gt_boxes: int, dtype):
             num_spatial_bins=(r.num_spatial_bins_height, r.num_spatial_bins_width),
             rfcn_depth=r.depth,
             rfcn_crop_size=(r.crop_height, r.crop_width),
+            batch_norm_trainable=fr.feature_extractor.batch_norm_trainable,
+            batch_norm_params=bn_params,
+            slim_stride_order=fr.feature_extractor.slim_stride_order,
             max_gt_boxes=max_gt_boxes,
             dtype=dtype,
             mtl=mtl if is_training else MTLConfig(),
@@ -278,6 +288,7 @@ def _build_faster_rcnn(fr, is_training: bool, max_gt_boxes: int, dtype):
         ),
         hard_example_miner=miner_cfg,
         batch_norm_trainable=fr.feature_extractor.batch_norm_trainable,
+        batch_norm_params=bn_params,
         slim_stride_order=fr.feature_extractor.slim_stride_order,
         number_of_stages=fr.number_of_stages,
         max_gt_boxes=max_gt_boxes,

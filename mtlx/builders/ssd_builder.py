@@ -83,6 +83,14 @@ def build(ssd_proto, is_training: bool, max_gt_boxes: int = 100, dtype=jnp.bfloa
             fe.conv_hyperparams.batch_norm.epsilon
             if fe.conv_hyperparams.HasField("batch_norm") else 1e-5
         ),
+        bn_center=(
+            fe.conv_hyperparams.batch_norm.center
+            if fe.conv_hyperparams.HasField("batch_norm") else True
+        ),
+        bn_scale=(
+            fe.conv_hyperparams.batch_norm.scale
+            if fe.conv_hyperparams.HasField("batch_norm") else True
+        ),
         num_layers=num_layers,
         min_scale=min_scale,
         max_scale=max_scale,

@@ -221,6 +221,16 @@ PyObject* py_decode_batch(PyObject*, PyObject* args) {
         Py_XDECREF(wseq);
         return nullptr;
     }
+    if (n < 1 || PySequence_Fast_GET_SIZE(hseq) != n ||
+        PySequence_Fast_GET_SIZE(wseq) != n) {
+        PyErr_Format(PyExc_ValueError,
+                     "decode_batch: need len(blobs)==len(heights)==len(widths)"
+                     ">=1, got %zd/%zd/%zd",
+                     n, PySequence_Fast_GET_SIZE(hseq),
+                     PySequence_Fast_GET_SIZE(wseq));
+        Py_DECREF(seq); Py_DECREF(hseq); Py_DECREF(wseq);
+        return nullptr;
+    }
     struct Job {
         const unsigned char* data;
         size_t len;
@@ -242,9 +252,9 @@ PyObject* py_decode_batch(PyObject*, PyObject* args) {
         jobs[i].data = reinterpret_cast<const unsigned char*>(p);
         jobs[i].len = static_cast<size_t>(len);
         jobs[i].th = static_cast<int>(
-            PyLong_AsLong(PySequence_Fast_GET_ITEM(hseq, i % PySequence_Fast_GET_SIZE(hseq))));
+            PyLong_AsLong(PySequence_Fast_GET_ITEM(hseq, i)));
         jobs[i].tw = static_cast<int>(
-            PyLong_AsLong(PySequence_Fast_GET_ITEM(wseq, i % PySequence_Fast_GET_SIZE(wseq))));
+            PyLong_AsLong(PySequence_Fast_GET_ITEM(wseq, i)));
     }
     if (PyErr_Occurred()) {
         Py_DECREF(seq); Py_DECREF(hseq); Py_DECREF(wseq);

@@ -77,7 +77,9 @@ def legacy_resize_bilinear(image: "np.ndarray", th: int, tw: int) -> "np.ndarray
     bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
     out = top * (1 - wy) + bot * wy
     if np.issubdtype(image.dtype, np.integer):
-        out = np.round(out)
+        # floor(v + 0.5) matches the native codec's truncate(v + 0.5)
+        # rounding so both tf1_resize paths are bit-identical
+        out = np.floor(out + 0.5)
     return out.astype(image.dtype)
 
 
@@ -148,6 +150,20 @@ class DetectionDataset:
         self._handles: Dict[str, object] = {}
         # seek+read on a shared handle must not interleave across threads
         # (device_prefetch producer vs. direct get() callers)
+        self._read_lock = threading.Lock()
+
+    # The grain multiprocess loader pickles the data source; locks and
+    # open file handles can't cross process boundaries — each worker
+    # recreates its own on unpickle.
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_handles"] = {}
+        state["_read_lock"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._handles = {}
         self._read_lock = threading.Lock()
 
     def __len__(self) -> int:

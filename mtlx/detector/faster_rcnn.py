@@ -132,6 +132,10 @@ class FasterRCNNConfig:
     conv0_space_to_depth: bool = False
     # misc
     batch_norm_trainable: bool = False  # feature_extractor.batch_norm_trainable
+    # feature_extractor.batch_norm overrides (resnet.BNSpec: momentum/
+    # decay, epsilon, center, scale); None = the extractor arg_scope
+    # defaults (resnet_arg_scope: 0.997 / 1e-5 / center / scale)
+    batch_norm_params: Any = None
     # feature_extractor.slim_stride_order: stride stages at the LAST unit
     # (slim resnet_v1 convention) for parity with converted TF checkpoints
     slim_stride_order: bool = False
@@ -194,15 +198,20 @@ class FasterRCNNModules(nn.Module):
             self._setup_heads()
             return
         depth = c.resnet_depth
+        bn = (
+            resnet.BNSpec(*c.batch_norm_params)
+            if c.batch_norm_params is not None else resnet.BNSpec()
+        )
         self.proposal_features = resnet.ResNetProposalFeatures(
             depth=depth, dtype=c.dtype, bn_trainable=c.batch_norm_trainable,
             slim_stride_order=c.slim_stride_order, remat=c.backbone_remat,
-            conv0_space_to_depth=c.conv0_space_to_depth,
+            conv0_space_to_depth=c.conv0_space_to_depth, bn=bn,
             name="backbone",
         )
         self.classifier_features = resnet.ResNetBoxClassifierFeatures(
             depth=depth, dtype=c.dtype, bn_trainable=c.batch_norm_trainable,
             slim_stride_order=c.slim_stride_order, remat=c.backbone_remat,
+            bn=bn,
             name="classifier_backbone",
         )
         self._setup_heads()

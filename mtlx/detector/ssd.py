@@ -45,9 +45,13 @@ class SSDConfig:
     feature_extractor: str = "ssd_mobilenet_v1"  # or ssd_inception_v2
     depth_multiplier: float = 1.0
     min_depth: int = 8
-    # feature_extractor.conv_hyperparams.batch_norm.epsilon (slim arg_scope
-    # default 0.001 when a batch_norm block is configured)
+    # feature_extractor.conv_hyperparams.batch_norm.{epsilon,center,scale}
+    # (slim arg_scope defaults 0.001/true/false when a batch_norm block is
+    # configured; decay is inapplicable — BN is frozen here, stats are
+    # never updated)
     bn_epsilon: float = 1e-5
+    bn_center: bool = True
+    bn_scale: bool = True
     # feature pyramid (reference feature_map_generators layout)
     insert_1x1_conv: bool = True
     # anchors
@@ -102,6 +106,7 @@ class SSDModules(nn.Module):
         else:
             self.backbone = MobileNetV1(
                 c.depth_multiplier, c.min_depth, bn_epsilon=c.bn_epsilon,
+                bn_center=c.bn_center, bn_scale=c.bn_scale,
                 dtype=c.dtype, name="backbone"
             )
         self.feature_maps = MultiResolutionFeatureMaps(

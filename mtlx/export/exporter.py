@@ -27,13 +27,9 @@ from mtlx.config import config_util
 from mtlx.train import checkpoints as ckpt_lib
 
 
-def export_inference_graph(
-    pipeline_config_path: str,
-    trained_checkpoint_dir: str,
-    output_directory: str,
-    checkpoint_step: int | None = None,
-) -> str:
-    """Bundle config + trained weights into `output_directory`."""
+def _load_trained(pipeline_config_path: str, trained_checkpoint_dir: str,
+                  checkpoint_step: int | None = None):
+    """(configs, eval model, restored state with EMA applied)."""
     import jax
 
     from mtlx.builders import model_builder
@@ -53,7 +49,19 @@ def export_inference_graph(
         # export the averaged weights (reference exporter reads
         # eval_config.use_moving_averages)
         restored = restored.replace(params=restored.ema_params)
+    return configs, model, restored
 
+
+def export_inference_graph(
+    pipeline_config_path: str,
+    trained_checkpoint_dir: str,
+    output_directory: str,
+    checkpoint_step: int | None = None,
+) -> str:
+    """Bundle config + trained weights into `output_directory`."""
+    configs, model, restored = _load_trained(
+        pipeline_config_path, trained_checkpoint_dir, checkpoint_step
+    )
     os.makedirs(output_directory, exist_ok=True)
     config_util.save_pipeline_config(
         config_util.create_pipeline_proto_from_configs(configs), output_directory
@@ -65,6 +73,146 @@ def export_inference_graph(
     with open(os.path.join(output_directory, "export_metadata.json"), "w") as f:
         json.dump({"step": int(restored.step), "format": "mtlx-v1"}, f)
     return output_directory
+
+
+def export_saved_model(
+    pipeline_config_path: str,
+    trained_checkpoint_dir: str,
+    output_directory: str,
+    checkpoint_step: int | None = None,
+) -> str:
+    """TF SavedModel export for TF-serving stacks (reference exporter.py
+    frozen graph / SavedModel contract). Requires TensorFlow at export
+    time only; the serving artifact is a plain SavedModel.
+
+    The jitted predict+postprocess is converted with jax2tf (weights
+    frozen into the graph, like the reference's frozen inference graph)
+    and exposed under two signatures matching the reference input types:
+
+      * serving_default / image_tensor: uint8 [B, H, W, 3] images already
+        on the model canvas + int32 [B, 2] true (pre-padding) sizes
+      * encoded_image_string: 1-D string tensor of JPEG/PNG blobs —
+        TF-ops decode + TF1 resize_images (align_corners=False, the
+        reference's convention) + pad-to-canvas feed the same core fn
+
+    Outputs: detection_boxes (normalized to the true image),
+    detection_scores, detection_classes (1-based float, as the reference
+    emits), num_detections.
+    """
+    import jax.numpy as jnp
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    from mtlx.ops import nms as nms_lib
+
+    _, model, restored = _load_trained(
+        pipeline_config_path, trained_checkpoint_dir, checkpoint_step
+    )
+    variables = {
+        "params": restored.params, "batch_stats": restored.batch_stats
+    }
+    ch, cw = model.cfg.canvas_size
+    kind, params = _resizer_of(pipeline_config_path)
+
+    def forward(images, true_shapes):
+        pre = model.preprocess(images.astype(jnp.float32))
+        pred = model.predict(variables, pre, true_shapes, training=False)
+        out = model.postprocess(pred, true_shapes)
+        return {
+            "detection_boxes": out["detection_boxes"],
+            "detection_scores": out["detection_scores"],
+            "detection_classes": (out["detection_classes"] + 1).astype(
+                jnp.float32
+            ),
+            "num_detections": out["num_detections"].astype(jnp.float32),
+        }
+
+    # keep the exported graph portable: the Pallas NMS kernel is a
+    # TPU-only lowering, the jnp path serializes for any platform
+    prev = nms_lib.USE_PALLAS
+    nms_lib.USE_PALLAS = False
+    try:
+        tf_forward = jax2tf.convert(
+            forward,
+            with_gradient=False,
+            polymorphic_shapes=[f"(b, {ch}, {cw}, 3)", "(b, 2)"],
+        )
+    finally:
+        nms_lib.USE_PALLAS = prev
+
+    module = tf.Module()
+    module.image_tensor = tf.function(
+        tf_forward,
+        input_signature=[
+            tf.TensorSpec([None, ch, cw, 3], tf.uint8, name="image_tensor"),
+            tf.TensorSpec([None, 2], tf.int32, name="true_shape"),
+        ],
+    )
+
+    def _decode_resize_pad(blob):
+        img = tf.io.decode_image(blob, channels=3, expand_animations=False)
+        shape = tf.shape(img)
+        h, w = shape[0], shape[1]
+        if kind == "fixed":
+            th = tf.constant(params["height"])
+            tw = tf.constant(params["width"])
+        else:
+            scale = tf.minimum(
+                params["min_dimension"]
+                / tf.cast(tf.minimum(h, w), tf.float64),
+                params["max_dimension"]
+                / tf.cast(tf.maximum(h, w), tf.float64),
+            )
+            th = tf.cast(tf.round(tf.cast(h, tf.float64) * scale), tf.int32)
+            tw = tf.cast(tf.round(tf.cast(w, tf.float64) * scale), tf.int32)
+        # the reference's TF1 resize convention (align_corners=False)
+        resized = tf.compat.v1.image.resize_images(
+            tf.cast(img, tf.float32)[None], (th, tw), align_corners=False
+        )[0]
+        resized = tf.cast(tf.math.floor(resized + 0.5), tf.uint8)
+        th = tf.minimum(th, ch)
+        tw = tf.minimum(tw, cw)
+        canvas = tf.image.pad_to_bounding_box(resized[:th, :tw], 0, 0, ch, cw)
+        return canvas, tf.stack([th, tw])
+
+    @tf.function(input_signature=[
+        tf.TensorSpec([None], tf.string, name="encoded_image")
+    ])
+    def encoded_image_string(blobs):
+        canvases, shapes = tf.map_fn(
+            _decode_resize_pad, blobs,
+            fn_output_signature=(
+                tf.TensorSpec([ch, cw, 3], tf.uint8),
+                tf.TensorSpec([2], tf.int32),
+            ),
+        )
+        return module.image_tensor(canvases, shapes)
+
+    module.encoded_image_string = encoded_image_string
+    os.makedirs(output_directory, exist_ok=True)
+    tf.saved_model.save(
+        module, output_directory,
+        signatures={
+            "serving_default": module.image_tensor,
+            "image_tensor": module.image_tensor,
+            "encoded_image_string": module.encoded_image_string,
+        },
+    )
+    config_util.save_pipeline_config(
+        config_util.create_pipeline_proto_from_configs(
+            config_util.get_configs_from_pipeline_file(pipeline_config_path)
+        ),
+        output_directory,
+    )
+    return output_directory
+
+
+def _resizer_of(pipeline_config_path: str):
+    from mtlx.builders.model_builder import resizer_params
+
+    configs = config_util.get_configs_from_pipeline_file(pipeline_config_path)
+    which = configs["model"].WhichOneof("model")
+    return resizer_params(getattr(configs["model"], which).image_resizer)
 
 
 class InferenceModel:
@@ -121,6 +269,9 @@ class InferenceModel:
         from mtlx.data import loader as loader_lib
 
         if loader_lib._imgcodec is not None:
+            arrays = None
+            # the try covers only the native decode calls: a prediction
+            # error must surface, not silently re-route through PIL
             try:
                 kind, params = self.resizer
                 ths, tws = [], []
@@ -139,9 +290,10 @@ class InferenceModel:
                     np.frombuffer(px, np.uint8).reshape(oh, ow, 3)
                     for px, _, _, oh, ow in decoded
                 ]
-                return self._predict_decoded(arrays, already_resized=True)
             except (ValueError, TypeError):
                 pass  # non-JPEG input: PIL fallback below
+            if arrays is not None:
+                return self._predict_decoded(arrays, already_resized=True)
         import io
 
         from PIL import Image
@@ -202,6 +354,10 @@ def main(argv=None):
     p.add_argument("--trained_checkpoint_dir", required=True)
     p.add_argument("--output_directory", required=True)
     p.add_argument("--checkpoint_step", type=int, default=None)
+    p.add_argument("--saved_model", action="store_true",
+                   help="also write a TF SavedModel (jax2tf, frozen "
+                        "weights) under <output_directory>/saved_model "
+                        "for TF-serving stacks; requires TensorFlow")
     args = p.parse_args(argv)
     out = export_inference_graph(
         args.pipeline_config_path,
@@ -210,6 +366,14 @@ def main(argv=None):
         args.checkpoint_step,
     )
     print(f"[export] wrote {out}")
+    if args.saved_model:
+        sm = export_saved_model(
+            args.pipeline_config_path,
+            args.trained_checkpoint_dir,
+            os.path.join(args.output_directory, "saved_model"),
+            args.checkpoint_step,
+        )
+        print(f"[export] wrote SavedModel {sm}")
 
 
 if __name__ == "__main__":

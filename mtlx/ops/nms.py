@@ -25,10 +25,29 @@ _NEG = -1e10
 USE_PALLAS: Optional[bool] = None
 
 
+_warned_fallback = False
+
+
 def _pallas_enabled() -> bool:
     if USE_PALLAS is not None:
         return USE_PALLAS
-    return jax.default_backend() in ("tpu", "axon")
+    backend = jax.default_backend()
+    enabled = backend in ("tpu", "axon")
+    # warn once if a TPU-ish backend name we don't recognize falls back to
+    # the slow jnp path — this is the production dispatch for the hottest
+    # kernel and a silent fallback is a silent 2x NMS slowdown
+    global _warned_fallback
+    if not enabled and not _warned_fallback and "tpu" in backend.lower():
+        import warnings
+
+        warnings.warn(
+            f"backend {backend!r} looks like a TPU but is not in the Pallas "
+            "dispatch allowlist; using the slower jnp NMS. Set "
+            "mtlx.ops.nms.USE_PALLAS = True to force the Pallas kernel.",
+            stacklevel=3,
+        )
+        _warned_fallback = True
+    return enabled
 
 
 def non_max_suppression_padded(

@@ -42,6 +42,18 @@ def create_mesh_for_batch(batch_size: int,
     n = len(devices)
     while n > 1 and batch_size % n != 0:
         n -= 1
+    if n < len(devices):
+        # the reference errors loudly when clones don't divide the batch;
+        # we shrink the mesh but never silently — dropped chips are lost
+        # throughput
+        import warnings
+
+        warnings.warn(
+            f"batch_size={batch_size} does not divide over {len(devices)} "
+            f"devices; using a {n}-device mesh ({len(devices) - n} devices "
+            "idle). Pick a batch size divisible by the device count.",
+            stacklevel=2,
+        )
     return Mesh(np.asarray(devices[:n]), (DATA_AXIS,))
 
 

@@ -342,3 +342,87 @@ def test_predict_keypoints_raises_like_reference():
             _model_proto(predictor="predict_keypoints: true"),
             is_training=True,
         )
+
+
+# ---------------- feature_extractor.batch_norm sub-knobs ----------------
+
+
+def _bn_model(fe_extra=""):
+    proto = pipeline_pb2.DetectionModel()
+    text_format.Parse(
+        FRCNN_TEMPLATE % {
+            "extra": "", "predictor": "", "converter": "SOFTMAX",
+        },
+        proto,
+    )
+    if fe_extra:
+        text_format.Merge(fe_extra, proto.faster_rcnn.feature_extractor)
+    return model_builder.build(proto, is_training=False, max_gt_boxes=4,
+                               dtype=jnp.float32)
+
+
+def test_backbone_batch_norm_epsilon_changes_outputs():
+    """feature_extractor.batch_norm.epsilon reaches every backbone BN
+    (previously a fixed 1e-5 silent divergence — ROADMAP 5b)."""
+    m_default = _bn_model()
+    m_eps = _bn_model("batch_norm { epsilon: 0.5 scale: true }")
+    assert m_default.cfg.batch_norm_params is None
+    assert m_eps.cfg.batch_norm_params[1] == pytest.approx(0.5)
+
+    x = jnp.full((1, 64, 64, 3), 50.0)
+    ts = np.asarray([[64, 64]], np.int32)
+    v1 = m_default.init_variables(jax.random.PRNGKey(0))
+    v2 = m_eps.init_variables(jax.random.PRNGKey(0))
+    f1 = m_default.predict(v1, m_default.preprocess(x), ts, training=False)
+    f2 = m_eps.predict(v2, m_eps.preprocess(x), ts, training=False)
+    assert not np.allclose(
+        np.asarray(f1["rpn_objectness_logits"]),
+        np.asarray(f2["rpn_objectness_logits"]),
+    )
+
+
+def test_backbone_batch_norm_scale_center_gate_params():
+    """batch_norm.{scale,center} control gamma/beta presence (slim
+    BatchNorm proto defaults: scale false, center true)."""
+    m = _bn_model("batch_norm { }")  # slim defaults -> scale-less BN
+    v = m.init_variables(jax.random.PRNGKey(0))
+    bn1 = v["params"]["backbone"]["bn1"]
+    assert sorted(bn1.keys()) == ["bias"]
+
+    m2 = _bn_model("batch_norm { scale: true center: false }")
+    v2 = m2.init_variables(jax.random.PRNGKey(0))
+    bn1 = v2["params"]["backbone"]["bn1"]
+    assert sorted(bn1.keys()) == ["scale"]
+
+    # default (no batch_norm block): full affine, unchanged param tree
+    v3 = _bn_model().init_variables(jax.random.PRNGKey(0))
+    assert sorted(v3["params"]["backbone"]["bn1"].keys()) == ["bias", "scale"]
+
+
+def test_backbone_batch_norm_decay_reaches_trainable_bn():
+    """batch_norm.decay drives the moving-stat momentum when BN is
+    trainable: decay 0 keeps no history (stats jump to the batch stats),
+    decay 0.999 keeps almost all of it."""
+    from mtlx.detector.faster_rcnn import FasterRCNNModules
+
+    def run(decay):
+        m = _bn_model(
+            "batch_norm_trainable: true batch_norm "
+            "{ decay: %s epsilon: 0.001 scale: true }" % decay
+        )
+        assert m.cfg.batch_norm_params[0] == pytest.approx(decay)
+        v = m.init_variables(jax.random.PRNGKey(0))
+        x = m.preprocess(
+            jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3)) * 7 + 3
+        )
+        _, mutated = m.modules.apply(
+            v, x, True, method=FasterRCNNModules.features,
+            mutable=["batch_stats"],
+        )
+        return np.asarray(mutated["batch_stats"]["backbone"]["bn1"]["mean"])
+
+    fast, slow = run(0.0), run(0.999)
+    # decay 0 => moving mean == batch mean (far from the zero init);
+    # decay 0.999 => barely moved
+    assert np.abs(fast).max() > 0.1
+    assert np.abs(slow).max() < np.abs(fast).max() * 0.01

@@ -1,0 +1,170 @@
+"""One-command mAP-parity rehearsal (VERDICT r2 #5): prove the pieces of
+the first real-data session COMPOSE before real data arrives —
+
+  TF slim checkpoint -> tools/convert_checkpoint -> fine_tune_checkpoint
+  warm start -> 1 train step -> eval CLI with --tf1_resize -> metrics dict
+
+Each piece is unit-tested elsewhere (tests/test_checkpoint_convert.py,
+tools/tf_compat_check.py); this test runs the full chain through the
+actual CLIs the real session will use. Recipe mirrored in README.md
+("mAP-parity run").
+"""
+
+import io
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+import convert_checkpoint  # noqa: E402
+
+from test_checkpoint_convert import (  # noqa: E402
+    _slim_resnet50_vars,
+    _write_tf_checkpoint,
+)
+
+CONFIG = """
+model {{
+  faster_rcnn {{
+    num_classes: 3
+    image_resizer {{ fixed_shape_resizer {{ height: 64 width: 64 }} }}
+    feature_extractor {{
+      type: 'faster_rcnn_resnet50'
+      slim_stride_order: true
+    }}
+    first_stage_anchor_generator {{
+      grid_anchor_generator {{
+        scales: [0.5, 1.0] aspect_ratios: [1.0] height: 32 width: 32
+      }}
+    }}
+    first_stage_box_predictor_depth: 16
+    first_stage_max_proposals: 8
+    first_stage_minibatch_size: 16
+    second_stage_batch_size: 4
+    second_stage_post_processing {{
+      batch_non_max_suppression {{
+        score_threshold: 0.0 iou_threshold: 0.6
+        max_detections_per_class: 5 max_total_detections: 10
+      }}
+      score_converter: SOFTMAX
+    }}
+  }}
+}}
+train_config {{
+  batch_size: 2
+  optimizer {{
+    momentum_optimizer {{
+      learning_rate {{ constant_learning_rate {{ learning_rate: 0.0001 }} }}
+      momentum_optimizer_value: 0.9
+    }}
+    use_moving_average: false
+  }}
+  num_steps: 1
+  fine_tune_checkpoint: "{warm_start}"
+  from_detection_checkpoint: true
+  max_number_of_boxes: 4
+}}
+train_input_reader {{
+  tf_record_input_reader {{ input_path: "{record}" }}
+  label_map_path: "{label_map}"
+}}
+eval_config {{
+  num_examples: 4
+  metrics_set: "pascal_voc_detection_metrics"
+}}
+eval_input_reader {{
+  tf_record_input_reader {{ input_path: "{record}" }}
+  label_map_path: "{label_map}"
+  shuffle: false
+}}
+"""
+
+
+def test_convert_warmstart_train_eval_compose(tmp_path, capsys):
+    from mtlx.data import tfrecord
+    from mtlx.data.example_decoder import build_example
+    from mtlx.train import checkpoints as ckpt_lib
+
+    # 1. a TF slim/OD-API detection checkpoint written by real TF
+    rng = np.random.RandomState(0)
+    values = _slim_resnet50_vars(
+        rng, num_classes=3, num_anchors=2, rpn_depth=16, with_heads=True
+    )
+    tf_ckpt = str(tmp_path / "tf" / "model.ckpt")
+    os.makedirs(os.path.dirname(tf_ckpt))
+    _write_tf_checkpoint(values, tf_ckpt)
+
+    # 2. convert -> mtlx warm-start checkpoint
+    variables, n_conv, n_skip = convert_checkpoint.convert(
+        tf_ckpt, "detection", 50
+    )
+    assert n_skip == 0 and n_conv == len(values)
+    warm = str(tmp_path / "warm_start")
+    ckpt_lib.save_variables(warm, variables)
+
+    # 3. synthetic records (varied source sizes so tf1_resize is real work)
+    from PIL import Image
+
+    record = str(tmp_path / "data.record")
+    with tfrecord.TFRecordWriter(record) as w:
+        for i, (h, w_src) in enumerate([(50, 70), (64, 64), (80, 56), (44, 90)]):
+            arr = rng.randint(0, 255, (h, w_src, 3)).astype(np.uint8)
+            arr[5 : h // 2, 5 : w_src // 2] = [240, 40, 40]
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG")
+            boxes = np.asarray(
+                [[5 / h, 5 / w_src, (h // 2) / h, (w_src // 2) / w_src]],
+                np.float32,
+            )
+            ex = build_example(
+                buf.getvalue(), b"jpeg", h, w_src, f"r{i}.jpg",
+                boxes, [1 + i % 3], ["x"],
+            )
+            w.write(ex.SerializeToString())
+    label_map = str(tmp_path / "label_map.pbtxt")
+    with open(label_map, "w") as f:
+        for i, name in enumerate(["a", "b", "c"]):
+            f.write(f"item {{ id: {i + 1} name: '{name}' }}\n")
+    cfg_path = str(tmp_path / "pipeline.config")
+    with open(cfg_path, "w") as f:
+        f.write(CONFIG.format(
+            warm_start=warm, record=record, label_map=label_map
+        ))
+
+    # 4. train CLI: warm start restores the FULL converted tree, 1 step
+    from mtlx.train import train as train_cli
+
+    train_dir = str(tmp_path / "train")
+    train_cli.main([
+        "--pipeline_config_path", cfg_path,
+        "--train_dir", train_dir,
+    ])
+    out = capsys.readouterr().out
+    assert "[train] done at step 1" in out
+    warm_line = [l for l in out.splitlines() if "warm start" in l]
+    assert warm_line, out
+    restored = int(warm_line[0].split("warm start: ")[1].split()[0])
+    assert restored > 100  # full detection tree, not a token subset
+    assert "0 skipped" in warm_line[0] or " skipped" in warm_line[0]
+
+    # 5. eval CLI with --tf1_resize (the mAP-parity invocation)
+    from mtlx.eval import eval as eval_cli
+
+    metrics = eval_cli.main([
+        "--pipeline_config_path", cfg_path,
+        "--checkpoint_dir", train_dir,
+        "--eval_dir", str(tmp_path / "eval"),
+        "--run_once", "--tf1_resize",
+    ])
+    capsys.readouterr()
+    assert metrics is not None
+    assert "Precision/mAP@0.5IOU" in metrics
+    assert np.isfinite(metrics["Precision/mAP@0.5IOU"])
+    assert 0.0 <= metrics["Precision/mAP@0.5IOU"] <= 1.0
+    per_cat = [k for k in metrics if k.startswith("PerformanceByCategory")]
+    assert len(per_cat) == 3  # one AP per label-map class

@@ -171,6 +171,176 @@ def main():
     print("tf1_resize: matches tf.compat.v1 resize_images "
           "(align_corners=False) within quantization OK")
 
+    # --- full postprocess chain vs a composition of real TF ops ---
+    # (VERDICT r2 #4a: decode -> score-convert -> clip -> per-class NMS ->
+    # global top-k cap, the one mAP-relevant chain previously validated
+    # only against this repo's own numpy oracles. The TF twin below is
+    # built from tf.nn.softmax / tf exp-decode / tf.image.non_max_
+    # suppression / tf.math.top_k composed per the reference
+    # core/post_processing.multiclass_non_max_suppression.)
+    from mtlx.detector.faster_rcnn import FasterRCNN, FasterRCNNConfig
+
+    K = 3  # classes
+    N = 24  # proposals
+    cfg = FasterRCNNConfig(
+        num_classes=K, canvas_size=(64, 64),
+        first_stage_max_proposals=N,
+        second_stage_nms_score_threshold=0.05,
+        second_stage_nms_iou_threshold=0.55,
+        second_stage_max_detections_per_class=8,
+        second_stage_max_total_detections=12,
+        dtype=jnp.float32,
+    )
+    model = FasterRCNN(cfg)
+    y0 = rs.uniform(0, 40, N); x0 = rs.uniform(0, 40, N)
+    props = np.stack(
+        [y0, x0, y0 + rs.uniform(6, 24, N), x0 + rs.uniform(6, 24, N)], 1
+    ).astype(np.float32)
+    valid = np.ones(N, bool); valid[-3:] = False
+    logits = rs.uniform(-2, 2, (N, K + 1)).astype(np.float32)
+    refine = (rs.uniform(-1, 1, (N, K, 4)) * [1.0, 1.0, 0.5, 0.5]).astype(
+        np.float32
+    )
+    true_hw = np.asarray([60, 52], np.int32)
+    ours = jax.device_get(model.postprocess(
+        {
+            "proposal_boxes": props[None],
+            "proposal_mask": valid[None],
+            "class_predictions": logits[None],
+            "refined_box_encodings": refine[None],
+        },
+        true_hw[None],
+    ))
+
+    # TF twin
+    probs = tf.nn.softmax(logits)[:, 1:].numpy()  # drop background
+    eps = 1e-8
+    ya, xa = (props[:, 0] + props[:, 2]) / 2, (props[:, 1] + props[:, 3]) / 2
+    ha = props[:, 2] - props[:, 0] + eps
+    wa = props[:, 3] - props[:, 1] + eps
+    k_cap = cfg.second_stage_max_detections_per_class
+    flat_scores, flat_boxes, flat_classes = [], [], []
+    for c in range(K):
+        ty, tx, th, tw = (refine[:, c, i] / s for i, s in
+                          enumerate((10.0, 10.0, 5.0, 5.0)))
+        h = tf.exp(th).numpy() * ha
+        w = tf.exp(tw).numpy() * wa
+        yc, xc = ty * ha + ya, tx * wa + xa
+        dec = np.stack(
+            [yc - h / 2, xc - w / 2, yc + h / 2, xc + w / 2], 1
+        ).astype(np.float32)
+        clipped = np.clip(dec, [0, 0, 0, 0],
+                          [true_hw[0], true_hw[1], true_hw[0], true_hw[1]])
+        area = (clipped[:, 2] - clipped[:, 0]) * (clipped[:, 3] - clipped[:, 1])
+        ok = valid & (area > 0)
+        masked = np.where(ok, probs[:, c], -1e10).astype(np.float32)
+        sel = tf.image.non_max_suppression(
+            clipped, masked, k_cap,
+            iou_threshold=cfg.second_stage_nms_iou_threshold,
+            score_threshold=cfg.second_stage_nms_score_threshold,
+        ).numpy()
+        pad_scores = np.full(k_cap, -1e10, np.float32)
+        pad_boxes = np.zeros((k_cap, 4), np.float32)
+        pad_scores[: len(sel)] = probs[sel, c]
+        pad_boxes[: len(sel)] = clipped[sel]
+        flat_scores.append(pad_scores)
+        flat_boxes.append(pad_boxes)
+        flat_classes.append(np.full(k_cap, c, np.int32))
+    flat_scores = np.concatenate(flat_scores)
+    flat_boxes = np.concatenate(flat_boxes)
+    flat_classes = np.concatenate(flat_classes)
+    total = cfg.second_stage_max_total_detections
+    top = tf.math.top_k(flat_scores, total)
+    tf_scores = top.values.numpy()
+    ti = top.indices.numpy()
+    tf_keep = tf_scores > -1e9
+    norm = np.asarray(
+        [true_hw[0], true_hw[1], true_hw[0], true_hw[1]], np.float32
+    )
+    tf_boxes = flat_boxes[ti] / norm
+    tf_classes = flat_classes[ti]
+    n_tf = int(tf_keep.sum())
+    n_ours = int(ours["num_detections"][0])
+    assert n_ours == n_tf, (n_ours, n_tf)
+    np.testing.assert_array_equal(
+        np.asarray(ours["detection_classes"][0][:n_tf]), tf_classes[:n_tf]
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["detection_scores"][0][:n_tf]), tf_scores[:n_tf],
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["detection_boxes"][0][:n_tf]), tf_boxes[:n_tf],
+        rtol=1e-4, atol=1e-5,
+    )
+    print(f"postprocess: decode->softmax->clip->per-class NMS->top-{total} "
+          f"matches the TF-op composition ({n_tf} detections, identical "
+          "boxes/classes/ordering) OK")
+
+    # --- target assignment vs a TF-ops argmax matcher ---
+    # (VERDICT r2 #4b: thresholded argmax + force-match-for-each-row,
+    # including argmax tie-breaks — duplicated GT rows create exact ties.)
+    from mtlx.assign.matcher import argmax_match
+    from mtlx.geometry import box_ops as jbox
+
+    C = 40; R = 6
+    ay0 = rs.uniform(0, 50, C); ax0 = rs.uniform(0, 50, C)
+    anchors = np.stack(
+        [ay0, ax0, ay0 + rs.uniform(5, 20, C), ax0 + rs.uniform(5, 20, C)], 1
+    ).astype(np.float32)
+    gy0 = rs.uniform(0, 50, R); gx0 = rs.uniform(0, 50, R)
+    gt = np.stack(
+        [gy0, gx0, gy0 + rs.uniform(5, 20, R), gx0 + rs.uniform(5, 20, R)], 1
+    ).astype(np.float32)
+    gt[2] = gt[1]  # exact duplicate row -> ties exercise argmax tiebreak
+    row_mask = np.asarray([1, 1, 1, 1, 1, 0], bool)  # padded last row
+
+    def tf_iou(b1, b2):
+        y11, x11, y12, x12 = tf.split(b1, 4, axis=1)
+        y21, x21, y22, x22 = tf.split(b2, 4, axis=1)
+        inter_h = tf.maximum(
+            0.0, tf.minimum(y12, tf.transpose(y22))
+            - tf.maximum(y11, tf.transpose(y21)))
+        inter_w = tf.maximum(
+            0.0, tf.minimum(x12, tf.transpose(x22))
+            - tf.maximum(x11, tf.transpose(x21)))
+        inter = inter_h * inter_w
+        a1 = (y12 - y11) * (x12 - x11)
+        a2 = (y22 - y21) * (x22 - x21)
+        union = a1 + tf.transpose(a2) - inter
+        return tf.where(inter > 0, inter / union, tf.zeros_like(inter))
+
+    for matched_t, unmatched_t in ((0.7, 0.3), (0.5, 0.5)):
+        sim_tf = tf_iou(tf.constant(gt), tf.constant(anchors))
+        sim_tf = tf.where(
+            tf.constant(row_mask)[:, None], sim_tf,
+            tf.fill(tf.shape(sim_tf), -1e9),
+        )
+        best_row = tf.argmax(sim_tf, axis=0, output_type=tf.int32)
+        best_val = tf.reduce_max(sim_tf, axis=0)
+        m = tf.where(best_val < unmatched_t, -1, best_row)
+        m = tf.where(
+            (best_val >= unmatched_t) & (best_val < matched_t), -2, m
+        )
+        # force-match: each valid row claims its best column; ties between
+        # rows resolve to the FIRST row (tf.argmax first-occurrence)
+        col_of_row = tf.argmax(sim_tf, axis=1, output_type=tf.int32)
+        claims = tf.one_hot(col_of_row, C, dtype=tf.int32)
+        claims *= tf.cast(row_mask, tf.int32)[:, None]
+        any_claim = tf.reduce_max(claims, axis=0) > 0
+        claiming_row = tf.argmax(claims, axis=0, output_type=tf.int32)
+        m = tf.where(any_claim, claiming_row, m).numpy()
+
+        sim_ours = jbox.iou(jnp.asarray(gt), jnp.asarray(anchors))
+        ours_m = np.asarray(argmax_match(
+            sim_ours, row_mask=jnp.asarray(row_mask),
+            matched_threshold=matched_t, unmatched_threshold=unmatched_t,
+            force_match_for_each_row=True,
+        ))
+        np.testing.assert_array_equal(ours_m, m)
+    print("target assignment: thresholded-argmax + force-match identical "
+          "to the TF-op matcher (incl. duplicate-GT tie-breaks) OK")
+
     print("ALL TF WIRE-COMPAT CHECKS PASSED")
 
 
