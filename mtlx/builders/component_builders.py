@@ -151,6 +151,24 @@ def build_localization_loss(proto) -> Callable:
     raise ValueError(f"unknown localization loss {kind!r}")
 
 
+def build_hard_example_miner(m, cls_loss_weight: float = 0.05,
+                             loc_loss_weight: float = 0.06):
+    """HardExampleMiner proto -> miner config — the ONE mapping both the
+    SSD losses path and the FRCNN model_builder path use (reference
+    losses_builder.build_hard_example_miner). Weight defaults follow the
+    reference miner; FRCNN passes 1.0/1.0 (its stage losses already carry
+    the configured weights)."""
+    return loss_lib.HardExampleMinerConfig(
+        num_hard_examples=m.num_hard_examples,
+        iou_threshold=m.iou_threshold,
+        loss_type={0: "both", 1: "cls", 2: "loc"}[m.loss_type],
+        cls_loss_weight=cls_loss_weight,
+        loc_loss_weight=loc_loss_weight,
+        max_negatives_per_positive=float(m.max_negatives_per_positive),
+        min_negatives_per_image=m.min_negatives_per_image,
+    )
+
+
 def build_losses(loss_proto):
     """Loss proto -> (cls_fn, loc_fn, cls_weight, loc_weight, miner_config).
 
@@ -164,14 +182,7 @@ def build_losses(loss_proto):
     loc_fn = build_localization_loss(loss_proto.localization_loss)
     miner = None
     if loss_proto.HasField("hard_example_miner"):
-        m = loss_proto.hard_example_miner
-        miner = loss_lib.HardExampleMinerConfig(
-            num_hard_examples=m.num_hard_examples,
-            iou_threshold=m.iou_threshold,
-            loss_type={0: "both", 1: "cls", 2: "loc"}[m.loss_type],
-            max_negatives_per_positive=float(m.max_negatives_per_positive),
-            min_negatives_per_image=m.min_negatives_per_image,
-        )
+        miner = build_hard_example_miner(loss_proto.hard_example_miner)
     return (
         cls_fn,
         loc_fn,

@@ -155,17 +155,10 @@ def _build_faster_rcnn(fr, is_training: bool, max_gt_boxes: int, dtype):
     fc_init = None
     miner_cfg = None
     if fr.HasField("hard_example_miner"):
-        from mtlx.losses.losses import HardExampleMinerConfig
+        from mtlx.builders.component_builders import build_hard_example_miner
 
-        m = fr.hard_example_miner
-        miner_cfg = HardExampleMinerConfig(
-            num_hard_examples=m.num_hard_examples,
-            iou_threshold=m.iou_threshold,
-            loss_type={0: "both", 1: "cls", 2: "loc"}[m.loss_type],
-            cls_loss_weight=1.0,
-            loc_loss_weight=1.0,
-            max_negatives_per_positive=float(m.max_negatives_per_positive),
-            min_negatives_per_image=m.min_negatives_per_image,
+        miner_cfg = build_hard_example_miner(
+            fr.hard_example_miner, cls_loss_weight=1.0, loc_loss_weight=1.0
         )
     predict_masks, mask_depth = False, 256
     if predictor_kind == "mask_rcnn_box_predictor":

@@ -336,24 +336,24 @@ class FasterRCNNModules(nn.Module):
 
 
 class FasterRCNN:
+    # predict/loss handle any 2*stride-multiple compute canvas up to
+    # cfg.canvas_size (bucketed compute — see train_step.pad_batch_to_bucket)
+    supports_bucketed_compute = True
     """Functional two-stage detector around FasterRCNNModules."""
 
     def __init__(self, cfg: FasterRCNNConfig):
         self.cfg = cfg
         self.modules = FasterRCNNModules(cfg)
-        gen = GridAnchorGenerator(
+        self._anchor_gen = GridAnchorGenerator(
             scales=cfg.anchor_scales,
             aspect_ratios=cfg.anchor_aspect_ratios,
             base_anchor_size=cfg.anchor_base_size,
             anchor_stride=(float(cfg.feature_stride),) * 2,
         )
-        raw = gen.generate(cfg.feature_map_shape)
-        # clip anchors to the canvas: static-shape stand-in for the
-        # reference's prune-outside-window (see module docstring)
-        canvas = jnp.asarray(
-            [0.0, 0.0, float(cfg.canvas_size[0]), float(cfg.canvas_size[1])]
-        )
-        self.anchors = box_ops.clip_to_window(raw, canvas)
+        self._anchor_cache: Dict[Tuple[int, int], Array] = {}
+        # default full-canvas anchors (back-compat; predict derives the
+        # set from the actual input shape — see anchors_for)
+        self.anchors = self.anchors_for(cfg.canvas_size)
         self.box_coder = box_coders.make_faster_rcnn_coder()
         self._proposal_assigner = target_assigner.create_target_assigner(
             "FasterRCNN", "proposal"
@@ -361,6 +361,31 @@ class FasterRCNN:
         self._detection_assigner = target_assigner.create_target_assigner(
             "FasterRCNN", "detection"
         )
+
+    def anchors_for(self, canvas_hw: Tuple[int, int]) -> Array:
+        """Anchor grid for a compute canvas of (h, w) pixels, clipped to
+        it. The canvas may be any 2*stride multiple up to
+        cfg.canvas_size: the train/eval steps run on the 128-bucketed
+        true-image region (`pack_batch_images`) instead of the padded
+        max canvas, so each bucket shape gets its own anchor constant
+        (and jit specialization). Static per trace; cached."""
+        key = (int(canvas_hw[0]), int(canvas_hw[1]))
+        hit = self._anchor_cache.get(key)
+        if hit is None:
+            # compile-time eval: anchors_for is called during jit tracing
+            # (predict derives the grid from the input shape) and the
+            # cached constant must NOT be a tracer of that trace
+            with jax.ensure_compile_time_eval():
+                s = self.cfg.feature_stride
+                raw = self._anchor_gen.generate(
+                    (-(-key[0] // s), -(-key[1] // s))
+                )
+                # clip anchors to the canvas: static-shape stand-in for the
+                # reference's prune-outside-window (see module docstring)
+                window = jnp.asarray([0.0, 0.0, float(key[0]), float(key[1])])
+                hit = box_ops.clip_to_window(raw, window)
+            self._anchor_cache[key] = hit
+        return hit
 
     # ---- parameter init ----
 
@@ -407,6 +432,12 @@ class FasterRCNN:
         """
         c = self.cfg
         b = images.shape[0]
+        # the compute canvas is the actual input extent — the bucketed
+        # true-image region in production (pack_batch_images), the full
+        # cfg.canvas_size otherwise; every in-graph normalization and the
+        # anchor grid derive from it
+        canvas_hw = (int(images.shape[1]), int(images.shape[2]))
+        anchors = self.anchors_for(canvas_hw)
         apply = self.modules.apply
 
         update_bn = training and c.batch_norm_trainable
@@ -431,13 +462,14 @@ class FasterRCNN:
             jax.lax.stop_gradient(obj_logits),
             jax.lax.stop_gradient(box_enc),
             true_shapes,
+            anchors,
         )
 
         pred: Dict[str, Any] = {
             "rpn_features": feats,
             "rpn_objectness_logits": obj_logits,
             "rpn_box_encodings": box_enc,
-            "anchors": self.anchors,
+            "anchors": anchors,
         }
 
         if training:
@@ -458,7 +490,7 @@ class FasterRCNN:
             return pred
 
         cls_logits, box_refine, masks, variables = self._predict_second_stage(
-            variables, feats, proposals, training, rng
+            variables, feats, proposals, training, rng, canvas_hw
         )
         pred["class_predictions"] = cls_logits
         pred["refined_box_encodings"] = box_refine
@@ -469,10 +501,11 @@ class FasterRCNN:
 
         # ---- MTL aux predictions (training only; zero inference cost) ----
         if training and c.mtl.any:
-            self._predict_aux(variables, pred, feats, groundtruth)
+            self._predict_aux(variables, pred, feats, groundtruth, canvas_hw)
         return pred
 
-    def _predict_second_stage(self, variables, feats, proposals, training, rng):
+    def _predict_second_stage(self, variables, feats, proposals, training,
+                              rng, canvas_hw=None):
         """ROI crop -> maxpool -> block4 -> FC heads. Returns
         (class_predictions [B, P, K+1], refined_box_encodings
         [B, P, num_box, 4], mask_predictions-or-None [B, P, mh, mw, K],
@@ -481,10 +514,8 @@ class FasterRCNN:
         score maps (reference rfcn_meta_arch)."""
         c = self.cfg
         b, p = proposals.shape[:2]
-        canvas = jnp.asarray(
-            [c.canvas_size[0], c.canvas_size[1], c.canvas_size[0], c.canvas_size[1]],
-            jnp.float32,
-        )
+        ch, cw = canvas_hw if canvas_hw is not None else c.canvas_size
+        canvas = jnp.asarray([ch, cw, ch, cw], jnp.float32)
         norm_proposals = proposals / canvas
         crops = roi_lib.batch_crop_and_resize(
             feats, norm_proposals, (c.initial_crop_size, c.initial_crop_size)
@@ -527,14 +558,13 @@ class FasterRCNN:
             variables,
         )
 
-    def _predict_aux(self, variables, pred, feats, gt: GroundTruth):
+    def _predict_aux(self, variables, pred, feats, gt: GroundTruth,
+                     canvas_hw=None):
         """Aux heads on groundtruth-derived windows (annotation recycling)."""
         c = self.cfg
         apply = self.modules.apply
-        canvas = jnp.asarray(
-            [c.canvas_size[0], c.canvas_size[1], c.canvas_size[0], c.canvas_size[1]],
-            jnp.float32,
-        )
+        ch, cw = canvas_hw if canvas_hw is not None else c.canvas_size
+        canvas = jnp.asarray([ch, cw, ch, cw], jnp.float32)
         if c.mtl.foreground:
             pred["foreground_logits"] = apply(
                 variables, feats, method=FasterRCNNModules.foreground
@@ -558,13 +588,16 @@ class FasterRCNN:
             logits, _ = apply(variables, pooled, method=FasterRCNNModules.closeness)
             pred["closeness_logits"] = logits
 
-    def _postprocess_rpn(self, obj_logits, box_enc, true_shapes):
+    def _postprocess_rpn(self, obj_logits, box_enc, true_shapes,
+                         anchors=None):
         """Decode anchors -> clip to true image -> top-K -> NMS."""
         c = self.cfg
+        if anchors is None:
+            anchors = self.anchors
 
         def per_image(obj, enc, true_hw):
             scores = jax.nn.softmax(obj, axis=-1)[:, 1]
-            boxes = self.box_coder.decode(enc, self.anchors)
+            boxes = self.box_coder.decode(enc, anchors)
             window = jnp.concatenate([jnp.zeros(2), true_hw.astype(jnp.float32)])
             boxes = box_ops.clip_to_window(boxes, window)
             k = min(c.first_stage_pre_nms_top_k, boxes.shape[0])
@@ -638,10 +671,12 @@ class FasterRCNN:
 
     def _first_stage_loss(self, pred, gt: GroundTruth, rng):
         c = self.cfg
+        # the anchor set predict actually used (canvas-bucket dependent)
+        anchors = pred.get("anchors", self.anchors)
 
         def per_image(rng, obj, enc, gt_boxes, gt_mask):
             res = self._proposal_assigner.assign(
-                self.anchors, gt_boxes, gt_mask=gt_mask
+                anchors, gt_boxes, gt_mask=gt_mask
             )
             indicator = res.cls_weights > 0  # drops ignored anchors
             positive = res.match >= 0
@@ -744,10 +779,10 @@ class FasterRCNN:
         c = self.cfg
         mask_pred = pred["mask_predictions"]  # [B, P, mh, mw, K]
         gt_masks = gt["instance_masks"].astype(jnp.float32)  # [B, G, gh, gw]
-        canvas = jnp.asarray(
-            [c.canvas_size[0], c.canvas_size[1], c.canvas_size[0], c.canvas_size[1]],
-            jnp.float32,
-        )
+        # the gt mask frame follows the compute canvas (the loader crops
+        # instance masks to the same 128-bucket as the images)
+        ch, cw = self._compute_canvas(pred)
+        canvas = jnp.asarray([ch, cw, ch, cw], jnp.float32)
         mh, mw = mask_pred.shape[2:4]
 
         def per_image(props, pmask, mpred, gt_boxes, gt_classes, gt_mask, gmasks):
@@ -784,10 +819,20 @@ class FasterRCNN:
             * c.second_stage_mask_prediction_loss_weight
         }
 
+    def _compute_canvas(self, pred) -> Tuple[int, int]:
+        """Pixel extent of the canvas predict computed on, recovered from
+        the feature map (bucketed-compute aware; == cfg.canvas_size when
+        the input was the full padded canvas)."""
+        feats = pred.get("rpn_features")
+        if feats is None:
+            return self.cfg.canvas_size
+        s = self.cfg.feature_stride
+        return (feats.shape[1] * s, feats.shape[2] * s)
+
     def _aux_loss(self, pred, gt: GroundTruth):
         c = self.cfg
         out = {}
-        canvas_h, canvas_w = c.canvas_size
+        canvas_h, canvas_w = self._compute_canvas(pred)
         if c.mtl.foreground and "foreground_logits" in pred:
             logits = pred["foreground_logits"]  # [B, Hf, Wf]
             fh, fw = logits.shape[1:]

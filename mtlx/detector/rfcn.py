@@ -67,12 +67,11 @@ class RFCN(FasterRCNN):
         super().__init__(cfg)
         self.modules = RFCNModules(cfg)
 
-    def _predict_second_stage(self, variables, feats, proposals, training, rng):
+    def _predict_second_stage(self, variables, feats, proposals, training,
+                              rng, canvas_hw=None):
         c = self.cfg
-        canvas = jnp.asarray(
-            [c.canvas_size[0], c.canvas_size[1], c.canvas_size[0], c.canvas_size[1]],
-            jnp.float32,
-        )
+        ch, cw = canvas_hw if canvas_hw is not None else c.canvas_size
+        canvas = jnp.asarray([ch, cw, ch, cw], jnp.float32)
         cls_logits, box_refine = self.modules.apply(
             variables,
             feats,

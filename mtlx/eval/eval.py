@@ -28,10 +28,13 @@ def parse_args(argv=None):
     p.add_argument("--platform", default=None)
     p.add_argument("--tf1_resize", action="store_true",
                    help="TF1 resize_images convention (see train.py)")
-    p.add_argument("--eval_batch_size", type=int, default=1,
-                   help="images per eval step (reference runs batch 1; "
-                        "larger batches cut eval wall-clock; tail batches "
-                        "are padded and the padding is ignored)")
+    p.add_argument("--eval_batch_size", type=int, default=8,
+                   help="images per eval step (default 8: same metrics as "
+                        "the reference's batch-1 loop — per-image "
+                        "evaluation is batch-invariant — at a fraction of "
+                        "the wall-clock; set 1 for the reference's exact "
+                        "execution shape; tail batches are padded and the "
+                        "padding is ignored)")
     return p.parse_args(argv)
 
 
@@ -173,6 +176,19 @@ def evaluate_checkpoint(model, state, dataset, eval_config, categories,
                     ),
                     min_score_thresh=0.3,
                 )
+                # right half: the groundtruth (reference eval_util draws
+                # det|gt side by side under this summary name)
+                gt_image = np.array(s["image"][:th, :tw], np.uint8, copy=True)
+                scale_n = np.asarray([th, tw, th, tw], np.float32)
+                viz.visualize_boxes_and_labels_on_image_array(
+                    gt_image,
+                    gt_boxes / scale_n,
+                    s["gt_classes"][:gt_n] + 1,
+                    None,  # no scores: groundtruth
+                    category_index,
+                    min_score_thresh=0.0,
+                )
+                image = np.concatenate([image, gt_image], axis=1)
                 if writer is not None:
                     writer.image(
                         f"Detections_Left_Groundtruth_Right/{done}", image, step

@@ -154,7 +154,7 @@ def main(argv=None):
         create_train_state,
         make_regularization_fn,
         make_train_step,
-        pad_batch_to_canvas,
+        pad_for_model,
     )
     from mtlx.utils.summary_writer import SummaryWriter
 
@@ -235,11 +235,11 @@ def main(argv=None):
 
     augment = make_augmented_batch_fn(aug_options)
 
-    canvas = getattr(model.cfg, "canvas_size", None)
-
     def step_fn(state, batch, rng):
-        if canvas is not None:
-            batch = pad_batch_to_canvas(batch, canvas)
+        # bucketed compute: packed batches stay at their 128-bucket; the
+        # detector's anchors/normalizations follow the bucket (the padded
+        # canvas region is never computed on)
+        batch = pad_for_model(model, batch)
         batch = augment(jax.random.fold_in(rng, 0), state.step, batch)
         return raw_step(state, batch, jax.random.fold_in(rng, 1))
 

@@ -102,6 +102,55 @@ def pad_batch_to_canvas(batch: Dict[str, jax.Array], canvas) -> Dict:
     return out
 
 
+BUCKET_MULTIPLE = 128  # == loader._PACK_MULTIPLE (keeps jit variants few)
+
+
+def pad_batch_to_bucket(batch: Dict[str, jax.Array], canvas,
+                        multiple: int = BUCKET_MULTIPLE) -> Dict:
+    """Pad a packed batch up to its compute BUCKET (next `multiple`,
+    capped at the full canvas) instead of the max canvas: the detector
+    computes on the bucket, so the backbone skips the all-zero canvas
+    padding entirely — at the VOC operating point (600x1000 true region
+    on a 1024x1024 canvas) that is 37% of the rows. Each distinct bucket
+    shape is one extra jit specialization; anchors and every in-graph
+    normalization follow the bucket (FasterRCNN.anchors_for). Matches
+    the reference more closely than full-canvas compute does — its
+    dynamic-shape graph never saw padding at all.
+
+    gt instance masks (carried at canvas/mask_stride resolution) are
+    cropped to the matching bucket so their frame tracks the images'.
+    """
+    ch, cw = canvas
+    img = batch["image"]
+    h, w = img.shape[1], img.shape[2]
+    if h > ch or w > cw:
+        raise ValueError(f"image {img.shape} exceeds canvas {canvas}")
+    bh = min(ch, -(-h // multiple) * multiple)
+    bw = min(cw, -(-w // multiple) * multiple)
+    out = dict(batch)
+    if (h, w) != (bh, bw):
+        out["image"] = jnp.pad(
+            img, ((0, 0), (0, bh - h), (0, bw - w), (0, 0))
+        )
+    if "gt_instance_masks" in out and out["gt_instance_masks"] is not None:
+        m = out["gt_instance_masks"]
+        ms = ch // m.shape[2]  # mask stride (loader mask canvas = CH/ms)
+        out["gt_instance_masks"] = m[:, :, : bh // ms, : bw // ms]
+    return out
+
+
+def pad_for_model(model, batch: Dict[str, jax.Array]) -> Dict:
+    """Bucket padding when the model supports variable compute canvases
+    (FasterRCNN/RFCN), full-canvas padding otherwise (SSD anchors are
+    fixed to the canvas)."""
+    canvas = getattr(getattr(model, "cfg", None), "canvas_size", None)
+    if canvas is None:
+        return batch
+    if getattr(model, "supports_bucketed_compute", False):
+        return pad_batch_to_bucket(batch, canvas)
+    return pad_batch_to_canvas(batch, canvas)
+
+
 def freeze_transform(patterns) -> Optional[optax.GradientTransformation]:
     """train_config.freeze_variables: zero the updates of every param
     whose '/'-joined path matches one of the regex patterns (reference
@@ -221,11 +270,8 @@ def make_train_step(
 
 
 def make_eval_step(model: FasterRCNN) -> Callable:
-    canvas = getattr(getattr(model, "cfg", None), "canvas_size", None)
-
     def step(state: TrainState, batch):
-        if canvas is not None:
-            batch = pad_batch_to_canvas(batch, canvas)
+        batch = pad_for_model(model, batch)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         images = model.preprocess(batch["image"].astype(jnp.float32))
         pred = model.predict(variables, images, batch["true_shape"], training=False)

@@ -170,3 +170,46 @@ def test_tf1_resize_mode(tmp_path):
     ds_tf1 = DetectionDataset([record], tf1_resize=True, **kw)
     bb = ds_tf1.get_batch([0], decode_threads=2)[0]["image"][:20, :30]
     np.testing.assert_array_equal(bb, b)
+
+
+def test_grain_loader_multiprocess_workers(tmp_path):
+    """worker_count > 0 pickles the data source into worker processes —
+    regression for DetectionDataset holding an unpicklable threading.Lock
+    (each worker now recreates its lock/file handles on unpickle)."""
+    import io
+    import pickle
+
+    from PIL import Image
+
+    from mtlx.data import tfrecord
+    from mtlx.data.example_decoder import build_example
+    from mtlx.data.grain_loader import make_grain_loader
+    from mtlx.data.loader import DetectionDataset
+
+    record = str(tmp_path / "gw.record")
+    with tfrecord.TFRecordWriter(record) as w:
+        for i in range(6):
+            buf = io.BytesIO()
+            Image.fromarray(np.full((20, 20, 3), i * 30, np.uint8)).save(
+                buf, format="JPEG"
+            )
+            w.write(
+                build_example(
+                    buf.getvalue(), b"jpeg", 20, 20, f"w{i}.jpg",
+                    np.asarray([[0.1, 0.1, 0.9, 0.9]], np.float32), [1], ["a"],
+                ).SerializeToString()
+            )
+    ds = DetectionDataset(
+        [record], canvas_size=(32, 32),
+        resizer=("fixed", {"height": 32, "width": 32}), max_boxes=3,
+    )
+    # the property the worker path depends on
+    clone = pickle.loads(pickle.dumps(ds))
+    assert clone._read_lock is not None and clone._handles == {}
+    np.testing.assert_array_equal(clone.get(0)["image"], ds.get(0)["image"])
+
+    batches = list(make_grain_loader(
+        ds, batch_size=2, num_epochs=1, seed=1, worker_count=1
+    ))
+    assert len(batches) == 3
+    assert batches[0]["image"].shape == (2, 32, 32, 3)

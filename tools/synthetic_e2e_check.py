@@ -23,7 +23,7 @@ CONFIG = """
 model {{
   faster_rcnn {{
     num_classes: 2
-    image_resizer {{ fixed_shape_resizer {{ height: 128 width: 128 }} }}
+    image_resizer {{ {resizer} }}
     feature_extractor {{ type: 'faster_rcnn_resnet50' }}
     first_stage_anchor_generator {{
       grid_anchor_generator {{ scales: [0.25, 0.5, 1.0] aspect_ratios: [0.5, 1.0, 2.0]
@@ -115,6 +115,11 @@ def main():
     p.add_argument("--platform", default=None)
     p.add_argument("--require_map", type=float, default=0.5)
     p.add_argument("--workdir", default=None)
+    p.add_argument("--keep_aspect", action="store_true",
+                   help="keep_aspect_ratio_resizer {96, 160} instead of "
+                        "fixed 128x128: images land on a 128x128 compute "
+                        "bucket of the 160x160 canvas, exercising the "
+                        "bucketed-compute train+eval path end to end")
     args = p.parse_args()
     if args.platform:
         import jax
@@ -128,9 +133,15 @@ def main():
     make_dataset(record)
     with open(label_map, "w") as f:
         f.write("item { id: 1 name: 'red' }\nitem { id: 2 name: 'green' }\n")
+    resizer = (
+        "keep_aspect_ratio_resizer { min_dimension: 96 max_dimension: 160 }"
+        if args.keep_aspect
+        else "fixed_shape_resizer { height: 128 width: 128 }"
+    )
     cfg_path = os.path.join(tmp, "pipeline.config")
     with open(cfg_path, "w") as f:
-        f.write(CONFIG.format(steps=args.steps, record=record, label_map=label_map))
+        f.write(CONFIG.format(steps=args.steps, record=record,
+                              label_map=label_map, resizer=resizer))
 
     from mtlx.train import train as train_cli
 
