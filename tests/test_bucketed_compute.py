@@ -1,0 +1,162 @@
+"""Bucketed compute: the detector runs on the 128-bucketed true-image
+region instead of the padded max canvas (train_step.pad_batch_to_bucket +
+FasterRCNN.anchors_for). The production perf lever (+45% device
+throughput at the VOC operating point) — these tests pin its semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mtlx.detector.faster_rcnn import FasterRCNN, FasterRCNNConfig, MTLConfig
+from mtlx.train.train_step import (
+    BUCKET_MULTIPLE,
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    pad_batch_to_bucket,
+    pad_for_model,
+)
+
+
+def tiny_model(canvas=(256, 256), **kw):
+    cfg = FasterRCNNConfig(
+        num_classes=3, canvas_size=canvas,
+        anchor_scales=(0.5, 1.0), anchor_aspect_ratios=(1.0,),
+        anchor_base_size=(32.0, 32.0), rpn_depth=16,
+        first_stage_pre_nms_top_k=32, first_stage_max_proposals=8,
+        first_stage_minibatch_size=16, second_stage_batch_size=8,
+        max_gt_boxes=4, dtype=jnp.float32, **kw,
+    )
+    return FasterRCNN(cfg)
+
+
+def make_batch(rs, ih, iw, th, tw, b=2, mask_canvas=None, mask_stride=8):
+    batch = {
+        "image": rs.uniform(0, 255, (b, ih, iw, 3)).astype(np.float32),
+        "true_shape": np.tile([[th, tw]], (b, 1)).astype(np.int32),
+        "gt_boxes": np.tile(np.asarray(
+            [[[10, 10, 100, 80], [40, 60, 110, 150],
+              [0, 0, 0, 0], [0, 0, 0, 0]]], np.float32), (b, 1, 1)),
+        "gt_classes": np.zeros((b, 4), np.int32),
+        "gt_mask": np.tile([[True, True, False, False]], (b, 1)),
+    }
+    if mask_canvas is not None:
+        mh, mw = mask_canvas[0] // mask_stride, mask_canvas[1] // mask_stride
+        batch["gt_instance_masks"] = rs.randint(
+            0, 2, (b, 4, mh, mw)
+        ).astype(np.uint8)
+    return batch
+
+
+def test_pad_batch_to_bucket_shapes():
+    rs = np.random.RandomState(0)
+    out = pad_batch_to_bucket(make_batch(rs, 120, 200, 120, 200), (512, 512))
+    assert out["image"].shape == (2, 128, 256, 3)
+    # already at a bucket boundary: no-op
+    same = pad_batch_to_bucket(make_batch(rs, 128, 256, 120, 200), (512, 512))
+    assert same["image"].shape == (2, 128, 256, 3)
+    # capped at the canvas
+    cap = pad_batch_to_bucket(make_batch(rs, 200, 200, 200, 200), (224, 224))
+    assert cap["image"].shape == (2, 224, 224, 3)
+    with pytest.raises(ValueError):
+        pad_batch_to_bucket(make_batch(rs, 300, 300, 300, 300), (256, 256))
+
+
+def test_pad_batch_to_bucket_crops_instance_masks():
+    """gt instance masks (canvas/mask_stride frame) follow the bucket."""
+    rs = np.random.RandomState(0)
+    batch = make_batch(rs, 120, 200, 120, 200, mask_canvas=(512, 512))
+    assert batch["gt_instance_masks"].shape == (2, 4, 64, 64)
+    out = pad_batch_to_bucket(batch, (512, 512))
+    assert out["gt_instance_masks"].shape == (2, 4, 128 // 8, 256 // 8)
+    np.testing.assert_array_equal(
+        out["gt_instance_masks"], batch["gt_instance_masks"][:, :, :16, :32]
+    )
+
+
+def test_anchors_follow_compute_canvas():
+    model = tiny_model()
+    full = model.anchors_for((256, 256))
+    half = model.anchors_for((128, 256))
+    assert full.shape[0] == 16 * 16 * 2
+    assert half.shape[0] == 8 * 16 * 2
+    # cache: same object back, no tracers leak out of jit traces
+    assert model.anchors_for((128, 256)) is half
+    assert isinstance(np.asarray(half), np.ndarray)
+    # anchors clipped to their own canvas
+    assert float(jnp.max(half[:, 2])) <= 128.0
+    assert float(jnp.max(full[:, 2])) <= 256.0
+    # default .anchors is the full-canvas set (back-compat)
+    np.testing.assert_array_equal(np.asarray(model.anchors), np.asarray(full))
+
+
+def test_train_step_runs_on_bucket_and_uses_bucket_anchors():
+    model = tiny_model(
+        mtl=MTLConfig(multiobject=True, closeness=True, foreground=True)
+    )
+    state = create_train_state(model, jax.random.PRNGKey(0), make_optimizer(0.01))
+    step = jax.jit(make_train_step(model))
+    rs = np.random.RandomState(0)
+    nb = pad_for_model(model, make_batch(rs, 120, 200, 120, 200))
+    assert nb["image"].shape == (2, 128, 256, 3)
+    _, metrics = step(state, nb, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))
+    # predict on the bucket exposes the bucket's anchor set
+    images = model.preprocess(jnp.asarray(nb["image"]))
+    gt = {"boxes": jnp.asarray(nb["gt_boxes"]),
+          "classes": jnp.asarray(nb["gt_classes"]),
+          "mask": jnp.asarray(nb["gt_mask"])}
+    pred = model.predict(
+        images=images, true_shapes=jnp.asarray(nb["true_shape"]),
+        variables=model.init_variables(jax.random.PRNGKey(0)),
+        training=True, rng=jax.random.PRNGKey(2), groundtruth=gt,
+    )
+    assert pred["anchors"].shape[0] == 8 * 16 * 2
+    assert pred["rpn_features"].shape[1:3] == (128 // 16, 256 // 16)
+
+
+def test_eval_step_bucket_vs_full_canvas_same_frame():
+    """Detections from the bucketed eval are normalized to the SAME
+    true-image frame as full-canvas eval (postprocess divides by
+    true_shape, not the compute canvas)."""
+    model = tiny_model()
+    state = create_train_state(model, jax.random.PRNGKey(0), make_optimizer())
+    ev = jax.jit(make_eval_step(model))
+    rs = np.random.RandomState(3)
+    content = rs.uniform(0, 255, (1, 120, 200, 3)).astype(np.float32)
+
+    packed = np.zeros((1, 128, 256, 3), np.float32)
+    packed[:, :120, :200] = content
+    full = np.zeros((1, 256, 256, 3), np.float32)
+    full[:, :120, :200] = content
+    ts = np.asarray([[120, 200]], np.int32)
+
+    det_b = jax.device_get(ev(state, {"image": packed, "true_shape": ts}))
+    det_f = jax.device_get(ev(state, {"image": full, "true_shape": ts}))
+    # both produce boxes in the normalized true-image frame: all within
+    # [0, 1] for valid detections
+    for det in (det_b, det_f):
+        n = int(det["num_detections"][0])
+        if n:
+            b = det["detection_boxes"][0][:n]
+            assert (b >= -1e-5).all() and (b <= 1 + 1e-5).all()
+
+
+def test_ssd_keeps_full_canvas():
+    """SSD anchors are canvas-fixed: pad_for_model must restore the full
+    canvas for it."""
+    from mtlx.detector.ssd import SSD, SSDConfig
+
+    model = SSD(SSDConfig(num_classes=2, canvas_size=(256, 256),
+                          depth_multiplier=0.25))
+    rs = np.random.RandomState(0)
+    out = pad_for_model(model, make_batch(rs, 120, 200, 120, 200))
+    assert out["image"].shape == (2, 256, 256, 3)
+
+
+def test_bucket_multiple_matches_loader_pack():
+    from mtlx.data.loader import _PACK_MULTIPLE
+
+    assert BUCKET_MULTIPLE == _PACK_MULTIPLE
