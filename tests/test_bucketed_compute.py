@@ -117,6 +117,25 @@ def test_train_step_runs_on_bucket_and_uses_bucket_anchors():
     assert pred["rpn_features"].shape[1:3] == (128 // 16, 256 // 16)
 
 
+def test_train_steps_across_buckets_share_state():
+    """Real keep-aspect data produces DIFFERENT buckets across batches
+    (landscape vs portrait): consecutive steps jit-specialize per bucket
+    but thread one optimizer state through."""
+    model = tiny_model()
+    state = create_train_state(model, jax.random.PRNGKey(0), make_optimizer(0.01))
+    step = jax.jit(make_train_step(model))
+    rs = np.random.RandomState(0)
+    b1 = pad_for_model(model, make_batch(rs, 120, 200, 120, 200))  # 128x256
+    b2 = pad_for_model(model, make_batch(rs, 200, 120, 200, 120))  # 256x128
+    assert b1["image"].shape[1:3] == (128, 256)
+    assert b2["image"].shape[1:3] == (256, 128)
+    state, m1 = step(state, b1, jax.random.PRNGKey(1))
+    state, m2 = step(state, b2, jax.random.PRNGKey(1))
+    assert int(state.step) == 2
+    assert np.isfinite(float(m1["total_loss"]))
+    assert np.isfinite(float(m2["total_loss"]))
+
+
 def test_eval_step_bucket_vs_full_canvas_same_frame():
     """Detections from the bucketed eval are normalized to the SAME
     true-image frame as full-canvas eval (postprocess divides by
