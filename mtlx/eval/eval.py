@@ -25,6 +25,11 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint_dir", required=True)
     p.add_argument("--eval_dir", required=True)
     p.add_argument("--run_once", action="store_true")
+    p.add_argument("--eval_training_data", action="store_true",
+                   help="evaluate on the TRAIN input (reference eval.py "
+                        "flag): reads train_input_reader instead of "
+                        "eval_input_reader")
+    p.add_argument("--master", default="", help=argparse.SUPPRESS)
     p.add_argument("--platform", default=None)
     p.add_argument("--tf1_resize", action="store_true",
                    help="TF1 resize_images convention (see train.py)")
@@ -236,7 +241,10 @@ def main(argv=None):
     for note in config_util.compatibility_notes(configs):
         print(f"[eval] note: {note}", flush=True)
     eval_config = configs["eval_config"]
-    input_config = configs["eval_input_config"]
+    input_config = (
+        configs["train_input_config"] if args.eval_training_data
+        else configs["eval_input_config"]
+    )
     model = model_builder.build(configs["model"], is_training=False)
 
     dataset = DetectionDataset(

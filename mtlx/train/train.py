@@ -119,7 +119,29 @@ def parse_args(argv=None):
                         "(coordinator/process env vars per the standard JAX "
                         "launch contract); every host runs this same "
                         "command and feeds its shard of the data")
-    return p.parse_args(argv)
+    # reference TF1 cluster flags, accepted so existing launch scripts run
+    # unmodified; they configured the queue-runner/PS architecture this
+    # SPMD program replaces (a note is printed when set non-default)
+    for flag, default in (("--master", ""), ("--task", 0),
+                          ("--num_clones", 1), ("--clone_on_cpu", False),
+                          ("--worker_replicas", 1), ("--ps_tasks", 0),
+                          ("--worker_job_name", "lonely_worker")):
+        kw = {"default": default}
+        if isinstance(default, bool):
+            kw = {"action": "store_true"}
+        elif isinstance(default, int):
+            kw["type"] = int
+        p.add_argument(flag, help=argparse.SUPPRESS, **kw)
+    args = p.parse_args(argv)
+    for flag, default in (("master", ""), ("task", 0), ("num_clones", 1),
+                          ("clone_on_cpu", False), ("worker_replicas", 1),
+                          ("ps_tasks", 0)):
+        if getattr(args, flag) != default:
+            print(f"[train] note: --{flag} is a TF1 cluster knob; this "
+                  "SPMD program has no clones/PS — use --distributed + "
+                  "the JAX multi-host launch contract instead (ignored)",
+                  flush=True)
+    return args
 
 
 def main(argv=None):

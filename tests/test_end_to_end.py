@@ -144,6 +144,21 @@ def test_train_checkpoint_eval_export(workdir, capsys):
     metrics = json.loads(out.split("[eval] step 4: ")[1].splitlines()[0])
     assert np.isfinite(metrics["Precision/mAP@0.5IOU"])
 
+    # --eval_training_data (reference eval.py flag) reads the TRAIN input;
+    # both readers point at the same record here, so metrics must match
+    m_train = eval_cli.main(
+        [
+            "--pipeline_config_path", workdir["config"],
+            "--checkpoint_dir", train_dir,
+            "--eval_dir", str(workdir["tmp"] / "eval_td"),
+            "--run_once", "--eval_training_data",
+        ]
+    )
+    capsys.readouterr()
+    assert m_train["Precision/mAP@0.5IOU"] == pytest.approx(
+        metrics["Precision/mAP@0.5IOU"]
+    )
+
     # ---- export + standalone inference on all three input types ----
     from mtlx.export.exporter import InferenceModel, export_inference_graph
 
