@@ -312,8 +312,15 @@ class InferenceModel:
         from mtlx.data.loader import resize_fixed, resize_keep_aspect
 
         canvas_h, canvas_w = self.model.cfg.canvas_size
+        # bucketed compute (train_step.pad_batch_to_bucket semantics):
+        # serve on the 128-bucket of the batch's max true shape instead of
+        # the full padded canvas — fewer backbone rows, same detections
+        if getattr(self.model, "supports_bucketed_compute", False):
+            from mtlx.train.train_step import BUCKET_MULTIPLE as _mult
+        else:
+            _mult = None
         kind, params = self.resizer
-        images, true_shapes = [], []
+        resized, true_shapes = [], []
         for a in arrays:
             if already_resized:
                 pass  # native codec already resized to the target
@@ -322,15 +329,20 @@ class InferenceModel:
             else:
                 a = resize_fixed(a, **params)
             th, tw = a.shape[:2]
-            canvas = np.zeros((canvas_h, canvas_w, 3), a.dtype)
-            canvas[:th, :tw] = a[:canvas_h, :canvas_w]
-            images.append(canvas)
+            resized.append(a[:canvas_h, :canvas_w])
             true_shapes.append([min(th, canvas_h), min(tw, canvas_w)])
-        out = self._fn(
-            self.variables,
-            np.stack(images),
-            np.asarray(true_shapes, np.int32),
-        )
+        shapes = np.asarray(true_shapes, np.int32)
+        if _mult is not None:
+            bh = min(canvas_h, -(-int(shapes[:, 0].max()) // _mult) * _mult)
+            bw = min(canvas_w, -(-int(shapes[:, 1].max()) // _mult) * _mult)
+        else:
+            bh, bw = canvas_h, canvas_w
+        images = []
+        for a in resized:
+            canvas = np.zeros((bh, bw, 3), a.dtype)
+            canvas[: a.shape[0], : a.shape[1]] = a
+            images.append(canvas)
+        out = self._fn(self.variables, np.stack(images), shapes)
         return self._postprocess_output(out)
 
     @staticmethod

@@ -118,3 +118,57 @@ def test_spatial_train_step_matches_data_parallel():
         for a, b_ in zip(dl, sl)
     )
     assert worst < 2e-4, worst
+
+
+def test_spatial_train_step_on_bucketed_batch():
+    """SP shards the image H axis of whatever compute bucket arrives:
+    a 128-row bucket on a 256-canvas model splits 32 rows/shard and the
+    loss matches the unsharded bucketed step."""
+    from mtlx.detector.faster_rcnn import FasterRCNN, FasterRCNNConfig
+    from mtlx.train.train_step import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+        pad_for_model,
+    )
+
+    cfg = FasterRCNNConfig(
+        num_classes=3, canvas_size=(256, 256), anchor_scales=(0.5, 1.0),
+        anchor_aspect_ratios=(1.0,), anchor_base_size=(32.0, 32.0),
+        rpn_depth=16, first_stage_pre_nms_top_k=16,
+        first_stage_max_proposals=8, first_stage_minibatch_size=16,
+        second_stage_batch_size=8, max_gt_boxes=4, dtype=jnp.float32,
+    )
+    model = FasterRCNN(cfg)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), make_optimizer(0.01)
+    )
+    rs = np.random.RandomState(0)
+    b = 2
+    batch = pad_for_model(model, {
+        "image": rs.uniform(0, 255, (b, 120, 200, 3)).astype(np.float32),
+        "true_shape": np.tile([[120, 200]], (b, 1)).astype(np.int32),
+        "gt_boxes": np.tile(
+            np.asarray([[[8, 8, 40, 40], [20, 28, 56, 60],
+                         [0, 0, 0, 0], [0, 0, 0, 0]]], np.float32),
+            (b, 1, 1),
+        ),
+        "gt_classes": np.zeros((b, 4), np.int32),
+        "gt_mask": np.tile(np.asarray([[True, True, False, False]]), (b, 1)),
+    })
+    assert batch["image"].shape[1:3] == (128, 256)
+    rng = jax.random.PRNGKey(1)
+
+    plain = jax.jit(make_train_step(model))
+    _, ref_metrics = plain(state, batch, rng)
+
+    smesh = spatial.create_spatial_mesh(n_data=2, n_spatial=4)
+    sp_state = jax.device_put(state, spatial.replicated(smesh))
+    sp_step = spatial.make_spatial_train_step(model, smesh)
+    _, sp_metrics = sp_step(
+        sp_state, spatial.shard_batch_spatial(smesh, batch), rng
+    )
+    np.testing.assert_allclose(
+        float(sp_metrics["total_loss"]), float(ref_metrics["total_loss"]),
+        rtol=2e-4, atol=2e-4,
+    )
