@@ -336,10 +336,11 @@ class FasterRCNNModules(nn.Module):
 
 
 class FasterRCNN:
+    """Functional two-stage detector around FasterRCNNModules."""
+
     # predict/loss handle any 2*stride-multiple compute canvas up to
     # cfg.canvas_size (bucketed compute — see train_step.pad_batch_to_bucket)
     supports_bucketed_compute = True
-    """Functional two-stage detector around FasterRCNNModules."""
 
     def __init__(self, cfg: FasterRCNNConfig):
         self.cfg = cfg
