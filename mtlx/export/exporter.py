@@ -87,13 +87,15 @@ def export_saved_model(
 
     The jitted predict+postprocess is converted with jax2tf (weights
     frozen into the graph, like the reference's frozen inference graph)
-    and exposed under two signatures matching the reference input types:
+    and exposed under the reference's three input-type signatures:
 
       * serving_default / image_tensor: uint8 [B, H, W, 3] images already
         on the model canvas + int32 [B, 2] true (pre-padding) sizes
       * encoded_image_string: 1-D string tensor of JPEG/PNG blobs —
         TF-ops decode + TF1 resize_images (align_corners=False, the
         reference's convention) + pad-to-canvas feed the same core fn
+      * tf_example: 1-D string tensor of serialized tf.train.Examples
+        (image/encoded parsed in-graph, then the encoded path)
 
     Outputs: detection_boxes (normalized to the true image),
     detection_scores, detection_classes (1-based float, as the reference
@@ -189,6 +191,17 @@ def export_saved_model(
         return module.image_tensor(canvases, shapes)
 
     module.encoded_image_string = encoded_image_string
+
+    @tf.function(input_signature=[
+        tf.TensorSpec([None], tf.string, name="tf_example")
+    ])
+    def tf_example(serialized):
+        parsed = tf.io.parse_example(serialized, {
+            "image/encoded": tf.io.FixedLenFeature([], tf.string)
+        })
+        return encoded_image_string(parsed["image/encoded"])
+
+    module.tf_example = tf_example
     os.makedirs(output_directory, exist_ok=True)
     tf.saved_model.save(
         module, output_directory,
@@ -196,6 +209,7 @@ def export_saved_model(
             "serving_default": module.image_tensor,
             "image_tensor": module.image_tensor,
             "encoded_image_string": module.encoded_image_string,
+            "tf_example": module.tf_example,
         },
     )
     config_util.save_pipeline_config(

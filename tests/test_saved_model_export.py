@@ -136,6 +136,27 @@ def test_saved_model_encoded_image_signature(exported):
         assert (b >= -1e-5).all() and (b <= 1 + 1e-5).all()
 
 
+def test_saved_model_tf_example_signature(exported):
+    from PIL import Image
+
+    loaded = tf.saved_model.load(exported["saved_model"])
+    rs = np.random.RandomState(2)
+    buf = io.BytesIO()
+    Image.fromarray(rs.randint(0, 255, (64, 64, 3)).astype(np.uint8)).save(
+        buf, format="JPEG"
+    )
+    ex = tf.train.Example(features=tf.train.Features(feature={
+        "image/encoded": tf.train.Feature(
+            bytes_list=tf.train.BytesList(value=[buf.getvalue()])
+        ),
+    }))
+    out = loaded.signatures["tf_example"](
+        tf_example=tf.constant([ex.SerializeToString()])
+    )
+    assert out["detection_boxes"].shape == (1, 10, 4)
+    assert np.isfinite(out["detection_boxes"].numpy()).all()
+
+
 def test_saved_model_dir_is_self_contained(exported):
     names = os.listdir(exported["saved_model"])
     assert "saved_model.pb" in names
