@@ -43,16 +43,32 @@ def _box_areas(boxes: np.ndarray) -> np.ndarray:
     )
 
 
+def _mask_iou(dt_masks: np.ndarray, gt_masks: np.ndarray,
+              gt_iscrowd: np.ndarray) -> np.ndarray:
+    """[D, G] binary-mask IoU; crowd GT uses intersection / dt area
+    (pycocotools maskUtils.iou iscrowd semantics)."""
+    d, g = len(dt_masks), len(gt_masks)
+    out = np.zeros((d, g), np.float64)
+    if d == 0 or g == 0:
+        return out
+    dt = dt_masks.reshape(d, -1).astype(bool)
+    gt = gt_masks.reshape(g, -1).astype(bool)
+    inter = dt.astype(np.float64) @ gt.T.astype(np.float64)  # [D, G]
+    da = dt.sum(1).astype(np.float64)[:, None]
+    ga = gt.sum(1).astype(np.float64)[None, :]
+    union = np.where(gt_iscrowd[None, :], da, da + ga - inter)
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+
+
 def _match_image(
-    dt_boxes: np.ndarray,  # [D, 4] score-sorted desc
-    gt_boxes: np.ndarray,  # [G, 4]
+    iou: np.ndarray,  # [D, G] similarity, detections score-sorted desc
     gt_iscrowd: np.ndarray,  # [G] bool
     gt_ignore: np.ndarray,  # [G] bool (crowd or out of area range)
     dt_out_of_range: np.ndarray,  # [D] bool
 ):
     """One (image, class, area-range) match for all IoU thresholds.
     Returns (tp [T, D], dt_ignore [T, D], num_gt_counted)."""
-    d, g = len(dt_boxes), len(gt_boxes)
+    d, g = iou.shape
     t = len(IOU_THRESHOLDS)
     tp = np.zeros((t, d), bool)
     dt_ig = np.zeros((t, d), bool)
@@ -65,10 +81,9 @@ def _match_image(
         return tp, dt_ig, npig
     # gt sorted: non-ignored first (COCOeval evaluates in this order)
     gt_order = np.argsort(gt_ignore, kind="stable")
-    gt_boxes = gt_boxes[gt_order]
     gt_iscrowd = gt_iscrowd[gt_order]
     gt_ignore = gt_ignore[gt_order]
-    iou = np_box_ops.iou(dt_boxes, gt_boxes)  # [D, G]
+    iou = iou[:, gt_order]
     for ti, thr in enumerate(IOU_THRESHOLDS):
         matched = np.full(g, -1)
         for di in range(d):
@@ -98,10 +113,18 @@ def _match_image(
 
 
 class CocoDetectionEvaluation:
-    """Accumulates per-image results; classes are 0-based here."""
+    """Accumulates per-image results; classes are 0-based here.
 
-    def __init__(self, num_classes: int):
+    iou_type 'bbox' matches on box IoU; 'segm' matches on binary-mask IoU
+    with mask-pixel areas for the area ranges (COCOeval segm protocol) —
+    masks are [N, H, W] binary arrays in the same image frame for GT and
+    detections."""
+
+    def __init__(self, num_classes: int, iou_type: str = "bbox"):
+        if iou_type not in ("bbox", "segm"):
+            raise ValueError(f"unknown iou_type {iou_type!r}")
         self.num_classes = num_classes
+        self.iou_type = iou_type
         self.gt: Dict[str, dict] = {}
         # per class: list over images of (scores, tp[T,D], ig[T,D]) per range
         self._results: Dict[str, List] = {k: [] for k in AREA_RANGES}
@@ -114,13 +137,19 @@ class CocoDetectionEvaluation:
         boxes: np.ndarray,
         classes: np.ndarray,
         is_crowd: Optional[np.ndarray] = None,
+        masks: Optional[np.ndarray] = None,
     ):
         if is_crowd is None or len(is_crowd) != len(classes):
             is_crowd = np.zeros(len(classes), bool)
+        if self.iou_type == "segm" and masks is None:
+            raise ValueError("segm evaluation needs groundtruth masks")
         self.gt[image_key] = {
             "boxes": np.asarray(boxes, np.float64).reshape(-1, 4),
             "classes": np.asarray(classes, np.int64),
             "is_crowd": np.asarray(is_crowd, bool),
+            "masks": (
+                np.asarray(masks, bool) if masks is not None else None
+            ),
         }
         for c in np.unique(np.asarray(classes, np.int64)):
             if 0 <= c < self.num_classes:
@@ -132,6 +161,7 @@ class CocoDetectionEvaluation:
         boxes: np.ndarray,
         scores: np.ndarray,
         classes: np.ndarray,
+        masks: Optional[np.ndarray] = None,
     ):
         gt = self.gt.get(
             image_key,
@@ -139,15 +169,28 @@ class CocoDetectionEvaluation:
                 "boxes": np.zeros((0, 4)),
                 "classes": np.zeros(0, np.int64),
                 "is_crowd": np.zeros(0, bool),
+                "masks": None,
             },
         )
         boxes = np.asarray(boxes, np.float64).reshape(-1, 4)
         scores = np.asarray(scores, np.float64)
         classes = np.asarray(classes, np.int64)
+        segm = self.iou_type == "segm"
+        if segm and masks is None:
+            raise ValueError("segm evaluation needs detection masks")
         order = np.argsort(-scores, kind="stable")[:MAX_DETECTIONS]
         boxes, scores, classes = boxes[order], scores[order], classes[order]
-        dt_areas = _box_areas(boxes)
-        gt_areas = _box_areas(gt["boxes"])
+        if segm:
+            masks = np.asarray(masks, bool)[order]
+            gt_masks = gt["masks"]
+            if gt_masks is None:
+                gt_masks = np.zeros((0,) + masks.shape[1:], bool)
+            # sum over the trailing axes (reshape(-1) breaks on N == 0)
+            dt_areas = masks.sum(axis=(1, 2)).astype(np.float64)
+            gt_areas = gt_masks.sum(axis=(1, 2)).astype(np.float64)
+        else:
+            dt_areas = _box_areas(boxes)
+            gt_areas = _box_areas(gt["boxes"])
         for rng_name, (lo, hi) in AREA_RANGES.items():
             per_class = {}
             for c in range(self.num_classes):
@@ -159,9 +202,14 @@ class CocoDetectionEvaluation:
                     (gt_areas[gsel] < lo) | (gt_areas[gsel] >= hi)
                 )
                 d_out = (dt_areas[dsel] < lo) | (dt_areas[dsel] >= hi)
+                if segm:
+                    iou = _mask_iou(
+                        masks[dsel], gt_masks[gsel], gt["is_crowd"][gsel]
+                    )
+                else:
+                    iou = np_box_ops.iou(boxes[dsel], gt["boxes"][gsel])
                 tp, ig, npig = _match_image(
-                    boxes[dsel], gt["boxes"][gsel], gt["is_crowd"][gsel],
-                    g_ignore, d_out,
+                    iou, gt["is_crowd"][gsel], g_ignore, d_out,
                 )
                 per_class[c] = (scores[dsel], tp, ig)
                 self._npig[rng_name][c] += npig
@@ -218,19 +266,20 @@ class CocoDetectionEvaluation:
         def mean(x):
             return float(np.nanmean(x)) if np.isfinite(x).any() else -1.0
 
+        prefix = "DetectionMasks" if self.iou_type == "segm" else "DetectionBoxes"
         ap_all, _ = self._precision_recall("all", MAX_DETECTIONS)
         out = {
-            "DetectionBoxes_Precision/mAP": mean(ap_all),
-            "DetectionBoxes_Precision/mAP@.50IOU": mean(ap_all[0]),
-            "DetectionBoxes_Precision/mAP@.75IOU": mean(ap_all[5]),
+            f"{prefix}_Precision/mAP": mean(ap_all),
+            f"{prefix}_Precision/mAP@.50IOU": mean(ap_all[0]),
+            f"{prefix}_Precision/mAP@.75IOU": mean(ap_all[5]),
         }
         for rng_name in ("small", "medium", "large"):
             ap_r, rec_r = self._precision_recall(rng_name, MAX_DETECTIONS)
-            out[f"DetectionBoxes_Precision/mAP ({rng_name})"] = mean(ap_r)
-            out[f"DetectionBoxes_Recall/AR@100 ({rng_name})"] = mean(rec_r)
+            out[f"{prefix}_Precision/mAP ({rng_name})"] = mean(ap_r)
+            out[f"{prefix}_Recall/AR@100 ({rng_name})"] = mean(rec_r)
         for k in (1, 10, 100):
             _, rec_k = self._precision_recall("all", k)
-            out[f"DetectionBoxes_Recall/AR@{k}"] = mean(rec_k)
+            out[f"{prefix}_Recall/AR@{k}"] = mean(rec_k)
         return out
 
     def per_category_ap(self) -> Dict[int, float]:
@@ -283,6 +332,67 @@ class CocoDetectionEvaluator:
             for cls_id, name in self._name.items():
                 ap = per_cat.get(cls_id - self._label_offset, float("nan"))
                 out[f"DetectionBoxes_PerformanceByCategory/mAP/{name}"] = ap
+        return out
+
+    def clear(self):
+        self.__init__(self.categories, self._include_per_category)
+
+
+class CocoMaskEvaluator:
+    """Instance-segmentation metrics (reference coco_tools segm protocol;
+    metrics_set 'coco_mask_metrics'): same COCOeval matching as the box
+    evaluator but on binary-mask IoU with mask-pixel areas. Consumes
+    'groundtruth_instance_masks' / 'detection_masks' — [N, H, W] binary
+    arrays in the true-image frame."""
+
+    def __init__(self, categories: List[dict],
+                 include_metrics_per_category: bool = False):
+        self.categories = categories
+        self._include_per_category = include_metrics_per_category
+        self._label_offset = 1
+        max_id = max(c["id"] for c in categories)
+        self.evaluation = CocoDetectionEvaluation(
+            num_classes=max_id, iou_type="segm"
+        )
+        self._name = {c["id"]: c["name"] for c in categories}
+
+    def add_single_ground_truth_image_info(self, image_id: str,
+                                           groundtruth_dict):
+        masks = groundtruth_dict.get("groundtruth_instance_masks")
+        if masks is None:
+            return  # image without masks: contributes nothing
+        self.evaluation.add_single_ground_truth_image_info(
+            image_id,
+            groundtruth_dict["groundtruth_boxes"],
+            np.asarray(groundtruth_dict["groundtruth_classes"])
+            - self._label_offset,
+            groundtruth_dict.get(
+                "groundtruth_is_crowd",
+                groundtruth_dict.get("groundtruth_difficult"),
+            ),
+            masks=masks,
+        )
+
+    def add_single_detected_image_info(self, image_id: str, detections_dict):
+        masks = detections_dict.get("detection_masks")
+        if masks is None or image_id not in self.evaluation.gt:
+            return
+        self.evaluation.add_single_detected_image_info(
+            image_id,
+            detections_dict["detection_boxes"],
+            detections_dict["detection_scores"],
+            np.asarray(detections_dict["detection_classes"])
+            - self._label_offset,
+            masks=masks,
+        )
+
+    def evaluate(self) -> Dict[str, float]:
+        out = self.evaluation.evaluate()
+        if self._include_per_category:
+            per_cat = self.evaluation.per_category_ap()
+            for cls_id, name in self._name.items():
+                ap = per_cat.get(cls_id - self._label_offset, float("nan"))
+                out[f"DetectionMasks_PerformanceByCategory/mAP/{name}"] = ap
         return out
 
     def clear(self):

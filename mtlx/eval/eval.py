@@ -46,7 +46,10 @@ def parse_args(argv=None):
 def build_evaluators(eval_config, categories):
     """metrics_set names -> evaluator list (reference eval_util dispatch,
     SURVEY.md §3.7; default is the Pascal VOC evaluator)."""
-    from mtlx.eval.coco_evaluation import CocoDetectionEvaluator
+    from mtlx.eval.coco_evaluation import (
+        CocoDetectionEvaluator,
+        CocoMaskEvaluator,
+    )
     from mtlx.eval.object_detection_evaluation import (
         PascalDetectionEvaluator,
         WeightedPascalDetectionEvaluator,
@@ -62,6 +65,8 @@ def build_evaluators(eval_config, categories):
             evaluators.append(WeightedPascalDetectionEvaluator(categories))
         elif name == "coco_detection_metrics":
             evaluators.append(CocoDetectionEvaluator(categories))
+        elif name == "coco_mask_metrics":
+            evaluators.append(CocoMaskEvaluator(categories))
         else:
             raise ValueError(f"unknown eval_config.metrics_set entry {name!r}")
     return evaluators
@@ -130,6 +135,9 @@ def evaluate_checkpoint(model, state, dataset, eval_config, categories,
         # dropped from the results unless enabled
         if not eval_config.eval_instance_masks:
             det.pop("detection_masks", None)
+        want_masks = any(
+            type(e).__name__ == "CocoMaskEvaluator" for e in evaluators
+        )
         for j, s in enumerate(samples):
             th, tw = s["true_shape"]
             gt_n = int(s["gt_mask"].sum())
@@ -148,6 +156,33 @@ def evaluate_checkpoint(model, state, dataset, eval_config, categories,
                 "detection_scores": det["detection_scores"][j][:n_det],
                 "detection_classes": det["detection_classes"][j][:n_det] + 1,
             }
+            if want_masks and "gt_instance_masks" in s:
+                # both sides in the true-image frame: GT masks upscale
+                # from the loader's canvas/stride raster, detection mask
+                # crops paste into their boxes (reference
+                # reframe_box_masks_to_image_masks)
+                from PIL import Image as _PILImage
+
+                ms = s["image"].shape[0] // s["gt_instance_masks"].shape[1]
+                mth = max(1, round(int(th) / ms))
+                mtw = max(1, round(int(tw) / ms))
+                gmasks = np.zeros((gt_n, int(th), int(tw)), bool)
+                for k in range(gt_n):
+                    # crop the true region of the reduced raster, then
+                    # upscale to true-image pixels
+                    gmasks[k] = np.asarray(
+                        _PILImage.fromarray(
+                            (s["gt_instance_masks"][k][:mth, :mtw] * 255)
+                            .astype(np.uint8),
+                            "L",
+                        ).resize((int(tw), int(th)), _PILImage.BILINEAR)
+                    ) > 127
+                gt_info["groundtruth_instance_masks"] = gmasks
+                if "detection_masks" in det:
+                    det_info["detection_masks"] = viz.paste_instance_masks(
+                        det["detection_masks"][j][:n_det], boxes_norm,
+                        int(th), int(tw),
+                    )
             for evaluator in evaluators:
                 evaluator.add_single_ground_truth_image_info(
                     s["source_id"], gt_info
@@ -252,6 +287,7 @@ def main(argv=None):
         canvas_size=model.cfg.canvas_size,
         resizer=resizer_params(_image_resizer(configs["model"])),
         max_boxes=100,
+        load_instance_masks=input_config.load_instance_masks,
         tf1_resize=args.tf1_resize,
     )
     if input_config.label_map_path:

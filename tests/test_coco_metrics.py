@@ -195,3 +195,100 @@ def test_weighted_pascal_pools_classes():
     )
     m = ev.evaluate()
     assert m["WeightedPascalBoxes_Precision/mAP@0.5IOU"] == pytest.approx(0.75)
+
+
+# ---------------- instance-mask (segm) protocol ----------------
+
+
+def _disk_mask(h, w, cy, cx, r):
+    yy, xx = np.mgrid[:h, :w]
+    return (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+
+
+def test_mask_evaluator_perfect_predictions():
+    from mtlx.eval.coco_evaluation import CocoMaskEvaluator
+
+    cats = [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]
+    ev = CocoMaskEvaluator(cats)
+    m1 = _disk_mask(64, 64, 20, 20, 36)  # large-range area (> 96^2? no
+    # — area ranges use pixel counts; a r=36 disk ~ 4000 px => "medium")
+    m2 = _disk_mask(64, 64, 45, 45, 10)
+    ev.add_single_ground_truth_image_info("im0", {
+        "groundtruth_boxes": np.asarray(
+            [[0, 0, 40, 40], [35, 35, 55, 55]], np.float32),
+        "groundtruth_classes": np.asarray([1, 2]),
+        "groundtruth_instance_masks": np.stack([m1, m2]),
+    })
+    ev.add_single_detected_image_info("im0", {
+        "detection_boxes": np.asarray(
+            [[0, 0, 40, 40], [35, 35, 55, 55]], np.float32),
+        "detection_scores": np.asarray([0.9, 0.8]),
+        "detection_classes": np.asarray([1, 2]),
+        "detection_masks": np.stack([m1, m2]),
+    })
+    out = ev.evaluate()
+    assert out["DetectionMasks_Precision/mAP"] == pytest.approx(1.0)
+    assert out["DetectionMasks_Precision/mAP@.50IOU"] == pytest.approx(1.0)
+
+
+def test_mask_evaluator_mask_iou_not_box_iou():
+    """Same boxes, disjoint masks: box IoU is 1 but mask IoU is 0 — the
+    segm protocol must score 0."""
+    from mtlx.eval.coco_evaluation import CocoMaskEvaluator
+
+    cats = [{"id": 1, "name": "a"}]
+    ev = CocoMaskEvaluator(cats)
+    left = np.zeros((32, 32), bool); left[:, :8] = True
+    right = np.zeros((32, 32), bool); right[:, 24:] = True
+    ev.add_single_ground_truth_image_info("im0", {
+        "groundtruth_boxes": np.asarray([[0, 0, 32, 32]], np.float32),
+        "groundtruth_classes": np.asarray([1]),
+        "groundtruth_instance_masks": left[None],
+    })
+    ev.add_single_detected_image_info("im0", {
+        "detection_boxes": np.asarray([[0, 0, 32, 32]], np.float32),
+        "detection_scores": np.asarray([0.9]),
+        "detection_classes": np.asarray([1]),
+        "detection_masks": right[None],
+    })
+    out = ev.evaluate()
+    assert out["DetectionMasks_Precision/mAP"] == pytest.approx(0.0)
+
+
+def test_mask_iou_crowd_semantics():
+    from mtlx.eval.coco_evaluation import _mask_iou
+
+    dt = np.zeros((1, 10, 10), bool); dt[0, :5] = True  # 50 px
+    gt = np.ones((1, 10, 10), bool)  # 100 px, fully contains dt
+    plain = _mask_iou(dt, gt, np.asarray([False]))
+    crowd = _mask_iou(dt, gt, np.asarray([True]))
+    assert plain[0, 0] == pytest.approx(0.5)  # 50 / 100
+    assert crowd[0, 0] == pytest.approx(1.0)  # 50 / 50 (dt area)
+
+
+def test_mask_evaluator_partial_overlap_thresholds():
+    """IoU ~0.6 overlap: counts at 0.5 threshold, not at 0.75 — the mAP
+    averages over the 10 thresholds accordingly."""
+    from mtlx.eval.coco_evaluation import CocoMaskEvaluator
+
+    cats = [{"id": 1, "name": "a"}]
+    ev = CocoMaskEvaluator(cats)
+    gt = np.zeros((32, 32), bool); gt[:, :20] = True        # 640 px
+    dt = np.zeros((32, 32), bool); dt[:, 5:25] = True       # 640 px
+    # inter 15 cols = 480; union 25 cols = 800 -> IoU 0.6
+    ev.add_single_ground_truth_image_info("im0", {
+        "groundtruth_boxes": np.asarray([[0, 0, 32, 20]], np.float32),
+        "groundtruth_classes": np.asarray([1]),
+        "groundtruth_instance_masks": gt[None],
+    })
+    ev.add_single_detected_image_info("im0", {
+        "detection_boxes": np.asarray([[0, 5, 32, 25]], np.float32),
+        "detection_scores": np.asarray([0.9]),
+        "detection_classes": np.asarray([1]),
+        "detection_masks": dt[None],
+    })
+    out = ev.evaluate()
+    # thresholds 0.50, 0.55, 0.60 pass (3 of 10)
+    assert out["DetectionMasks_Precision/mAP"] == pytest.approx(0.3)
+    assert out["DetectionMasks_Precision/mAP@.50IOU"] == pytest.approx(1.0)
+    assert out["DetectionMasks_Precision/mAP@.75IOU"] == pytest.approx(0.0)

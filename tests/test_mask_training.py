@@ -205,3 +205,45 @@ def test_augment_rejects_mask_unsafe_ops():
     }
     with pytest.raises(ValueError, match="instance masks"):
         aug(jax.random.PRNGKey(0), jnp.int32(0), batch)
+
+
+def test_mask_metrics_through_eval_loop(tmp_path):
+    """metrics_set 'coco_mask_metrics' end to end: masked records ->
+    loader (reduced masks) -> eval step (mask predictions) -> pasted
+    masks + upscaled gt masks -> segm mAP keys in the metrics dict."""
+    from mtlx.config.protos import pipeline_pb2
+    from mtlx.data import tfrecord
+    from mtlx.data.loader import DetectionDataset
+    from mtlx.detector.faster_rcnn import FasterRCNN, FasterRCNNConfig
+    from mtlx.eval.eval import evaluate_checkpoint
+    from mtlx.train.train_step import create_train_state, make_optimizer
+
+    path = str(tmp_path / "me.record")
+    with tfrecord.TFRecordWriter(path) as w:
+        for _ in range(2):
+            ex, _ = _example_with_masks(h=64, w=64)
+            w.write(ex.SerializeToString())
+    ds = DetectionDataset(
+        [path], (64, 64), resizer=("fixed", {"height": 64, "width": 64}),
+        max_boxes=4, load_instance_masks=True, mask_stride=8,
+    )
+    model = FasterRCNN(FasterRCNNConfig(
+        num_classes=2, canvas_size=(64, 64),
+        anchor_scales=(0.5, 1.0), anchor_aspect_ratios=(1.0,),
+        anchor_base_size=(32.0, 32.0), rpn_depth=16,
+        first_stage_pre_nms_top_k=16, first_stage_max_proposals=8,
+        second_stage_max_total_detections=8,
+        predict_instance_masks=True, mask_prediction_conv_depth=8,
+        max_gt_boxes=4, dtype=jnp.float32,
+    ))
+    state = create_train_state(model, jax.random.PRNGKey(0), make_optimizer())
+    eval_config = pipeline_pb2.EvalConfig()
+    eval_config.num_examples = 2
+    eval_config.metrics_set.append("coco_mask_metrics")
+    eval_config.metrics_set.append("pascal_voc_detection_metrics")
+    eval_config.eval_instance_masks = True
+    cats = [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]
+    metrics = evaluate_checkpoint(model, state, ds, eval_config, cats)
+    assert "DetectionMasks_Precision/mAP" in metrics
+    assert "Precision/mAP@0.5IOU" in metrics  # box metrics coexist
+    assert np.isfinite(metrics["DetectionMasks_Precision/mAP"])
