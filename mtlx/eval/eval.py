@@ -138,6 +138,13 @@ def evaluate_checkpoint(model, state, dataset, eval_config, categories,
         want_masks = any(
             type(e).__name__ == "CocoMaskEvaluator" for e in evaluators
         )
+        if want_masks and "detection_masks" not in det and start == 0:
+            print(
+                "[eval] note: coco_mask_metrics requested but no detection "
+                "masks reach the evaluator — set eval_config."
+                "eval_instance_masks: true and use a mask-predicting model",
+                flush=True,
+            )
         for j, s in enumerate(samples):
             th, tw = s["true_shape"]
             gt_n = int(s["gt_mask"].sum())
@@ -226,6 +233,7 @@ def evaluate_checkpoint(model, state, dataset, eval_config, categories,
                     s["gt_classes"][:gt_n] + 1,
                     None,  # no scores: groundtruth
                     category_index,
+                    instance_masks=gt_info.get("groundtruth_instance_masks"),
                     min_score_thresh=0.0,
                 )
                 image = np.concatenate([image, gt_image], axis=1)
