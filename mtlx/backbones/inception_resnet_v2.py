@@ -23,6 +23,10 @@ class ConvBN(nn.Module):
     strides: tuple = (1, 1)
     padding: str = "SAME"
     relu: bool = True
+    # slim's inception arg_scope batch-norm epsilon (inception_v2/v3/v4 and
+    # inception_resnet_v2 all use 0.001, unlike resnet's 1e-5) — converted
+    # slim checkpoints diverge numerically under any other value
+    bn_epsilon: float = 1e-3
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -31,7 +35,7 @@ class ConvBN(nn.Module):
             self.features, self.kernel, strides=self.strides, padding=self.padding,
             use_bias=False, dtype=self.dtype, name="conv",
         )(x)
-        x = FrozenBatchNorm(dtype=self.dtype, name="bn")(x)
+        x = FrozenBatchNorm(epsilon=self.bn_epsilon, dtype=self.dtype, name="bn")(x)
         return nn.relu(x) if self.relu else x
 
 
