@@ -33,7 +33,9 @@ class MobileNetV1(nn.Module):
 
     depth_multiplier: float = 1.0
     min_depth: int = 8
-    bn_epsilon: float = 1e-5
+    # slim mobilenet_v1 arg_scope batch-norm epsilon (0.001, like the
+    # inception family; resnet alone uses 1e-5)
+    bn_epsilon: float = 1e-3
     # conv_hyperparams.batch_norm.{center,scale} (param presence; decay is
     # inapplicable to frozen BN — moving stats are never updated)
     bn_center: bool = True

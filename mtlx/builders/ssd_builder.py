@@ -81,7 +81,7 @@ def build(ssd_proto, is_training: bool, max_gt_boxes: int = 100, dtype=jnp.bfloa
         min_depth=fe.min_depth or 8,
         bn_epsilon=(
             fe.conv_hyperparams.batch_norm.epsilon
-            if fe.conv_hyperparams.HasField("batch_norm") else 1e-5
+            if fe.conv_hyperparams.HasField("batch_norm") else 1e-3
         ),
         bn_center=(
             fe.conv_hyperparams.batch_norm.center

@@ -48,8 +48,9 @@ class SSDConfig:
     # feature_extractor.conv_hyperparams.batch_norm.{epsilon,center,scale}
     # (slim arg_scope defaults 0.001/true/false when a batch_norm block is
     # configured; decay is inapplicable — BN is frozen here, stats are
-    # never updated)
-    bn_epsilon: float = 1e-5
+    # never updated). The bare default matches slim mobilenet/inception
+    # arg_scope epsilon 0.001.
+    bn_epsilon: float = 1e-3
     bn_center: bool = True
     bn_scale: bool = True
     # feature pyramid (reference feature_map_generators layout)

@@ -189,7 +189,8 @@ def test_ssd_bn_epsilon_threads_from_conv_hyperparams():
     proto.feature_extractor.ClearField("conv_hyperparams")
     model_default = ssd_builder.build(proto, is_training=False,
                                       max_gt_boxes=4, dtype=jnp.float32)
-    assert model_default.cfg.bn_epsilon == pytest.approx(1e-5)
+    # bare default = slim mobilenet/inception arg_scope epsilon
+    assert model_default.cfg.bn_epsilon == pytest.approx(1e-3)
 
     # the knob changes the forward numerics (epsilon enters the BN affine)
     import jax
