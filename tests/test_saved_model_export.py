@@ -161,3 +161,50 @@ def test_saved_model_dir_is_self_contained(exported):
     names = os.listdir(exported["saved_model"])
     assert "saved_model.pb" in names
     assert "pipeline.config" in names  # provenance travels with the model
+
+
+def test_saved_model_keep_aspect_encoded_path(tmp_path):
+    """keep_aspect_ratio_resizer config: the in-graph TF decode+resize
+    must reproduce the loader's keep-aspect target math (scale to min
+    side, cap the max side) before padding to canvas."""
+    import jax
+
+    from mtlx.builders import model_builder
+    from mtlx.config import config_util
+    from mtlx.export.exporter import export_saved_model
+    from mtlx.train.checkpoints import CheckpointManager
+    from mtlx.train.train_step import create_train_state, make_optimizer
+    from PIL import Image
+
+    cfg_text = CONFIG.replace(
+        "image_resizer { fixed_shape_resizer { height: 64 width: 64 } }",
+        "image_resizer { keep_aspect_ratio_resizer "
+        "{ min_dimension: 48 max_dimension: 64 } }",
+    )
+    cfg_path = str(tmp_path / "ka.config")
+    open(cfg_path, "w").write(cfg_text)
+    configs = config_util.get_configs_from_pipeline_file(cfg_path)
+    model = model_builder.build(configs["model"], is_training=False)
+    state = create_train_state(model, jax.random.PRNGKey(0), make_optimizer())
+    train_dir = str(tmp_path / "train")
+    mgr = CheckpointManager(train_dir)
+    mgr.save(1, state)
+    mgr.wait()
+    out_dir = export_saved_model(cfg_path, train_dir, str(tmp_path / "sm"))
+
+    loaded = tf.saved_model.load(out_dir)
+    rs = np.random.RandomState(0)
+    buf = io.BytesIO()
+    # 40x90 source: scale = min(48/40, 64/90) = 64/90 -> 28x64 resized
+    Image.fromarray(rs.randint(0, 255, (40, 90, 3)).astype(np.uint8)).save(
+        buf, format="JPEG"
+    )
+    out = loaded.signatures["encoded_image_string"](
+        encoded_image=tf.constant([buf.getvalue()])
+    )
+    n = int(out["num_detections"].numpy()[0])
+    boxes = out["detection_boxes"].numpy()[0, :n]
+    assert np.isfinite(out["detection_boxes"].numpy()).all()
+    # normalized to the 28x64 true image: all within [0, 1]
+    if n:
+        assert (boxes >= -1e-5).all() and (boxes <= 1 + 1e-5).all()
