@@ -244,3 +244,82 @@ def test_slim_and_default_stride_orders_share_feature_shape():
             method=type(model.modules).features,
         )
         assert feats.shape == (1, 4, 4, 1024), (slim, feats.shape)
+
+
+# ---------------- slim MobilenetV1 -> SSD backbone ----------------
+
+_MOBILENET_DEFS = [  # (stride, out) matching mtlx/backbones/mobilenet.py
+    (1, 64), (2, 128), (1, 128), (2, 256), (1, 256),
+    (2, 512), (1, 512), (1, 512), (1, 512), (1, 512), (1, 512),
+    (2, 1024), (1, 1024),
+]
+
+
+def _slim_mobilenet_vars(rng, depth_multiplier=1.0):
+    out = {}
+
+    def bn(prefix, c):
+        out[f"{prefix}/BatchNorm/gamma"] = rng.uniform(0.5, 1.5, (c,)).astype(np.float32)
+        out[f"{prefix}/BatchNorm/beta"] = rng.normal(0, 0.1, (c,)).astype(np.float32)
+        out[f"{prefix}/BatchNorm/moving_mean"] = rng.normal(0, 0.1, (c,)).astype(np.float32)
+        out[f"{prefix}/BatchNorm/moving_variance"] = rng.uniform(0.5, 1.5, (c,)).astype(np.float32)
+
+    c_in = int(32 * depth_multiplier)
+    out["MobilenetV1/Conv2d_0/weights"] = rng.normal(
+        0, 0.01, (3, 3, 3, c_in)).astype(np.float32)
+    bn("MobilenetV1/Conv2d_0", c_in)
+    for i, (_, c) in enumerate(_MOBILENET_DEFS, start=1):
+        c = int(c * depth_multiplier)
+        out[f"MobilenetV1/Conv2d_{i}_depthwise/depthwise_weights"] = rng.normal(
+            0, 0.01, (3, 3, c_in, 1)).astype(np.float32)
+        bn(f"MobilenetV1/Conv2d_{i}_depthwise", c_in)
+        out[f"MobilenetV1/Conv2d_{i}_pointwise/weights"] = rng.normal(
+            0, 0.01, (1, 1, c_in, c)).astype(np.float32)
+        bn(f"MobilenetV1/Conv2d_{i}_pointwise", c)
+        c_in = c
+    # classifier head: must be skipped by the mapper
+    out["MobilenetV1/Logits/Conv2d_1c_1x1/weights"] = rng.normal(
+        0, 0.01, (1, 1, 1024, 10)).astype(np.float32)
+    out["MobilenetV1/Logits/Conv2d_1c_1x1/biases"] = np.zeros((10,), np.float32)
+    return out
+
+
+def test_mobilenet_conversion_covers_ssd_backbone(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from mtlx.backbones.mobilenet import MobileNetV1
+
+    rng = np.random.RandomState(0)
+    values = _slim_mobilenet_vars(rng)
+    ckpt = str(tmp_path / "mnet.ckpt")
+    _write_tf_checkpoint(values, ckpt)
+    variables, n_conv, n_skip = convert_checkpoint.convert(
+        ckpt, "classification", 0, arch="mobilenet_v1"
+    )
+    assert n_skip == 2  # only the Logits head is unmapped
+    assert n_conv == len(values) - 2
+
+    # depthwise transpose: [3,3,C,1] slim -> [3,3,1,C] flax
+    dw = variables["params"]["backbone"]["conv1_dw"]["kernel"]
+    assert dw.shape == (3, 3, 1, 32)
+    np.testing.assert_array_equal(
+        dw[..., 0, :],
+        values["MobilenetV1/Conv2d_1_depthwise/depthwise_weights"][..., 0],
+    )
+
+    # full coverage of the model tree, and the forward runs
+    model = MobileNetV1(dtype=jnp.float32)
+    init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    flat_model = _flatten(init["params"])
+    flat_conv = _flatten(variables["params"]["backbone"])
+    missing = [k for k in flat_model if k not in flat_conv
+               or flat_conv[k].shape != flat_model[k].shape]
+    assert missing == [], missing[:5]
+    feats = model.apply(
+        {"params": variables["params"]["backbone"],
+         "batch_stats": variables["batch_stats"]["backbone"]},
+        jnp.ones((1, 64, 64, 3)),
+    )
+    assert np.isfinite(np.asarray(feats[0])).all()
+    assert np.isfinite(np.asarray(feats[1])).all()
