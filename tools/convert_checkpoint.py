@@ -93,6 +93,55 @@ def map_slim_resnet_name(name: str, depth: int):
     return None
 
 
+def map_slim_mobilenet_name(name: str, depth: int = 0):
+    """slim MobilenetV1 classification checkpoint -> mtlx SSD backbone
+    (`MobilenetV1/Conv2d_{i}_{depthwise,pointwise}` -> `backbone/
+    conv{i}_{dw,pw}`). Depthwise kernels transpose [H,W,C,1]->[H,W,1,C]
+    (slim depthwise layout vs flax feature_group_count layout)."""
+    prefix = "MobilenetV1/"
+    if not name.startswith(prefix):
+        return None
+    name = name[len(prefix):]
+
+    def bn_leaf(leaf):
+        return {
+            "gamma": ("params", "scale"),
+            "beta": ("params", "bias"),
+            "moving_mean": ("batch_stats", "mean"),
+            "moving_variance": ("batch_stats", "var"),
+        }.get(leaf)
+
+    m = re.match(r"Conv2d_0/weights$", name)
+    if m:
+        return "params", ("backbone", "conv0", "kernel")
+    m = re.match(r"Conv2d_0/BatchNorm/(\w+)$", name)
+    if m:
+        mapped = bn_leaf(m.group(1))
+        if mapped:
+            return mapped[0], ("backbone", "conv0_bn", mapped[1])
+        return None
+    m = re.match(
+        r"Conv2d_(\d+)_(depthwise|pointwise)/"
+        r"(depthwise_weights|weights|BatchNorm/(\w+))$",
+        name,
+    )
+    if m:
+        i, kind, leaf, bn = m.groups()
+        suffix = "dw" if kind == "depthwise" else "pw"
+        base = ("backbone", f"conv{i}_{suffix}")
+        if leaf == "depthwise_weights":
+            # [H, W, C, 1] -> [H, W, 1, C]
+            return "params", base + ("kernel",), lambda v: np.transpose(
+                v, (0, 1, 3, 2)
+            )
+        if leaf == "weights":
+            return "params", base + ("kernel",)
+        mapped = bn_leaf(bn)
+        if mapped:
+            return mapped[0], ("backbone", f"conv{i}_{suffix}_bn", mapped[1])
+    return None
+
+
 def map_od_api_name(name: str, depth: int):
     """TF OD API detection-checkpoint names (RPN + box predictor heads)."""
     mapped = map_slim_resnet_name(name, depth)
@@ -121,14 +170,20 @@ def map_od_api_name(name: str, depth: int):
     return table.get(name)
 
 
-def convert(tf_checkpoint: str, ckpt_type: str, depth: int):
+def convert(tf_checkpoint: str, ckpt_type: str, depth: int,
+            arch: str = "resnet"):
     import tensorflow as tf
 
     reader = tf.train.load_checkpoint(tf_checkpoint)
     shapes = reader.get_variable_to_shape_map()
     params: dict = {}
     batch_stats: dict = {}
-    mapper = map_slim_resnet_name if ckpt_type == "classification" else map_od_api_name
+    if arch == "mobilenet_v1":
+        mapper = map_slim_mobilenet_name
+    elif ckpt_type == "classification":
+        mapper = map_slim_resnet_name
+    else:
+        mapper = map_od_api_name
     converted = skipped = 0
     for name in sorted(shapes):
         if any(s in name for s in ("Momentum", "RMSProp", "Adam", "global_step",
@@ -138,8 +193,14 @@ def convert(tf_checkpoint: str, ckpt_type: str, depth: int):
         if mapped is None:
             skipped += 1
             continue
-        collection, path = mapped
+        if len(mapped) == 3:
+            collection, path, transform = mapped
+        else:
+            collection, path = mapped
+            transform = None
         value = reader.get_tensor(name)
+        if transform is not None:
+            value = transform(value)
         if collection == "params":
             _set(params, path, value)
         else:
@@ -153,12 +214,17 @@ def main():
     p.add_argument("--tf_checkpoint", required=True)
     p.add_argument("--type", dest="ckpt_type", default="classification",
                    choices=["classification", "detection"])
+    p.add_argument("--arch", default="resnet",
+                   choices=["resnet", "mobilenet_v1"],
+                   help="source network family (mobilenet_v1: slim "
+                        "MobilenetV1 classification checkpoints for SSD "
+                        "backbone warm start)")
     p.add_argument("--depth", type=int, default=50, choices=[50, 101, 152])
     p.add_argument("--output", required=True)
     args = p.parse_args()
 
     variables, converted, skipped = convert(
-        args.tf_checkpoint, args.ckpt_type, args.depth
+        args.tf_checkpoint, args.ckpt_type, args.depth, args.arch
     )
     from mtlx.train.checkpoints import save_variables
 
