@@ -218,6 +218,30 @@ class DetectionDataset:
             image = resize_fixed(full, **params)
         return image, h0, w0
 
+    def peek_target_shape(self, i: int) -> Tuple[int, int]:
+        """(th, tw) the resizer will produce for record i WITHOUT decoding
+        pixels (JPEG header via the native codec, lazy PIL open otherwise).
+        Powers train-time bucket precompilation (train.py
+        --precompile_buckets)."""
+        ex = self._parse(i)
+        enc = ex[InputDataFields.image_encoded]
+        fmt = ex.get(InputDataFields.image_format, b"jpeg")
+        kind, params = self.resizer
+        if kind == "fixed":
+            return params["height"], params["width"]
+        if _imgcodec is not None and fmt in _JPEG_FORMATS:
+            try:
+                h0, w0 = _imgcodec.dims(enc)
+                return keep_aspect_target(h0, w0, **params)
+            except ValueError:
+                pass
+        import io
+
+        from PIL import Image as _PILImage
+
+        w0, h0 = _PILImage.open(io.BytesIO(enc)).size  # header only
+        return keep_aspect_target(h0, w0, **params)
+
     def get(self, i: int) -> Dict[str, np.ndarray]:
         """One canvas-shaped sample (numpy)."""
         ex = self._parse(i)
@@ -338,6 +362,42 @@ class DetectionDataset:
 
 
 _PACK_MULTIPLE = 128  # transfer-bucket granularity (keeps jit variants few)
+
+
+def achievable_bucket_shapes(
+    dataset: "DetectionDataset",
+    batch_size: int,
+    max_records: Optional[int] = None,
+) -> List[Tuple[int, int]]:
+    """All (h, w) compute-bucket shapes batches of this dataset can
+    produce, from JPEG headers only (peek_target_shape — no pixel
+    decodes). Powers train.py --precompile_buckets: compiling every
+    variant up front keeps the first occurrence of a rare bucket from
+    stalling training for a full XLA compile mid-run.
+
+    A batch's bucket is the componentwise max of its records' buckets, so
+    with batch_size > 1 and epoch shuffling the achievable set is the
+    pairwise max-closure of the distinct per-record buckets (the max over
+    any subset is attained by the record maximizing h and the one
+    maximizing w)."""
+    ch, cw = dataset.canvas_size
+    n = len(dataset)
+    if max_records is not None:
+        n = min(n, max_records)
+
+    def _bucket(th: int, tw: int) -> Tuple[int, int]:
+        return (
+            min(ch, -(-th // _PACK_MULTIPLE) * _PACK_MULTIPLE),
+            min(cw, -(-tw // _PACK_MULTIPLE) * _PACK_MULTIPLE),
+        )
+
+    per_record = {_bucket(*dataset.peek_target_shape(i)) for i in range(n)}
+    shapes = set(per_record)
+    if batch_size > 1:
+        for h1, w1 in per_record:
+            for h2, w2 in per_record:
+                shapes.add((max(h1, h2), max(w1, w2)))
+    return sorted(shapes)
 
 
 def pack_batch_images(images: np.ndarray,

@@ -114,6 +114,12 @@ def parse_args(argv=None):
                         "host->device bytes on keep-aspect configs; each "
                         "distinct bucket adds one jit specialization. "
                         "0 = always transfer the full canvas")
+    p.add_argument("--precompile_buckets", action="store_true",
+                   help="scan the dataset's image headers, enumerate every "
+                        "compute-bucket shape its batches can produce, and "
+                        "AOT-compile the train step for each before step 1 "
+                        "— no mid-run XLA compile stall when a rare bucket "
+                        "first appears (only meaningful with --pack_transfer)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize() "
                         "(coordinator/process env vars per the standard JAX "
@@ -277,6 +283,34 @@ def main(argv=None):
 
     writer = SummaryWriter(args.train_dir)
     rng = jax.random.PRNGKey(args.seed + 1)
+    if args.precompile_buckets:
+        if args.pack_transfer and getattr(model, "supports_bucketed_compute", False):
+            from mtlx.data.loader import achievable_bucket_shapes
+
+            t0 = time.time()
+            shapes = achievable_bucket_shapes(dataset, batch_size)
+            sample = dataset.get(0)
+            drop = {"gt_difficult", "original_shape", "source_id"}
+            # the SDS leaves must carry the same sharding device_prefetch
+            # commits real batches with — an unsharded SDS lowers to a
+            # different cache key and the call recompiles anyway
+            bsh = mesh_lib.batch_sharding(mesh)
+            template = {
+                k: jax.ShapeDtypeStruct((batch_size,) + np.asarray(v).shape,
+                                        np.asarray(v).dtype, sharding=bsh)
+                for k, v in sample.items() if k not in drop
+            }
+            for hb, wb in shapes:
+                template["image"] = jax.ShapeDtypeStruct(
+                    (batch_size, hb, wb, sample["image"].shape[-1]),
+                    sample["image"].dtype, sharding=bsh,
+                )
+                step.lower(state, template, rng).compile()
+            print(f"[train] precompiled {len(shapes)} bucket variants "
+                  f"{shapes} in {time.time() - t0:.1f}s", flush=True)
+        else:
+            print("[train] note: --precompile_buckets needs --pack_transfer "
+                  "and a bucketed-compute model; skipped", flush=True)
     shuffle = input_config.shuffle and not args.deterministic
     # input_reader.num_epochs: 0 = repeat forever (reference tf.train
     # string_input_producer semantics); otherwise the run ends when the

@@ -179,3 +179,78 @@ def test_bucket_multiple_matches_loader_pack():
     from mtlx.data.loader import _PACK_MULTIPLE
 
     assert BUCKET_MULTIPLE == _PACK_MULTIPLE
+
+
+# ---- bucket precompilation (train.py --precompile_buckets) ----------------
+
+
+class _FakeDs:
+    """Duck-typed DetectionDataset: canvas + per-record target shapes."""
+
+    def __init__(self, targets, canvas=(1024, 1024)):
+        self.canvas_size = canvas
+        self._t = list(targets)
+
+    def __len__(self):
+        return len(self._t)
+
+    def peek_target_shape(self, i):
+        return self._t[i]
+
+
+def test_achievable_bucket_shapes_closure():
+    from mtlx.data.loader import achievable_bucket_shapes
+
+    ds = _FakeDs([(600, 1000), (1000, 600), (600, 1000)])
+    # batch > 1: pairwise max-closure (a mixed batch hits (1024, 1024))
+    assert achievable_bucket_shapes(ds, batch_size=2) == [
+        (640, 1024), (1024, 640), (1024, 1024)]
+    # batch == 1: only the per-record buckets
+    assert achievable_bucket_shapes(ds, batch_size=1) == [
+        (640, 1024), (1024, 640)]
+    # capped at the canvas
+    ds2 = _FakeDs([(2000, 100)], canvas=(1024, 1024))
+    assert achievable_bucket_shapes(ds2, batch_size=4) == [(1024, 128)]
+    # max_records bounds the header scan
+    ds3 = _FakeDs([(100, 100), (1000, 1000)])
+    assert achievable_bucket_shapes(ds3, batch_size=2, max_records=1) == [
+        (128, 128)]
+
+
+def test_peek_target_shape_matches_decode(tmp_path):
+    """Header-only peek agrees with the full decode's true_shape for both
+    keep_aspect and fixed resizers (native codec or PIL fallback)."""
+    import io
+
+    from PIL import Image
+
+    from mtlx.data import tfrecord
+    from mtlx.data.example_decoder import build_example
+    from mtlx.data.loader import DetectionDataset
+
+    record = str(tmp_path / "t.record")
+    rs = np.random.RandomState(0)
+    with tfrecord.TFRecordWriter(record) as w:
+        for h, w0 in [(100, 200), (200, 100), (130, 130)]:
+            arr = rs.randint(0, 255, (h, w0, 3), dtype=np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG")
+            ex = build_example(
+                buf.getvalue(), b"jpeg", h, w0, "x.jpg",
+                np.asarray([[0.1, 0.1, 0.5, 0.5]], np.float32), [1], ["a"])
+            w.write(ex.SerializeToString())
+
+    ds = DetectionDataset(
+        [record], canvas_size=(256, 256),
+        resizer=("keep_aspect", {"min_dimension": 120, "max_dimension": 256}),
+        max_boxes=4)
+    for i in range(len(ds)):
+        peek = ds.peek_target_shape(i)
+        got = tuple(int(v) for v in ds.get(i)["true_shape"])
+        assert peek == got, (i, peek, got)
+
+    ds_fixed = DetectionDataset(
+        [record], canvas_size=(96, 128),
+        resizer=("fixed", {"height": 96, "width": 128}), max_boxes=4)
+    for i in range(len(ds_fixed)):
+        assert ds_fixed.peek_target_shape(i) == (96, 128)
