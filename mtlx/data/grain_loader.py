@@ -48,10 +48,19 @@ def make_grain_loader(
     worker_count: int = 0,
     num_epochs: Optional[int] = None,
     pack_images: bool = False,
+    aspect_grouping: Optional[bool] = None,
 ) -> Iterator[dict]:
     """Returns an iterator of batched numpy dicts via grain. pack_images
-    ships 128-bucketed true-shape images (see loader.pack_batch_images)."""
+    ships 128-bucketed true-shape images (see loader.pack_batch_images).
+    aspect_grouping (default: on when pack_images is) regroups the
+    worker-decoded sample stream so each batch shares one compute bucket
+    (grain's sampler shuffles globally, so unlike loader.batches the
+    grouping here is a bounded-reservoir stream batcher)."""
     import grain.python as grain
+
+    if aspect_grouping is None:
+        aspect_grouping = pack_images
+    aspect_grouping = aspect_grouping and batch_size > 1
 
     sampler = grain.IndexSampler(
         num_records=len(dataset),
@@ -64,9 +73,14 @@ def make_grain_loader(
     loader = grain.DataLoader(
         data_source=_Source(dataset),
         sampler=sampler,
-        operations=[grain.Batch(batch_size=batch_size, drop_remainder=True)],
+        operations=(
+            [] if aspect_grouping
+            else [grain.Batch(batch_size=batch_size, drop_remainder=True)]
+        ),
         worker_count=worker_count,
     )
+    if aspect_grouping:
+        return _bucket_batched(iter(loader), dataset.canvas_size, batch_size)
     if not pack_images:
         return iter(loader)
 
@@ -80,3 +94,62 @@ def make_grain_loader(
             yield b
 
     return packed()
+
+
+def _bucket_batched(samples: Iterator[dict], canvas, batch_size: int,
+                    max_buffered_batches: int = 8) -> Iterator[dict]:
+    """Group a decoded per-sample stream into same-compute-bucket batches
+    (mixed portrait/landscape batches force the full-canvas bucket and
+    erase the bucketed-compute win). A bounded reservoir keeps memory and
+    latency in check: when it fills before any bucket completes a batch,
+    the largest group is flushed as a (partially mixed) batch. Tail
+    samples that never fill a batch are dropped, matching grain.Batch
+    drop_remainder=True."""
+    from mtlx.data.loader import _PACK_MULTIPLE, pack_batch_images
+
+    ch, cw = canvas
+
+    def key(ts):
+        return (
+            min(ch, -(-int(ts[0]) // _PACK_MULTIPLE) * _PACK_MULTIPLE),
+            min(cw, -(-int(ts[1]) // _PACK_MULTIPLE) * _PACK_MULTIPLE),
+        )
+
+    def collate(group):
+        b = {k: np.stack([s[k] for s in group]) for k in group[0]}
+        if "true_shape" in b:
+            b["image"] = pack_batch_images(b["image"], b["true_shape"])
+        return b
+
+    groups: dict = {}
+    buffered = 0
+    for s in samples:
+        k = key(s["true_shape"]) if "true_shape" in s else None
+        groups.setdefault(k, []).append(s)
+        buffered += 1
+        if len(groups[k]) == batch_size:
+            yield collate(groups.pop(k))
+            buffered -= batch_size
+        elif buffered >= max_buffered_batches * batch_size:
+            # no bucket is filling: flush the biggest group, topped up
+            # from the others (a mixed batch, but the reservoir stays
+            # bounded and the stream keeps moving)
+            big = max(groups, key=lambda g: len(groups[g]))
+            batch = groups.pop(big)
+            while len(batch) < batch_size:
+                other = max(groups, key=lambda g: len(groups[g]))
+                batch.append(groups[other].pop())
+                if not groups[other]:
+                    groups.pop(other)
+            yield collate(batch)
+            buffered -= batch_size
+    # drain: pure per-bucket batches first, then mixed batches from the
+    # rest — only the final < batch_size tail is dropped, matching
+    # grain.Batch drop_remainder=True epoch coverage
+    rest = []
+    for k in sorted(groups, key=lambda g: -len(groups[g])):
+        while len(groups[k]) >= batch_size:
+            yield collate([groups[k].pop() for _ in range(batch_size)])
+        rest += groups[k]
+    for s in range(0, len(rest) - batch_size + 1, batch_size):
+        yield collate(rest[s : s + batch_size])

@@ -114,6 +114,12 @@ def parse_args(argv=None):
                         "host->device bytes on keep-aspect configs; each "
                         "distinct bucket adds one jit specialization. "
                         "0 = always transfer the full canvas")
+    p.add_argument("--aspect_grouping", type=int, default=1,
+                   help="1 = batch records sharing a compute bucket "
+                        "together (a mixed portrait/landscape batch "
+                        "forces the full-canvas bucket, erasing the "
+                        "bucketed-compute win); 0 = plain shuffled "
+                        "batches. Only meaningful with --pack_transfer")
     p.add_argument("--precompile_buckets", action="store_true",
                    help="scan the dataset's image headers, enumerate every "
                         "compute-bucket shape its batches can produce, and "
@@ -324,13 +330,15 @@ def main(argv=None):
                 dataset, batch_size, seed=args.seed, shuffle=shuffle,
                 worker_count=args.grain_workers, num_epochs=num_epochs,
                 pack_images=bool(args.pack_transfer),
+                aspect_grouping=bool(args.aspect_grouping),
             )
         )
     else:
         host_iter = batches(dataset, batch_size, shuffle=shuffle,
                             seed=args.seed, decode_threads=args.decode_threads,
                             epochs=num_epochs,
-                            pack_images=bool(args.pack_transfer))
+                            pack_images=bool(args.pack_transfer),
+                            aspect_grouping=bool(args.aspect_grouping))
     data_iter = device_prefetch(
         host_iter,
         sharding=mesh_lib.batch_sharding(mesh),

@@ -254,3 +254,98 @@ def test_peek_target_shape_matches_decode(tmp_path):
         resizer=("fixed", {"height": 96, "width": 128}), max_boxes=4)
     for i in range(len(ds_fixed)):
         assert ds_fixed.peek_target_shape(i) == (96, 128)
+
+
+# ---- aspect-grouped batching (loader.batches / grain _bucket_batched) -----
+
+
+class _FakeImgDs:
+    """Duck-typed dataset for batches(): canvas-shaped zero images with
+    per-record true shapes."""
+
+    def __init__(self, targets, canvas=(512, 512)):
+        self.canvas_size = canvas
+        self._t = list(targets)
+
+    def __len__(self):
+        return len(self._t)
+
+    def peek_target_shape(self, i):
+        return self._t[i]
+
+    def get(self, i):
+        th, tw = self._t[i]
+        return {
+            "image": np.zeros(self.canvas_size + (3,), np.uint8),
+            "true_shape": np.asarray([th, tw], np.int32),
+            "idx": np.asarray(i, np.int32),
+        }
+
+
+def test_batches_aspect_grouping_single_bucket_batches():
+    from mtlx.data.loader import batches
+
+    # 6 landscape + 6 portrait: grouping must never mix them
+    ds = _FakeImgDs([(300, 500)] * 6 + [(500, 300)] * 6)
+    seen = []
+    for b in batches(ds, 2, shuffle=True, seed=3, epochs=1,
+                     pack_images=True):
+        ts = b["true_shape"]
+        assert (ts[:, 0] == ts[0, 0]).all() and (ts[:, 1] == ts[0, 1]).all()
+        # the packed image is at the batch's own bucket
+        assert b["image"].shape[1:3] == (
+            -(-int(ts[0, 0]) // 128) * 128, -(-int(ts[0, 1]) // 128) * 128)
+        seen += list(b["idx"])
+    assert sorted(seen) == list(range(12))  # every record once per epoch
+
+
+def test_batches_aspect_grouping_leftovers_and_determinism():
+    from mtlx.data.loader import batches
+
+    # 5 landscape + 3 portrait, batch 4: one full landscape batch, then a
+    # mixed leftover batch (1 landscape + 3 portrait)
+    ds = _FakeImgDs([(300, 500)] * 5 + [(500, 300)] * 3)
+    run1 = [list(b["idx"]) for b in batches(ds, 4, seed=7, epochs=1,
+                                            pack_images=True)]
+    run2 = [list(b["idx"]) for b in batches(ds, 4, seed=7, epochs=1,
+                                            pack_images=True)]
+    assert run1 == run2  # deterministic under a fixed seed
+    flat = sorted(i for b in run1 for i in b)
+    assert flat == list(range(8))
+    n_pure = sum(
+        1 for b in run1
+        if len({tuple(ds._t[i]) for i in b}) == 1
+    )
+    assert n_pure >= 1  # the full landscape batch is pure
+
+
+def test_grain_bucket_batched_stream():
+    from mtlx.data.grain_loader import _bucket_batched
+
+    def sample(i, th, tw):
+        return {
+            "image": np.zeros((512, 512, 3), np.uint8),
+            "true_shape": np.asarray([th, tw], np.int32),
+            "idx": np.asarray(i, np.int32),
+        }
+
+    # alternating stream: grouping must separate the two buckets
+    stream = [sample(i, *((300, 500) if i % 2 == 0 else (500, 300)))
+              for i in range(16)]
+    out = list(_bucket_batched(iter(stream), (512, 512), 4))
+    assert len(out) == 4
+    for b in out:
+        ts = b["true_shape"]
+        assert (ts == ts[0]).all()
+        assert b["image"].shape[1:3] in [(384, 512), (512, 384)]
+    # reservoir overflow: 9 all-distinct buckets, batch 4, reservoir 2
+    # batches -> must flush a mixed batch instead of deadlocking, and the
+    # tail that never fills a batch is dropped (drop_remainder semantics)
+    stream2 = [sample(i, 128 * (i + 1), 64) for i in range(9)]
+    out2 = list(_bucket_batched(iter(stream2), (2048, 2048), 4,
+                                max_buffered_batches=2))
+    # one overflow flush + one drain batch; the 1-sample tail is dropped
+    assert len(out2) == 2
+    assert all(b["image"].shape[0] == 4 for b in out2)
+    emitted = sorted(int(i) for b in out2 for i in b["idx"])
+    assert len(emitted) == 8 and len(set(emitted)) == 8
