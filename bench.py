@@ -179,11 +179,15 @@ def host_pipeline_images_per_sec(model, state, step_fn, configs,
         record = os.path.join(tmp, "bench.record")
         with tfrecord.TFRecordWriter(record) as w:
             for i in range(32):
-                # natural-ish smooth image so JPEG decode cost is realistic
+                # natural-ish smooth image so JPEG decode cost is
+                # realistic; mixed orientations like real VOC so the
+                # loader's aspect grouping (not the data) is what keeps
+                # batches at their own compute bucket
+                h0, w0 = (600, 800) if i % 2 == 0 else (800, 600)
                 small = rs.uniform(0, 255, (30, 40, 3))
                 arr = np.asarray(
                     Image.fromarray(small.astype(np.uint8)).resize(
-                        (800, 600), Image.BILINEAR
+                        (w0, h0), Image.BILINEAR
                     )
                 )
                 buf = io.BytesIO()
@@ -192,7 +196,7 @@ def host_pipeline_images_per_sec(model, state, step_fn, configs,
                     [[0.1, 0.1, 0.6, 0.5], [0.3, 0.4, 0.9, 0.95]], np.float32
                 )
                 ex = build_example(
-                    buf.getvalue(), b"jpeg", 600, 800, f"b{i}.jpg",
+                    buf.getvalue(), b"jpeg", h0, w0, f"b{i}.jpg",
                     boxes, [1, 2], ["a", "b"],
                 )
                 w.write(ex.SerializeToString())
@@ -226,11 +230,17 @@ def host_pipeline_images_per_sec(model, state, step_fn, configs,
         window_rates = []
         t0 = None
         measured0 = 0
+        # both orientations' compute buckets must compile before timing
+        # starts (the data is half landscape / half portrait; aspect
+        # grouping keeps each batch at its own bucket)
+        shapes_seen = set()
         for batch, _ in it:
             batch = {k: v for k, v in batch.items() if k not in drop}
+            shapes_seen.add(batch["image"].shape[1:3])
             state, metrics = step(state, batch, rng)
             done += 1
-            if done == 2:  # skip compile + first prefetch fill
+            if t0 is None and done >= 2 and len(shapes_seen) >= 2:
+                # skip compiles (one per bucket) + first prefetch fill;
                 # device_get is the only true sync on remote backends
                 # (block_until_ready can return before execution finishes)
                 float(jax.device_get(metrics["total_loss"]))

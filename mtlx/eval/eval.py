@@ -106,8 +106,18 @@ def evaluate_checkpoint(model, state, dataset, eval_config, categories,
     )
     t0 = time.time()
     done = 0
+    # bucket-major eval order: a mixed portrait/landscape batch computes
+    # at the full-canvas bucket; grouping keeps batches at their own
+    # bucket (metrics are per-image, so order does not affect them)
+    order = list(range(num))
+    if (batch_size > 1 and hasattr(dataset, "peek_target_shape")
+            and hasattr(dataset, "canvas_size")):
+        from mtlx.data.loader import record_bucket_keys
+
+        keys = record_bucket_keys(dataset, max_records=num)
+        order.sort(key=lambda i: (keys[i], i))
     for start in range(0, num, batch_size):
-        idx = list(range(start, min(start + batch_size, num)))
+        idx = order[start : start + batch_size]
         if hasattr(dataset, "get_batch"):
             samples = dataset.get_batch(idx, decode_threads=2)
         else:

@@ -198,3 +198,76 @@ def test_eval_instance_masks_gates_mask_visualization(monkeypatch, tmp_path):
         )
         assert len(calls) == expected, flag
         assert "Precision/mAP@0.5IOU" in m
+
+
+def test_eval_batches_are_bucket_grouped(monkeypatch, tmp_path):
+    """evaluate_checkpoint orders records bucket-major so a batch never
+    mixes portrait and landscape (a mixed batch computes at the full
+    canvas bucket); metrics are per-image so the reorder is free."""
+    import jax
+
+    from mtlx.config.protos import pipeline_pb2
+    from mtlx.eval import eval as eval_cli
+
+    shapes_seen = []
+
+    class StubModel:
+        supports_bucketed_compute = True
+
+        class cfg:
+            canvas_size = (512, 512)
+
+        def preprocess(self, images):
+            return images
+
+        def predict(self, variables, images, true_shape, training=False):
+            shapes_seen.append(tuple(images.shape[1:3]))
+            return {}
+
+        def postprocess(self, pred, true_shape):
+            b = true_shape.shape[0]
+            return {
+                "detection_boxes": np.zeros((b, 1, 4), np.float32),
+                "detection_scores": np.zeros((b, 1), np.float32),
+                "detection_classes": np.zeros((b, 1), np.int32),
+                "num_detections": np.zeros((b,), np.int32),
+            }
+
+    class StubState:
+        params = {}
+        batch_stats = {}
+
+    class StubDataset:
+        # alternating landscape (300x500 -> 384x512) / portrait
+        # (500x300 -> 512x384)
+        canvas_size = (512, 512)
+        _t = [(300, 500), (500, 300)] * 2
+
+        def __len__(self):
+            return 4
+
+        def peek_target_shape(self, i):
+            return self._t[i]
+
+        def get(self, i):
+            th, tw = self._t[i]
+            img = np.zeros((512, 512, 3), np.uint8)
+            return {
+                "image": img,
+                "true_shape": np.asarray([th, tw]),
+                "gt_boxes": np.asarray([[1.0, 1.0, 8.0, 8.0]], np.float32),
+                "gt_classes": np.asarray([0]),
+                "gt_mask": np.asarray([True]),
+                "gt_difficult": np.asarray([0]),
+                "source_id": f"im{i}",
+            }
+
+    monkeypatch.setattr(jax, "jit", lambda f=None, **kw: f)
+    ec = pipeline_pb2.EvalConfig()
+    ec.num_examples = 4
+    cats = [{"id": 1, "name": "cat"}]
+    eval_cli.evaluate_checkpoint(
+        StubModel(), StubState(), StubDataset(), ec, cats, batch_size=2
+    )
+    # bucket-major order -> one pure landscape batch + one pure portrait
+    assert sorted(shapes_seen) == [(384, 512), (512, 384)], shapes_seen
