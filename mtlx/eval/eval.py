@@ -100,7 +100,16 @@ def evaluate_checkpoint(model, state, dataset, eval_config, categories,
         state = jax.device_put(state)
     except (TypeError, ValueError):  # non-pytree state (test doubles)
         pass
-    eval_step = jax.jit(make_eval_step(model))
+    # one jitted eval step per model for the whole polling session — a
+    # fresh jax.jit closure per checkpoint would retrace AND recompile
+    # every poll (minutes per checkpoint on TPU)
+    eval_step = getattr(model, "_jitted_eval_step", None)
+    if eval_step is None:
+        eval_step = jax.jit(make_eval_step(model))
+        try:
+            model._jitted_eval_step = eval_step
+        except (AttributeError, TypeError):  # frozen/slotted test doubles
+            pass
     num = min(
         eval_config.num_examples or len(dataset), len(dataset)
     )

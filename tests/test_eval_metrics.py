@@ -271,3 +271,64 @@ def test_eval_batches_are_bucket_grouped(monkeypatch, tmp_path):
     )
     # bucket-major order -> one pure landscape batch + one pure portrait
     assert sorted(shapes_seen) == [(384, 512), (512, 384)], shapes_seen
+
+
+def test_eval_step_is_jitted_once_per_model(monkeypatch):
+    """The polling eval loop calls evaluate_checkpoint per checkpoint; a
+    fresh jax.jit closure each call would retrace and recompile every
+    poll (minutes per checkpoint on TPU). The jitted step is cached on
+    the model object."""
+    import jax
+
+    from mtlx.config.protos import pipeline_pb2
+    from mtlx.eval import eval as eval_cli
+
+    class StubModel:
+        def preprocess(self, images):
+            return images
+
+        def predict(self, variables, images, true_shape, training=False):
+            return {}
+
+        def postprocess(self, pred, true_shape):
+            b = true_shape.shape[0]
+            return {
+                "detection_boxes": np.zeros((b, 1, 4), np.float32),
+                "detection_scores": np.zeros((b, 1), np.float32),
+                "detection_classes": np.zeros((b, 1), np.int32),
+                "num_detections": np.zeros((b,), np.int32),
+            }
+
+    class StubState:
+        params = {}
+        batch_stats = {}
+
+    class StubDataset:
+        def __len__(self):
+            return 1
+
+        def get(self, i):
+            return {
+                "image": np.zeros((16, 16, 3), np.uint8),
+                "true_shape": np.asarray([16, 16]),
+                "gt_boxes": np.asarray([[1.0, 1.0, 8.0, 8.0]], np.float32),
+                "gt_classes": np.asarray([0]),
+                "gt_mask": np.asarray([True]),
+                "gt_difficult": np.asarray([0]),
+                "source_id": f"im{i}",
+            }
+
+    jit_calls = []
+
+    def counting_jit(f=None, **kw):
+        jit_calls.append(1)
+        return f
+
+    monkeypatch.setattr(jax, "jit", counting_jit)
+    ec = pipeline_pb2.EvalConfig()
+    ec.num_examples = 1
+    cats = [{"id": 1, "name": "cat"}]
+    model, state, ds = StubModel(), StubState(), StubDataset()
+    for _ in range(3):
+        eval_cli.evaluate_checkpoint(model, state, ds, ec, cats)
+    assert sum(jit_calls) == 1, jit_calls
