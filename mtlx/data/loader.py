@@ -422,11 +422,17 @@ def record_bucket_keys(
     dataset: DetectionDataset, max_records: Optional[int] = None
 ) -> List[Tuple[int, int]]:
     """Per-record compute-bucket shape from image headers only (no pixel
-    decodes) — the grouping key for aspect-grouped batching."""
+    decodes) — the grouping key for aspect-grouped batching. The scan
+    reads every record once (proto parse + image header), so the result
+    is cached on the dataset: aspect grouping and --precompile_buckets
+    both need it."""
     ch, cw = dataset.canvas_size
     n = len(dataset)
     if max_records is not None:
         n = min(n, max_records)
+    cached = getattr(dataset, "_bucket_key_cache", None)
+    if cached is not None and len(cached) >= n:
+        return cached[:n]
     out = []
     for i in range(n):
         th, tw = dataset.peek_target_shape(i)
@@ -434,6 +440,11 @@ def record_bucket_keys(
             min(ch, -(-th // _PACK_MULTIPLE) * _PACK_MULTIPLE),
             min(cw, -(-tw // _PACK_MULTIPLE) * _PACK_MULTIPLE),
         ))
+    if n == len(dataset):
+        try:
+            dataset._bucket_key_cache = out
+        except (AttributeError, TypeError):
+            pass
     return out
 
 

@@ -349,3 +349,22 @@ def test_grain_bucket_batched_stream():
     assert all(b["image"].shape[0] == 4 for b in out2)
     emitted = sorted(int(i) for b in out2 for i in b["idx"])
     assert len(emitted) == 8 and len(set(emitted)) == 8
+
+
+def test_record_bucket_keys_cached_on_dataset():
+    from mtlx.data.loader import record_bucket_keys
+
+    calls = []
+
+    class Ds(_FakeDs):
+        def peek_target_shape(self, i):
+            calls.append(i)
+            return super().peek_target_shape(i)
+
+    ds = Ds([(600, 1000), (1000, 600)])
+    k1 = record_bucket_keys(ds)
+    k2 = record_bucket_keys(ds)  # served from the cache, no re-scan
+    assert k1 == k2 == [(640, 1024), (1024, 640)]
+    assert len(calls) == 2
+    assert record_bucket_keys(ds, max_records=1) == [(640, 1024)]
+    assert len(calls) == 2  # prefix also from the cache
