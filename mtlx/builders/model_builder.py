@@ -20,18 +20,24 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def canvas_from_resizer(image_resizer, stride: int = 16):
+def canvas_from_resizer(image_resizer, stride: int = 16,
+                        exact_fixed_shape: bool = False):
     """Static canvas from the image_resizer proto.
 
     keep_aspect_ratio_resizer(min, max) -> (max, max) canvas (any resized
     image fits after keep-aspect scaling); fixed_shape_resizer -> (h, w).
-    Rounded up to a multiple of 2*stride so every backbone stage divides
-    evenly.
+    Rounded up to a multiple of 2*stride so the FRCNN bucket/anchor-grid
+    machinery divides evenly — except exact_fixed_shape (SSD): the
+    SAME-padded extractors ceil-divide any size, and SSD300's identity
+    (conv11 at 19x19, 1917 anchors for the reference mobilenet/inception
+    layouts) requires computing at exactly 300x300, not a 320 round-up.
     """
     mult = 2 * stride
     kind = image_resizer.WhichOneof("image_resizer_oneof")
     if kind == "fixed_shape_resizer":
         r = image_resizer.fixed_shape_resizer
+        if exact_fixed_shape:
+            return (r.height, r.width)
         return (_round_up(r.height, mult), _round_up(r.width, mult))
     r = image_resizer.keep_aspect_ratio_resizer
     side = _round_up(r.max_dimension, mult)

@@ -76,7 +76,8 @@ def build(ssd_proto, is_training: bool, max_gt_boxes: int = 100, dtype=jnp.bfloa
     cfg = SSDConfig(
         num_classes=ssd_proto.num_classes,
         feature_extractor=fe.type or "ssd_mobilenet_v1",
-        canvas_size=canvas_from_resizer(ssd_proto.image_resizer, stride=16),
+        canvas_size=canvas_from_resizer(ssd_proto.image_resizer, stride=16,
+                                        exact_fixed_shape=True),
         depth_multiplier=fe.depth_multiplier or 1.0,
         min_depth=fe.min_depth or 8,
         bn_epsilon=(
