@@ -12,7 +12,7 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
-from mtlx.backbones.resnet import FrozenBatchNorm
+from mtlx.backbones.resnet import BNSpec, apply_norm, make_norm
 
 Dtype = Any
 
@@ -27,15 +27,28 @@ class ConvBN(nn.Module):
     # inception_resnet_v2 all use 0.001, unlike resnet's 1e-5) — converted
     # slim checkpoints diverge numerically under any other value
     bn_epsilon: float = 1e-3
+    # conv_hyperparams.batch_norm.{train,decay,center,scale}: live BN when
+    # the owning extractor trains its base network (slim batch_norm
+    # is_training semantics; the sample ssd configs set train: true).
+    # Frozen and live modes share param/batch_stats names (make_norm), so
+    # checkpoints are interchangeable.
+    bn_trainable: bool = False
+    bn_momentum: float = 0.9997
+    bn_center: bool = True
+    bn_scale: bool = True
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         x = nn.Conv(
             self.features, self.kernel, strides=self.strides, padding=self.padding,
             use_bias=False, dtype=self.dtype, name="conv",
         )(x)
-        x = FrozenBatchNorm(epsilon=self.bn_epsilon, dtype=self.dtype, name="bn")(x)
+        spec = BNSpec(momentum=self.bn_momentum, epsilon=self.bn_epsilon,
+                      center=self.bn_center, scale=self.bn_scale)
+        x = apply_norm(
+            make_norm(self.bn_trainable, self.dtype, "bn", spec), x, train
+        )
         return nn.relu(x) if self.relu else x
 
 

@@ -1,6 +1,12 @@
 """Inception v2 backbone (reference slim/nets/inception_v2.py, SURVEY.md
 §3.8) with the two SSD endpoints (Mixed_4e stride 16, Mixed_5c stride 32)
-— the `ssd_inception_v2` feature extractor."""
+— the `ssd_inception_v2` feature extractor.
+
+BN is frozen (fine-tuning semantics) or live per bn_trainable — the
+reference trains base-network BN whenever conv_hyperparams.batch_norm
+sets train: true (slim batch_norm is_training = train and is_training),
+as the sample ssd_inception_v2 configs do.
+"""
 
 from __future__ import annotations
 
@@ -14,56 +20,76 @@ from mtlx.backbones.inception_resnet_v2 import ConvBN
 Dtype = Any
 
 
-class InceptionBlock(nn.Module):
+class BNKnobs(nn.Module):
+    """Mixin holding the conv_hyperparams.batch_norm sub-knobs threaded to
+    every ConvBN in the subtree."""
+
+    bn_trainable: bool = False
+    bn_momentum: float = 0.9997
+    bn_epsilon: float = 1e-3
+    bn_center: bool = True
+    bn_scale: bool = True
+
+    def _bn_kwargs(self):
+        return dict(
+            bn_trainable=self.bn_trainable, bn_momentum=self.bn_momentum,
+            bn_epsilon=self.bn_epsilon, bn_center=self.bn_center,
+            bn_scale=self.bn_scale,
+        )
+
+
+class InceptionBlock(BNKnobs):
     """Standard Inception v2 mixed block: 1x1 | 1x1-3x3 | 1x1-3x3-3x3 |
     pool-1x1 branches."""
 
-    b0: int
-    b1: Tuple[int, int]
-    b2: Tuple[int, int]
-    pool_proj: int
+    b0: int = 0
+    b1: Tuple[int, int] = (0, 0)
+    b2: Tuple[int, int] = (0, 0)
+    pool_proj: int = 0
     use_max_pool: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, **self._bn_kwargs())
         outs = []
         if self.b0:
-            outs.append(ConvBN(self.b0, (1, 1), dtype=self.dtype, name="b0")(x))
-        y = ConvBN(self.b1[0], (1, 1), dtype=self.dtype, name="b1a")(x)
-        outs.append(ConvBN(self.b1[1], (3, 3), dtype=self.dtype, name="b1b")(y))
-        y = ConvBN(self.b2[0], (1, 1), dtype=self.dtype, name="b2a")(x)
-        y = ConvBN(self.b2[1], (3, 3), dtype=self.dtype, name="b2b")(y)
-        outs.append(ConvBN(self.b2[1], (3, 3), dtype=self.dtype, name="b2c")(y))
+            outs.append(ConvBN(self.b0, (1, 1), name="b0", **kw)(x, train))
+        y = ConvBN(self.b1[0], (1, 1), name="b1a", **kw)(x, train)
+        outs.append(ConvBN(self.b1[1], (3, 3), name="b1b", **kw)(y, train))
+        y = ConvBN(self.b2[0], (1, 1), name="b2a", **kw)(x, train)
+        y = ConvBN(self.b2[1], (3, 3), name="b2b", **kw)(y, train)
+        outs.append(ConvBN(self.b2[1], (3, 3), name="b2c", **kw)(y, train))
         if self.use_max_pool:
             p = nn.max_pool(x, (3, 3), strides=(1, 1), padding="SAME")
         else:
             p = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
         if self.pool_proj:
-            p = ConvBN(self.pool_proj, (1, 1), dtype=self.dtype, name="pool_proj")(p)
+            p = ConvBN(self.pool_proj, (1, 1), name="pool_proj", **kw)(p, train)
         outs.append(p)
         return jnp.concatenate(outs, axis=-1)
 
 
-class ReductionBlock(nn.Module):
+class ReductionBlock(BNKnobs):
     """Stride-2 inception reduction block."""
 
-    b1: Tuple[int, int]
-    b2: Tuple[int, int]
+    b1: Tuple[int, int] = (0, 0)
+    b2: Tuple[int, int] = (0, 0)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
-        y = ConvBN(self.b1[0], (1, 1), dtype=self.dtype, name="b1a")(x)
-        y = ConvBN(self.b1[1], (3, 3), (2, 2), dtype=self.dtype, name="b1b")(y)
-        z = ConvBN(self.b2[0], (1, 1), dtype=self.dtype, name="b2a")(x)
-        z = ConvBN(self.b2[1], (3, 3), dtype=self.dtype, name="b2b")(z)
-        z = ConvBN(self.b2[1], (3, 3), (2, 2), dtype=self.dtype, name="b2c")(z)
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, **self._bn_kwargs())
+        y = ConvBN(self.b1[0], (1, 1), name="b1a", **kw)(x, train)
+        y = ConvBN(self.b1[1], (3, 3), (2, 2), name="b1b", **kw)(y, train)
+        z = ConvBN(self.b2[0], (1, 1), name="b2a", **kw)(x, train)
+        z = ConvBN(self.b2[1], (3, 3), name="b2b", **kw)(z, train)
+        z = ConvBN(self.b2[1], (3, 3), (2, 2), name="b2c", **kw)(z, train)
         p = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
         return jnp.concatenate([y, z, p], axis=-1)
 
 
-class InceptionV2(nn.Module):
+class InceptionV2(BNKnobs):
     """Returns [Mixed_4e (stride 16), Mixed_5c (stride 32)] feature maps."""
 
     depth_multiplier: float = 1.0
@@ -71,45 +97,48 @@ class InceptionV2(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x) -> List[jnp.ndarray]:
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
         d = lambda c: max(int(c * self.depth_multiplier), self.min_depth)
+        kw = dict(dtype=self.dtype, **self._bn_kwargs())
         x = x.astype(self.dtype)
         # stem: 7x7/2 depthwise-separable in slim; plain 7x7/2 conv here
-        x = ConvBN(d(64), (7, 7), (2, 2), dtype=self.dtype, name="conv1")(x)
+        x = ConvBN(d(64), (7, 7), (2, 2), name="conv1", **kw)(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
-        x = ConvBN(d(64), (1, 1), dtype=self.dtype, name="conv2a")(x)
-        x = ConvBN(d(192), (3, 3), dtype=self.dtype, name="conv2b")(x)
+        x = ConvBN(d(64), (1, 1), name="conv2a", **kw)(x, train)
+        x = ConvBN(d(192), (3, 3), name="conv2b", **kw)(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")  # /8
         # 28x28 blocks
-        x = InceptionBlock(d(64), (d(64), d(64)), (d(64), d(96)), d(32),
-                           dtype=self.dtype, name="mixed_3b")(x)
-        x = InceptionBlock(d(64), (d(64), d(96)), (d(64), d(96)), d(64),
-                           dtype=self.dtype, name="mixed_3c")(x)
-        x = ReductionBlock((d(128), d(160)), (d(64), d(96)),
-                           dtype=self.dtype, name="mixed_4a")(x)  # /16
+        x = InceptionBlock(b0=d(64), b1=(d(64), d(64)), b2=(d(64), d(96)),
+                           pool_proj=d(32), name="mixed_3b", **kw)(x, train)
+        x = InceptionBlock(b0=d(64), b1=(d(64), d(96)), b2=(d(64), d(96)),
+                           pool_proj=d(64), name="mixed_3c", **kw)(x, train)
+        x = ReductionBlock(b1=(d(128), d(160)), b2=(d(64), d(96)),
+                           name="mixed_4a", **kw)(x, train)  # /16
         # 14x14 blocks
-        x = InceptionBlock(d(224), (d(64), d(96)), (d(96), d(128)), d(128),
-                           dtype=self.dtype, name="mixed_4b")(x)
-        x = InceptionBlock(d(192), (d(96), d(128)), (d(96), d(128)), d(128),
-                           dtype=self.dtype, name="mixed_4c")(x)
-        x = InceptionBlock(d(160), (d(128), d(160)), (d(128), d(160)), d(96),
-                           dtype=self.dtype, name="mixed_4d")(x)
-        x = InceptionBlock(d(96), (d(128), d(192)), (d(160), d(192)), d(96),
-                           dtype=self.dtype, name="mixed_4e")(x)
+        x = InceptionBlock(b0=d(224), b1=(d(64), d(96)), b2=(d(96), d(128)),
+                           pool_proj=d(128), name="mixed_4b", **kw)(x, train)
+        x = InceptionBlock(b0=d(192), b1=(d(96), d(128)), b2=(d(96), d(128)),
+                           pool_proj=d(128), name="mixed_4c", **kw)(x, train)
+        x = InceptionBlock(b0=d(160), b1=(d(128), d(160)), b2=(d(128), d(160)),
+                           pool_proj=d(96), name="mixed_4d", **kw)(x, train)
+        x = InceptionBlock(b0=d(96), b1=(d(128), d(192)), b2=(d(160), d(192)),
+                           pool_proj=d(96), name="mixed_4e", **kw)(x, train)
         endpoint_16 = x
-        x = ReductionBlock((d(128), d(192)), (d(192), d(256)),
-                           dtype=self.dtype, name="mixed_5a")(x)  # /32
-        x = InceptionBlock(d(352), (d(192), d(320)), (d(160), d(224)), d(128),
-                           dtype=self.dtype, name="mixed_5b")(x)
-        x = InceptionBlock(d(352), (d(192), d(320)), (d(192), d(224)), d(128),
-                           use_max_pool=True, dtype=self.dtype, name="mixed_5c")(x)
+        x = ReductionBlock(b1=(d(128), d(192)), b2=(d(192), d(256)),
+                           name="mixed_5a", **kw)(x, train)  # /32
+        x = InceptionBlock(b0=d(352), b1=(d(192), d(320)), b2=(d(160), d(224)),
+                           pool_proj=d(128), name="mixed_5b", **kw)(x, train)
+        x = InceptionBlock(b0=d(352), b1=(d(192), d(320)), b2=(d(192), d(224)),
+                           pool_proj=d(128), use_max_pool=True,
+                           name="mixed_5c", **kw)(x, train)
         return [endpoint_16, x]
 
 
-class InceptionV2ProposalFeatures(nn.Module):
+class InceptionV2ProposalFeatures(BNKnobs):
     """Stem through Mixed_4e (stride 16) — the faster_rcnn_inception_v2
     first-stage extractor (reference models/faster_rcnn_inception_v2_
-    feature_extractor)."""
+    feature_extractor). bn_trainable honors
+    feature_extractor.batch_norm_trainable."""
 
     depth_multiplier: float = 1.0
     min_depth: int = 16
@@ -117,13 +146,13 @@ class InceptionV2ProposalFeatures(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        del train  # frozen BN
         return InceptionV2(
-            self.depth_multiplier, self.min_depth, dtype=self.dtype, name="body"
-        )(x)[0]
+            depth_multiplier=self.depth_multiplier, min_depth=self.min_depth,
+            dtype=self.dtype, name="body", **self._bn_kwargs()
+        )(x, train)[0]
 
 
-class InceptionV2BoxClassifierFeatures(nn.Module):
+class InceptionV2BoxClassifierFeatures(BNKnobs):
     """Mixed_5a..Mixed_5c on ROI crops (the second-stage branch; Mixed_5a
     keeps its stride-2 as in the reference — callers global-pool)."""
 
@@ -133,13 +162,14 @@ class InceptionV2BoxClassifierFeatures(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        del train
         d = lambda c: max(int(c * self.depth_multiplier), self.min_depth)
+        kw = dict(dtype=self.dtype, **self._bn_kwargs())
         x = x.astype(self.dtype)
-        x = ReductionBlock((d(128), d(192)), (d(192), d(256)),
-                           dtype=self.dtype, name="mixed_5a")(x)
-        x = InceptionBlock(d(352), (d(192), d(320)), (d(160), d(224)), d(128),
-                           dtype=self.dtype, name="mixed_5b")(x)
-        x = InceptionBlock(d(352), (d(192), d(320)), (d(192), d(224)), d(128),
-                           use_max_pool=True, dtype=self.dtype, name="mixed_5c")(x)
+        x = ReductionBlock(b1=(d(128), d(192)), b2=(d(192), d(256)),
+                           name="mixed_5a", **kw)(x, train)
+        x = InceptionBlock(b0=d(352), b1=(d(192), d(320)), b2=(d(160), d(224)),
+                           pool_proj=d(128), name="mixed_5b", **kw)(x, train)
+        x = InceptionBlock(b0=d(352), b1=(d(192), d(320)), b2=(d(192), d(224)),
+                           pool_proj=d(128), use_max_pool=True,
+                           name="mixed_5c", **kw)(x, train)
         return x

@@ -1,6 +1,8 @@
 """MobileNet v1 backbone (reference slim/nets/mobilenet_v1.py, SURVEY.md
-§3.8) — depthwise-separable conv stack in Flax, bf16, frozen BN, exposing
-the two SSD feature endpoints (conv11 stride-16, conv13 stride-32)."""
+§3.8) — depthwise-separable conv stack in Flax, bf16, exposing the two
+SSD feature endpoints (conv11 stride-16, conv13 stride-32). BN is frozen
+(fine-tuning semantics) or live per bn_trainable — the reference trains
+base-network BN whenever conv_hyperparams.batch_norm.train is set."""
 
 from __future__ import annotations
 
@@ -9,7 +11,7 @@ from typing import Any, List, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
-from mtlx.backbones.resnet import FrozenBatchNorm
+from mtlx.backbones.resnet import BNSpec, apply_norm, make_norm
 
 Dtype = Any
 
@@ -36,19 +38,24 @@ class MobileNetV1(nn.Module):
     # slim mobilenet_v1 arg_scope batch-norm epsilon (0.001, like the
     # inception family; resnet alone uses 1e-5)
     bn_epsilon: float = 1e-3
-    # conv_hyperparams.batch_norm.{center,scale} (param presence; decay is
-    # inapplicable to frozen BN — moving stats are never updated)
+    # conv_hyperparams.batch_norm.{center,scale,decay,train}
     bn_center: bool = True
     bn_scale: bool = True
+    # batch_norm.decay (slim ssd configs use 0.9997); only meaningful
+    # when bn_trainable — frozen BN never updates its stats
+    bn_momentum: float = 0.9997
+    bn_trainable: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x) -> List[jnp.ndarray]:
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        spec = BNSpec(momentum=self.bn_momentum, epsilon=self.bn_epsilon,
+                      center=self.bn_center, scale=self.bn_scale)
+
         def bn(v, name):
-            return FrozenBatchNorm(
-                epsilon=self.bn_epsilon, center=self.bn_center,
-                scale=self.bn_scale, dtype=self.dtype, name=name,
-            )(v)
+            return apply_norm(
+                make_norm(self.bn_trainable, self.dtype, name, spec), v, train
+            )
 
         x = x.astype(self.dtype)
         out = nn.Conv(

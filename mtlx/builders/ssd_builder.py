@@ -92,6 +92,17 @@ def build(ssd_proto, is_training: bool, max_gt_boxes: int = 100, dtype=jnp.bfloa
             fe.conv_hyperparams.batch_norm.scale
             if fe.conv_hyperparams.HasField("batch_norm") else True
         ),
+        # reference hyperparams_builder: slim.batch_norm is_training =
+        # batch_norm.train and is_training (the sample ssd configs set
+        # train: true decay: 0.9997)
+        batch_norm_trainable=(
+            is_training and fe.conv_hyperparams.batch_norm.train
+            if fe.conv_hyperparams.HasField("batch_norm") else False
+        ),
+        bn_momentum=(
+            fe.conv_hyperparams.batch_norm.decay
+            if fe.conv_hyperparams.HasField("batch_norm") else 0.999
+        ),
         num_layers=num_layers,
         min_scale=min_scale,
         max_scale=max_scale,

@@ -189,11 +189,23 @@ class FasterRCNNModules(nn.Module):
         if c.backbone == "inception_v2":
             from mtlx.backbones import inception_v2 as iv2
 
+            # feature_extractor.batch_norm sub-knobs (defaults = slim
+            # inception arg_scope: decay 0.9997, epsilon 1e-3) +
+            # batch_norm_trainable, mirroring the resnet path below
+            bnp = (
+                dict(bn_momentum=c.batch_norm_params[0],
+                     bn_epsilon=c.batch_norm_params[1],
+                     bn_center=c.batch_norm_params[2],
+                     bn_scale=c.batch_norm_params[3])
+                if c.batch_norm_params is not None else {}
+            )
             self.proposal_features = iv2.InceptionV2ProposalFeatures(
-                dtype=c.dtype, name="backbone"
+                bn_trainable=c.batch_norm_trainable,
+                dtype=c.dtype, name="backbone", **bnp
             )
             self.classifier_features = iv2.InceptionV2BoxClassifierFeatures(
-                dtype=c.dtype, name="classifier_backbone"
+                bn_trainable=c.batch_norm_trainable,
+                dtype=c.dtype, name="classifier_backbone", **bnp
             )
             self._setup_heads()
             return

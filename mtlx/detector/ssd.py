@@ -47,12 +47,17 @@ class SSDConfig:
     min_depth: int = 8
     # feature_extractor.conv_hyperparams.batch_norm.{epsilon,center,scale}
     # (slim arg_scope defaults 0.001/true/false when a batch_norm block is
-    # configured; decay is inapplicable — BN is frozen here, stats are
-    # never updated). The bare default matches slim mobilenet/inception
+    # configured). The bare default matches slim mobilenet/inception
     # arg_scope epsilon 0.001.
     bn_epsilon: float = 1e-3
     bn_center: bool = True
     bn_scale: bool = True
+    # conv_hyperparams.batch_norm.{train,decay}: live base-network BN
+    # during training (reference slim arg_scope semantics — the sample ssd
+    # configs set train: true, decay: 0.9997). Honored by both the
+    # mobilenet and inception_v2 extractors.
+    batch_norm_trainable: bool = False
+    bn_momentum: float = 0.999
     # feature pyramid (reference feature_map_generators layout)
     insert_1x1_conv: bool = True
     # anchors
@@ -102,12 +107,18 @@ class SSDModules(nn.Module):
             from mtlx.backbones.inception_v2 import InceptionV2
 
             self.backbone = InceptionV2(
-                c.depth_multiplier, c.min_depth, dtype=c.dtype, name="backbone"
+                depth_multiplier=c.depth_multiplier, min_depth=c.min_depth,
+                bn_epsilon=c.bn_epsilon, bn_center=c.bn_center,
+                bn_scale=c.bn_scale, bn_momentum=c.bn_momentum,
+                bn_trainable=c.batch_norm_trainable,
+                dtype=c.dtype, name="backbone"
             )
         else:
             self.backbone = MobileNetV1(
                 c.depth_multiplier, c.min_depth, bn_epsilon=c.bn_epsilon,
                 bn_center=c.bn_center, bn_scale=c.bn_scale,
+                bn_momentum=c.bn_momentum,
+                bn_trainable=c.batch_norm_trainable,
                 dtype=c.dtype, name="backbone"
             )
         self.feature_maps = MultiResolutionFeatureMaps(
@@ -136,8 +147,10 @@ class SSDModules(nn.Module):
             for i in range(c.num_layers)
         ]
 
-    def __call__(self, images, deterministic: bool = True):
-        feats = self.feature_maps(self.backbone(images))
+    def __call__(self, images, deterministic: bool = True,
+                 train: bool = False):
+        base = self.backbone(images, train=train)
+        feats = self.feature_maps(base)
         cls_list, box_list = [], []
         for predictor, fmap in zip(self.predictors, feats):
             cls, box = predictor(fmap, deterministic=deterministic)
@@ -229,20 +242,31 @@ class SSD:
         rngs = None
         if training and self.cfg.use_dropout and rng is not None:
             rngs = {"dropout": rng}
-        cls_logits, box_encodings, shapes = self.modules.apply(
-            variables, images, deterministic=not training, rngs=rngs
-        )
+        updated_stats = None
+        if training and self.cfg.batch_norm_trainable:
+            (cls_logits, box_encodings, shapes), mutated = self.modules.apply(
+                variables, images, deterministic=not training, train=True,
+                rngs=rngs, mutable=["batch_stats"],
+            )
+            updated_stats = mutated["batch_stats"]
+        else:
+            cls_logits, box_encodings, shapes = self.modules.apply(
+                variables, images, deterministic=not training, rngs=rngs
+            )
         if box_encodings.shape[1] != self.anchors.shape[0]:
             raise ValueError(
                 f"anchor count {self.anchors.shape[0]} != predictor outputs "
                 f"{box_encodings.shape[1]} (feature shapes {shapes} vs "
                 f"precomputed {self.feature_map_shapes})"
             )
-        return {
+        pred = {
             "class_predictions_with_background": cls_logits,
             "box_encodings": box_encodings,
             "anchors": self.anchors,
         }
+        if updated_stats is not None:
+            pred["updated_batch_stats"] = updated_stats
+        return pred
 
     def _normalize_gt(self, gt_boxes: Array) -> Array:
         """Absolute canvas pixels -> canvas-normalized (the anchor frame)."""

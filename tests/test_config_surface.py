@@ -426,3 +426,97 @@ def test_backbone_batch_norm_decay_reaches_trainable_bn():
     # decay 0.999 => barely moved
     assert np.abs(fast).max() > 0.1
     assert np.abs(slow).max() < np.abs(fast).max() * 0.01
+
+
+# ---------------- ssd conv_hyperparams.batch_norm.train ----------------
+
+
+SSD_BN_TEMPLATE = """
+ssd {
+  num_classes: 2
+  image_resizer { fixed_shape_resizer { height: 64 width: 64 } }
+  feature_extractor {
+    type: '%s'
+    depth_multiplier: 0.25
+    min_depth: 8
+    conv_hyperparams {
+      op: CONV
+      regularizer { l2_regularizer { weight: 0.0 } }
+      initializer { truncated_normal_initializer { stddev: 0.03 } }
+      %s
+    }
+  }
+  anchor_generator {
+    ssd_anchor_generator { num_layers: 4 min_scale: 0.2 max_scale: 0.9
+                           aspect_ratios: 1.0 }
+  }
+  box_predictor { convolutional_box_predictor { kernel_size: 3 } }
+  loss {
+    classification_loss { weighted_sigmoid { } }
+    localization_loss { weighted_smooth_l1 { } }
+  }
+  post_processing {
+    batch_non_max_suppression { score_threshold: 0.0 iou_threshold: 0.6
+      max_detections_per_class: 5 max_total_detections: 5 }
+    score_converter: SIGMOID
+  }
+}
+"""
+
+
+def _ssd_bn_model(bn_block, is_training=True, extractor="ssd_mobilenet_v1"):
+    proto = pipeline_pb2.DetectionModel()
+    text_format.Parse(SSD_BN_TEMPLATE % (extractor, bn_block), proto)
+    return model_builder.build(proto, is_training=is_training,
+                               max_gt_boxes=4, dtype=jnp.float32)
+
+
+def test_ssd_batch_norm_train_wires_live_bn():
+    """conv_hyperparams.batch_norm.train: the reference trains
+    base-network BN during training (slim batch_norm is_training =
+    train and is_training); frozen otherwise. Trained-from-scratch SSD
+    cannot learn without this (synthetic gate: mAP 0.04 frozen vs 1.0
+    live)."""
+    m = _ssd_bn_model("batch_norm { train: true decay: 0.9 }")
+    assert m.cfg.batch_norm_trainable
+    assert m.cfg.bn_momentum == pytest.approx(0.9)
+    # eval build: never trainable
+    m_eval = _ssd_bn_model("batch_norm { train: true }", is_training=False)
+    assert not m_eval.cfg.batch_norm_trainable
+    # no batch_norm block (or train absent/false): frozen
+    assert not _ssd_bn_model("").cfg.batch_norm_trainable
+    assert not _ssd_bn_model("batch_norm { }").cfg.batch_norm_trainable
+
+
+@pytest.mark.parametrize("extractor", ["ssd_mobilenet_v1", "ssd_inception_v2"])
+def test_ssd_live_bn_updates_stats_frozen_does_not(extractor):
+    from mtlx.train.train_step import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    batch = {
+        "image": jnp.full((2, 64, 64, 3), 99.0),
+        "true_shape": jnp.asarray([[64, 64]] * 2),
+        "gt_boxes": jnp.asarray(
+            [[[4, 4, 40, 40]] + [[0, 0, 0, 0]] * 3] * 2, jnp.float32
+        ),
+        "gt_classes": jnp.asarray([[1, 0, 0, 0]] * 2, jnp.int32),
+        "gt_mask": jnp.asarray([[True, False, False, False]] * 2),
+    }
+
+    def stats_after_step(bn_block):
+        m = _ssd_bn_model(bn_block, extractor=extractor)
+        state = create_train_state(m, jax.random.PRNGKey(0), make_optimizer())
+        before = np.asarray(jax.tree.leaves(state.batch_stats)[0])
+        state, _ = jax.jit(make_train_step(m))(
+            state, batch, jax.random.PRNGKey(1)
+        )
+        after = np.asarray(jax.tree.leaves(state.batch_stats)[0])
+        return before, after
+
+    b, a = stats_after_step("batch_norm { train: true decay: 0.5 }")
+    assert np.any(b != a), "live BN must update moving stats"
+    b, a = stats_after_step("")
+    assert np.all(b == a), "frozen BN must not update stats"
