@@ -52,43 +52,65 @@ class ConvBN(nn.Module):
         return nn.relu(x) if self.relu else x
 
 
-class Block35(nn.Module):
+class BNKnobs(nn.Module):
+    """Mixin holding the feature_extractor batch-norm sub-knobs
+    (batch_norm_trainable + batch_norm.{decay,epsilon,center,scale})
+    threaded to every ConvBN in the subtree. Defaults are slim's
+    inception arg_scope values."""
+
+    bn_trainable: bool = False
+    bn_momentum: float = 0.9997
+    bn_epsilon: float = 1e-3
+    bn_center: bool = True
+    bn_scale: bool = True
+
+    def _bn_kwargs(self):
+        return dict(
+            bn_trainable=self.bn_trainable, bn_momentum=self.bn_momentum,
+            bn_epsilon=self.bn_epsilon, bn_center=self.bn_center,
+            bn_scale=self.bn_scale,
+        )
+
+
+class Block35(BNKnobs):
     """35x35 inception-resnet block, scale 0.17."""
 
     scale: float = 0.17
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
-        b0 = ConvBN(32, (1, 1), dtype=self.dtype, name="b0")(x)
-        b1 = ConvBN(32, (1, 1), dtype=self.dtype, name="b1a")(x)
-        b1 = ConvBN(32, (3, 3), dtype=self.dtype, name="b1b")(b1)
-        b2 = ConvBN(32, (1, 1), dtype=self.dtype, name="b2a")(x)
-        b2 = ConvBN(48, (3, 3), dtype=self.dtype, name="b2b")(b2)
-        b2 = ConvBN(64, (3, 3), dtype=self.dtype, name="b2c")(b2)
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, **self._bn_kwargs())
+        b0 = ConvBN(32, (1, 1), name="b0", **kw)(x, train)
+        b1 = ConvBN(32, (1, 1), name="b1a", **kw)(x, train)
+        b1 = ConvBN(32, (3, 3), name="b1b", **kw)(b1, train)
+        b2 = ConvBN(32, (1, 1), name="b2a", **kw)(x, train)
+        b2 = ConvBN(48, (3, 3), name="b2b", **kw)(b2, train)
+        b2 = ConvBN(64, (3, 3), name="b2c", **kw)(b2, train)
         mixed = jnp.concatenate([b0, b1, b2], axis=-1)
         up = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="up")(mixed)
         return nn.relu(x + self.scale * up)
 
 
-class Block17(nn.Module):
+class Block17(BNKnobs):
     """17x17 block, scale 0.10."""
 
     scale: float = 0.10
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
-        b0 = ConvBN(192, (1, 1), dtype=self.dtype, name="b0")(x)
-        b1 = ConvBN(128, (1, 1), dtype=self.dtype, name="b1a")(x)
-        b1 = ConvBN(160, (1, 7), dtype=self.dtype, name="b1b")(b1)
-        b1 = ConvBN(192, (7, 1), dtype=self.dtype, name="b1c")(b1)
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, **self._bn_kwargs())
+        b0 = ConvBN(192, (1, 1), name="b0", **kw)(x, train)
+        b1 = ConvBN(128, (1, 1), name="b1a", **kw)(x, train)
+        b1 = ConvBN(160, (1, 7), name="b1b", **kw)(b1, train)
+        b1 = ConvBN(192, (7, 1), name="b1c", **kw)(b1, train)
         mixed = jnp.concatenate([b0, b1], axis=-1)
         up = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="up")(mixed)
         return nn.relu(x + self.scale * up)
 
 
-class Block8(nn.Module):
+class Block8(BNKnobs):
     """8x8 block, scale 0.20."""
 
     scale: float = 0.20
@@ -96,76 +118,78 @@ class Block8(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
-        b0 = ConvBN(192, (1, 1), dtype=self.dtype, name="b0")(x)
-        b1 = ConvBN(192, (1, 1), dtype=self.dtype, name="b1a")(x)
-        b1 = ConvBN(224, (1, 3), dtype=self.dtype, name="b1b")(b1)
-        b1 = ConvBN(256, (3, 1), dtype=self.dtype, name="b1c")(b1)
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, **self._bn_kwargs())
+        b0 = ConvBN(192, (1, 1), name="b0", **kw)(x, train)
+        b1 = ConvBN(192, (1, 1), name="b1a", **kw)(x, train)
+        b1 = ConvBN(224, (1, 3), name="b1b", **kw)(b1, train)
+        b1 = ConvBN(256, (3, 1), name="b1c", **kw)(b1, train)
         mixed = jnp.concatenate([b0, b1], axis=-1)
         up = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="up")(mixed)
         out = x + self.scale * up
         return nn.relu(out) if self.relu else out
 
 
-class InceptionResnetV2ProposalFeatures(nn.Module):
-    """Stem through block17 repeats — stride 16, 1088 channels."""
+class InceptionResnetV2ProposalFeatures(BNKnobs):
+    """Stem through block17 repeats — stride 16, 1088 channels.
+    bn_trainable honors feature_extractor.batch_norm_trainable."""
 
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        del train  # frozen BN
+        kw = dict(dtype=self.dtype, **self._bn_kwargs())
         x = x.astype(self.dtype)
-        x = ConvBN(32, (3, 3), (2, 2), dtype=self.dtype, name="conv1")(x)
-        x = ConvBN(32, (3, 3), dtype=self.dtype, name="conv2")(x)
-        x = ConvBN(64, (3, 3), dtype=self.dtype, name="conv3")(x)
+        x = ConvBN(32, (3, 3), (2, 2), name="conv1", **kw)(x, train)
+        x = ConvBN(32, (3, 3), name="conv2", **kw)(x, train)
+        x = ConvBN(64, (3, 3), name="conv3", **kw)(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
-        x = ConvBN(80, (1, 1), dtype=self.dtype, name="conv4")(x)
-        x = ConvBN(192, (3, 3), dtype=self.dtype, name="conv5")(x)
+        x = ConvBN(80, (1, 1), name="conv4", **kw)(x, train)
+        x = ConvBN(192, (3, 3), name="conv5", **kw)(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
         # mixed_5b
-        b0 = ConvBN(96, (1, 1), dtype=self.dtype, name="m5b_b0")(x)
-        b1 = ConvBN(48, (1, 1), dtype=self.dtype, name="m5b_b1a")(x)
-        b1 = ConvBN(64, (5, 5), dtype=self.dtype, name="m5b_b1b")(b1)
-        b2 = ConvBN(64, (1, 1), dtype=self.dtype, name="m5b_b2a")(x)
-        b2 = ConvBN(96, (3, 3), dtype=self.dtype, name="m5b_b2b")(b2)
-        b2 = ConvBN(96, (3, 3), dtype=self.dtype, name="m5b_b2c")(b2)
+        b0 = ConvBN(96, (1, 1), name="m5b_b0", **kw)(x, train)
+        b1 = ConvBN(48, (1, 1), name="m5b_b1a", **kw)(x, train)
+        b1 = ConvBN(64, (5, 5), name="m5b_b1b", **kw)(b1, train)
+        b2 = ConvBN(64, (1, 1), name="m5b_b2a", **kw)(x, train)
+        b2 = ConvBN(96, (3, 3), name="m5b_b2b", **kw)(b2, train)
+        b2 = ConvBN(96, (3, 3), name="m5b_b2c", **kw)(b2, train)
         b3 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
-        b3 = ConvBN(64, (1, 1), dtype=self.dtype, name="m5b_b3")(b3)
+        b3 = ConvBN(64, (1, 1), name="m5b_b3", **kw)(b3, train)
         x = jnp.concatenate([b0, b1, b2, b3], axis=-1)  # 320
         for i in range(10):
-            x = Block35(dtype=self.dtype, name=f"block35_{i + 1}")(x)
+            x = Block35(name=f"block35_{i + 1}", **kw)(x, train)
         # mixed_6a (stride 2 -> /16)
-        b0 = ConvBN(384, (3, 3), (2, 2), dtype=self.dtype, name="m6a_b0")(x)
-        b1 = ConvBN(256, (1, 1), dtype=self.dtype, name="m6a_b1a")(x)
-        b1 = ConvBN(256, (3, 3), dtype=self.dtype, name="m6a_b1b")(b1)
-        b1 = ConvBN(384, (3, 3), (2, 2), dtype=self.dtype, name="m6a_b1c")(b1)
+        b0 = ConvBN(384, (3, 3), (2, 2), name="m6a_b0", **kw)(x, train)
+        b1 = ConvBN(256, (1, 1), name="m6a_b1a", **kw)(x, train)
+        b1 = ConvBN(256, (3, 3), name="m6a_b1b", **kw)(b1, train)
+        b1 = ConvBN(384, (3, 3), (2, 2), name="m6a_b1c", **kw)(b1, train)
         b2 = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
         x = jnp.concatenate([b0, b1, b2], axis=-1)  # 1088
         for i in range(20):
-            x = Block17(dtype=self.dtype, name=f"block17_{i + 1}")(x)
+            x = Block17(name=f"block17_{i + 1}", **kw)(x, train)
         return x
 
 
-class InceptionResnetV2BoxClassifierFeatures(nn.Module):
+class InceptionResnetV2BoxClassifierFeatures(BNKnobs):
     """mixed_7a + block8 repeats + conv7b on ROI crops (stride 1)."""
 
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        del train  # frozen BN
+        kw = dict(dtype=self.dtype, **self._bn_kwargs())
         x = x.astype(self.dtype)
         # mixed_7a at stride 1 (detector fine-tuning keeps ROI resolution)
-        b0 = ConvBN(256, (1, 1), dtype=self.dtype, name="m7a_b0a")(x)
-        b0 = ConvBN(384, (3, 3), dtype=self.dtype, name="m7a_b0b")(b0)
-        b1 = ConvBN(256, (1, 1), dtype=self.dtype, name="m7a_b1a")(x)
-        b1 = ConvBN(288, (3, 3), dtype=self.dtype, name="m7a_b1b")(b1)
-        b2 = ConvBN(256, (1, 1), dtype=self.dtype, name="m7a_b2a")(x)
-        b2 = ConvBN(288, (3, 3), dtype=self.dtype, name="m7a_b2b")(b2)
-        b2 = ConvBN(320, (3, 3), dtype=self.dtype, name="m7a_b2c")(b2)
+        b0 = ConvBN(256, (1, 1), name="m7a_b0a", **kw)(x, train)
+        b0 = ConvBN(384, (3, 3), name="m7a_b0b", **kw)(b0, train)
+        b1 = ConvBN(256, (1, 1), name="m7a_b1a", **kw)(x, train)
+        b1 = ConvBN(288, (3, 3), name="m7a_b1b", **kw)(b1, train)
+        b2 = ConvBN(256, (1, 1), name="m7a_b2a", **kw)(x, train)
+        b2 = ConvBN(288, (3, 3), name="m7a_b2b", **kw)(b2, train)
+        b2 = ConvBN(320, (3, 3), name="m7a_b2c", **kw)(b2, train)
         x = jnp.concatenate([b0, b1, b2, x], axis=-1)
         for i in range(9):
-            x = Block8(dtype=self.dtype, name=f"block8_{i + 1}")(x)
-        x = Block8(relu=False, dtype=self.dtype, name="block8_10")(x)
-        return ConvBN(1536, (1, 1), dtype=self.dtype, name="conv7b")(x)
+            x = Block8(name=f"block8_{i + 1}", **kw)(x, train)
+        x = Block8(relu=False, name="block8_10", **kw)(x, train)
+        return ConvBN(1536, (1, 1), name="conv7b", **kw)(x, train)

@@ -15,27 +15,9 @@ from typing import Any, List, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
-from mtlx.backbones.inception_resnet_v2 import ConvBN
+from mtlx.backbones.inception_resnet_v2 import BNKnobs, ConvBN
 
 Dtype = Any
-
-
-class BNKnobs(nn.Module):
-    """Mixin holding the conv_hyperparams.batch_norm sub-knobs threaded to
-    every ConvBN in the subtree."""
-
-    bn_trainable: bool = False
-    bn_momentum: float = 0.9997
-    bn_epsilon: float = 1e-3
-    bn_center: bool = True
-    bn_scale: bool = True
-
-    def _bn_kwargs(self):
-        return dict(
-            bn_trainable=self.bn_trainable, bn_momentum=self.bn_momentum,
-            bn_epsilon=self.bn_epsilon, bn_center=self.bn_center,
-            bn_scale=self.bn_scale,
-        )
 
 
 class InceptionBlock(BNKnobs):

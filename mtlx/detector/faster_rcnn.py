@@ -178,11 +178,20 @@ class FasterRCNNModules(nn.Module):
         if c.backbone == "inception_resnet_v2":
             from mtlx.backbones import inception_resnet_v2 as irv2
 
+            bnp = (
+                dict(bn_momentum=c.batch_norm_params[0],
+                     bn_epsilon=c.batch_norm_params[1],
+                     bn_center=c.batch_norm_params[2],
+                     bn_scale=c.batch_norm_params[3])
+                if c.batch_norm_params is not None else {}
+            )
             self.proposal_features = irv2.InceptionResnetV2ProposalFeatures(
-                dtype=c.dtype, name="backbone"
+                bn_trainable=c.batch_norm_trainable,
+                dtype=c.dtype, name="backbone", **bnp
             )
             self.classifier_features = irv2.InceptionResnetV2BoxClassifierFeatures(
-                dtype=c.dtype, name="classifier_backbone"
+                bn_trainable=c.batch_norm_trainable,
+                dtype=c.dtype, name="classifier_backbone", **bnp
             )
             self._setup_heads()
             return

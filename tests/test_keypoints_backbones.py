@@ -78,6 +78,34 @@ def test_inception_resnet_v2_shapes():
     assert hout.shape == (1, 7, 7, 1536)  # stride 1 on ROI crops
 
 
+def test_inception_trainable_bn_updates_stats():
+    """feature_extractor.batch_norm_trainable on the inception family:
+    live BN (shared param/stat names with the frozen form) updates moving
+    stats under train=True and matches the frozen param tree structure."""
+    import numpy as np
+    from mtlx.backbones.inception_resnet_v2 import (
+        InceptionResnetV2ProposalFeatures,
+    )
+
+    frozen = InceptionResnetV2ProposalFeatures(dtype=jnp.float32)
+    live = InceptionResnetV2ProposalFeatures(dtype=jnp.float32,
+                                             bn_trainable=True,
+                                             bn_momentum=0.5)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3)) * 10
+    vf = frozen.init(jax.random.PRNGKey(0), x)
+    vl = live.init(jax.random.PRNGKey(0), x)
+    # interchangeable checkpoints: identical tree structure both modes
+    assert jax.tree_util.tree_structure(vf) == jax.tree_util.tree_structure(vl)
+    _, mut = live.apply(vl, x, True, mutable=["batch_stats"])
+    before = np.concatenate([np.ravel(l) for l in jax.tree.leaves(vl["batch_stats"])])
+    after = np.concatenate([np.ravel(l) for l in jax.tree.leaves(mut["batch_stats"])])
+    assert np.any(before != after), "live BN must update moving stats"
+    _, mut_f = frozen.apply(vf, x, True, mutable=["batch_stats"])
+    bf = np.concatenate([np.ravel(l) for l in jax.tree.leaves(vf["batch_stats"])])
+    af = np.concatenate([np.ravel(l) for l in jax.tree.leaves(mut_f["batch_stats"])])
+    assert np.all(bf == af), "frozen BN must not touch stats"
+
+
 def test_resnet_classifier_logits():
     from mtlx.backbones.resnet import ResNetClassifier
 
