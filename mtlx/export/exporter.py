@@ -203,6 +203,30 @@ def export_saved_model(
 
     module.tf_example = tf_example
     os.makedirs(output_directory, exist_ok=True)
+
+    # reference exporter.py writes frozen_inference_graph.pb alongside the
+    # SavedModel: a GraphDef with constant weights and the canonical
+    # output node names (detection_boxes/.../num_detections), consumable
+    # by TF1-style import_graph_def + Session.run
+    from tensorflow.python.framework import convert_to_constants
+
+    @tf.function(input_signature=[
+        tf.TensorSpec([None, ch, cw, 3], tf.uint8, name="image_tensor"),
+        tf.TensorSpec([None, 2], tf.int32, name="true_shape"),
+    ])
+    def _named_outputs(images, true_shapes):
+        out = tf_forward(images, true_shapes)
+        return {k: tf.identity(v, name=k) for k, v in out.items()}
+
+    frozen = convert_to_constants.convert_variables_to_constants_v2(
+        _named_outputs.get_concrete_function()
+    )
+    graph_def = frozen.graph.as_graph_def()
+    with open(
+        os.path.join(output_directory, "frozen_inference_graph.pb"), "wb"
+    ) as f:
+        f.write(graph_def.SerializeToString())
+
     tf.saved_model.save(
         module, output_directory,
         signatures={

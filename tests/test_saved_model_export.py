@@ -160,7 +160,46 @@ def test_saved_model_tf_example_signature(exported):
 def test_saved_model_dir_is_self_contained(exported):
     names = os.listdir(exported["saved_model"])
     assert "saved_model.pb" in names
+    assert "frozen_inference_graph.pb" in names
     assert "pipeline.config" in names  # provenance travels with the model
+
+
+def test_frozen_inference_graph_runs_in_v1_session(exported):
+    """frozen_inference_graph.pb (reference exporter.py frozen-graph
+    artifact): import_graph_def + Session.run by the canonical tensor
+    names must reproduce the SavedModel signature outputs."""
+    gd = tf.compat.v1.GraphDef()
+    with open(
+        os.path.join(exported["saved_model"], "frozen_inference_graph.pb"),
+        "rb",
+    ) as f:
+        gd.ParseFromString(f.read())
+    rs = np.random.RandomState(0)
+    images = rs.randint(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    shapes = np.asarray([[64, 64], [60, 52]], np.int32)
+
+    g = tf.Graph()
+    with g.as_default():
+        tf.graph_util.import_graph_def(gd, name="")
+        with tf.compat.v1.Session(graph=g) as sess:
+            boxes, scores, classes, n = sess.run(
+                ["detection_boxes:0", "detection_scores:0",
+                 "detection_classes:0", "num_detections:0"],
+                feed_dict={"image_tensor:0": images,
+                           "true_shape:0": shapes},
+            )
+    assert boxes.shape == (2, 10, 4) and np.isfinite(boxes).all()
+
+    loaded = tf.saved_model.load(exported["saved_model"])
+    ref = loaded.signatures["serving_default"](
+        image_tensor=tf.constant(images), true_shape=tf.constant(shapes)
+    )
+    np.testing.assert_allclose(boxes, ref["detection_boxes"].numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(scores, ref["detection_scores"].numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(classes, ref["detection_classes"].numpy())
+    np.testing.assert_array_equal(n, ref["num_detections"].numpy())
 
 
 def test_saved_model_keep_aspect_encoded_path(tmp_path):
