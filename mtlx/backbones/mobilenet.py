@@ -83,14 +83,19 @@ class MobileNetV1(nn.Module):
 
 
 class MobileNetV1Classifier(nn.Module):
-    """Classification variant (ImageNet-init source, slim parity)."""
+    """Classification variant (ImageNet-init source, slim parity). Trains
+    with live BN like slim classification (bn_trainable default True)."""
 
     num_classes: int = 1000
     depth_multiplier: float = 1.0
+    bn_trainable: bool = True
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
-        feats = MobileNetV1(self.depth_multiplier, dtype=self.dtype, name="body")(x)
+    def __call__(self, x, train: bool = False):
+        feats = MobileNetV1(
+            self.depth_multiplier, bn_trainable=self.bn_trainable,
+            dtype=self.dtype, name="body",
+        )(x, train=train)
         pooled = jnp.mean(feats[-1], axis=(1, 2)).astype(jnp.float32)
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="logits")(pooled)

@@ -325,16 +325,25 @@ class ResNetBoxClassifierFeatures(nn.Module):
 
 class ResNetClassifier(nn.Module):
     """Full classification network (the slim-train path that produces
-    ImageNet init checkpoints — SURVEY.md §3.8 slim scripts)."""
+    ImageNet init checkpoints — SURVEY.md §3.8 slim scripts). Trains with
+    live BN like slim classification (bn_trainable default True); the
+    moving stats it learns are what the detector's frozen BN consumes at
+    warm start."""
 
     depth: int = 50
     num_classes: int = 1000
+    bn_trainable: bool = True
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
-        x = ResNetProposalFeatures(self.depth, self.dtype, name="body")(x)
-        x = ResNetStage(BLOCK_SIZES[self.depth][3], 2048, 2, self.dtype, name="block4")(x)
+    def __call__(self, x, train: bool = False):
+        bt = self.bn_trainable
+        x = ResNetProposalFeatures(
+            self.depth, self.dtype, bn_trainable=bt, name="body"
+        )(x, train)
+        x = ResNetStage(
+            BLOCK_SIZES[self.depth][3], 2048, 2, self.dtype, bt, name="block4"
+        )(x, train)
         x = jnp.mean(x, axis=(1, 2))
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="logits")(
             x.astype(jnp.float32)

@@ -102,18 +102,24 @@ def main(argv=None):
     opt_state = tx.init(params)
 
     @jax.jit
-    def step(params, opt_state, images, labels):
+    def step(params, batch_stats, opt_state, images, labels):
+        # live BN (slim classification trains batch norm; the moving
+        # stats learned here are what detector warm starts consume)
         def loss_fn(p):
-            logits = model.apply(
-                {"params": p, "batch_stats": batch_stats}, preprocess(images)
+            logits, mutated = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                preprocess(images), train=True, mutable=["batch_stats"],
             )
             ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
             acc = jnp.mean(jnp.argmax(logits, -1) == labels)
-            return jnp.mean(ce), acc
+            return jnp.mean(ce), (acc, mutated["batch_stats"])
 
-        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (loss, (acc, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss, acc
+        return (optax.apply_updates(params, updates), new_stats, opt_state,
+                loss, acc)
 
     offsets = tfrecord.record_index(args.train_record)
     rng = np.random.RandomState(0)
@@ -123,7 +129,9 @@ def main(argv=None):
         idx = rng.choice(len(offsets), args.batch_size)
         records = [tfrecord.read_record_at(f, offsets[j]) for j in idx]
         images, labels = _decode_batch(records, args.image_size)
-        params, opt_state, loss, acc = step(params, opt_state, images, labels)
+        params, batch_stats, opt_state, loss, acc = step(
+            params, batch_stats, opt_state, images, labels
+        )
         if (i + 1) % args.log_every == 0 or i == 0:
             print(
                 "[cls] "
