@@ -71,6 +71,30 @@ class ReductionBlock(BNKnobs):
         return jnp.concatenate([y, z, p], axis=-1)
 
 
+class SeparableStem(BNKnobs):
+    """slim inception_v2 Conv2d_1a_7x7: depthwise 7x7/2 (channel
+    multiplier min(features//3, 8)) -> pointwise 1x1 to `features`, with
+    BN+ReLU after the pointwise (slim separable_conv2d applies its
+    normalizer/activation once, after the full separable op)."""
+
+    features: int = 64
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        mult = max(1, min(self.features // in_ch, 8))
+        x = nn.Conv(
+            in_ch * mult, (7, 7), strides=(2, 2), padding="SAME",
+            feature_group_count=in_ch, use_bias=False,
+            dtype=self.dtype, name="depthwise",
+        )(x)
+        return ConvBN(
+            self.features, (1, 1), name="pointwise",
+            dtype=self.dtype, **self._bn_kwargs(),
+        )(x, train)
+
+
 class InceptionV2(BNKnobs):
     """Returns [Mixed_4e (stride 16), Mixed_5c (stride 32)] feature maps."""
 
@@ -83,8 +107,8 @@ class InceptionV2(BNKnobs):
         d = lambda c: max(int(c * self.depth_multiplier), self.min_depth)
         kw = dict(dtype=self.dtype, **self._bn_kwargs())
         x = x.astype(self.dtype)
-        # stem: 7x7/2 depthwise-separable in slim; plain 7x7/2 conv here
-        x = ConvBN(d(64), (7, 7), (2, 2), name="conv1", **kw)(x, train)
+        # stem: depthwise-separable 7x7/2, as in slim (Conv2d_1a_7x7)
+        x = SeparableStem(features=d(64), name="conv1", **kw)(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
         x = ConvBN(d(64), (1, 1), name="conv2a", **kw)(x, train)
         x = ConvBN(d(192), (3, 3), name="conv2b", **kw)(x, train)
