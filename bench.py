@@ -222,7 +222,7 @@ def host_pipeline_images_per_sec(model, state, step_fn, configs,
             batches(dataset, batch_size, shuffle=True, seed=0,
                     decode_threads=2, pack_images=True)
         )
-        drop = {"gt_difficult", "original_shape"}
+        drop = {"gt_difficult", "gt_group_of", "original_shape"}
         done = 0
         # the shared host<->device tunnel on this dev box has high
         # bandwidth variance run to run; measure two windows and report

@@ -27,6 +27,7 @@ class InputDataFields:
     groundtruth_classes = "groundtruth_classes"
     groundtruth_difficult = "groundtruth_difficult"
     groundtruth_truncated = "groundtruth_truncated"
+    groundtruth_group_of = "groundtruth_group_of"
     groundtruth_instance_masks = "groundtruth_instance_masks"
     groundtruth_keypoints = "groundtruth_keypoints"
     original_shape = "original_shape"
@@ -67,6 +68,7 @@ def build_example(
     class_texts,  # [N] names
     difficult=None,
     truncated=None,
+    group_of=None,
     poses=None,
     instance_masks=None,  # optional [N] list of [h, w] 0/1 arrays
     keypoints=None,  # optional [N, P, 2] normalized (y, x)
@@ -98,6 +100,8 @@ def build_example(
         fmap["image/object/class/label"].CopyFrom(int64_list_feature(class_labels))
         fmap["image/object/difficult"].CopyFrom(int64_list_feature(difficult))
         fmap["image/object/truncated"].CopyFrom(int64_list_feature(truncated))
+        if group_of is not None:
+            fmap["image/object/group_of"].CopyFrom(int64_list_feature(group_of))
         fmap["image/object/view"].CopyFrom(bytes_list_feature(poses))
         if instance_masks is not None:
             from PIL import Image
@@ -154,6 +158,7 @@ def decode_example(serialized: bytes, decode_image: bool = True,
     out[InputDataFields.groundtruth_classes] = _ints(fmap, "image/object/class/label")
     out[InputDataFields.groundtruth_difficult] = _ints(fmap, "image/object/difficult")
     out[InputDataFields.groundtruth_truncated] = _ints(fmap, "image/object/truncated")
+    out[InputDataFields.groundtruth_group_of] = _ints(fmap, "image/object/group_of")
     if "image/source_id" in fmap:
         out[InputDataFields.source_id] = fmap["image/source_id"].bytes_list.value[0].decode()
     h = _ints(fmap, "image/height")

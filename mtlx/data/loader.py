@@ -292,11 +292,15 @@ class DetectionDataset:
         boxes_norm = ex[InputDataFields.groundtruth_boxes]
         classes = ex[InputDataFields.groundtruth_classes].astype(np.int32) - 1
         difficult = ex[InputDataFields.groundtruth_difficult]
+        group_of = ex.get(InputDataFields.groundtruth_group_of)
+        if group_of is None or len(group_of) != len(classes):
+            group_of = np.zeros(len(classes), np.int64)
         inst_masks = ex.get(InputDataFields.groundtruth_instance_masks)
         keypoints_norm = ex.get(InputDataFields.groundtruth_keypoints)
         if not self.keep_difficult and len(difficult) == len(classes):
             keep = difficult == 0
             boxes_norm, classes = boxes_norm[keep], classes[keep]
+            difficult, group_of = difficult[keep], group_of[keep]
             if inst_masks is not None and len(inst_masks):
                 inst_masks = inst_masks[keep]
             if keypoints_norm is not None and len(keypoints_norm):
@@ -353,6 +357,9 @@ class DetectionDataset:
             "gt_classes": pad_or_clip_along_axis(classes, self.max_boxes),
             "gt_difficult": pad_or_clip_along_axis(
                 difficult.astype(np.int32), self.max_boxes
+            ),
+            "gt_group_of": pad_or_clip_along_axis(
+                group_of.astype(np.int32), self.max_boxes
             ),
             "gt_mask": mask,
             "source_id": ex.get(InputDataFields.source_id, str(i)),

@@ -51,8 +51,11 @@ def build_evaluators(eval_config, categories):
         CocoMaskEvaluator,
     )
     from mtlx.eval.object_detection_evaluation import (
+        OpenImagesDetectionEvaluator,
         PascalDetectionEvaluator,
+        PascalInstanceSegmentationEvaluator,
         WeightedPascalDetectionEvaluator,
+        WeightedPascalInstanceSegmentationEvaluator,
     )
 
     names = list(eval_config.metrics_set) or ["pascal_voc_detection_metrics"]
@@ -63,6 +66,14 @@ def build_evaluators(eval_config, categories):
         elif name in ("weighted_pascal_voc_detection_metrics",
                       "weighted_pascal_voc_metrics"):
             evaluators.append(WeightedPascalDetectionEvaluator(categories))
+        elif name == "pascal_voc_instance_segmentation_metrics":
+            evaluators.append(PascalInstanceSegmentationEvaluator(categories))
+        elif name == "weighted_pascal_voc_instance_segmentation_metrics":
+            evaluators.append(
+                WeightedPascalInstanceSegmentationEvaluator(categories)
+            )
+        elif name == "open_images_V2_detection_metrics":
+            evaluators.append(OpenImagesDetectionEvaluator(categories))
         elif name == "coco_detection_metrics":
             evaluators.append(CocoDetectionEvaluator(categories))
         elif name == "coco_mask_metrics":
@@ -155,7 +166,12 @@ def evaluate_checkpoint(model, state, dataset, eval_config, categories,
         if not eval_config.eval_instance_masks:
             det.pop("detection_masks", None)
         want_masks = any(
-            type(e).__name__ == "CocoMaskEvaluator" for e in evaluators
+            type(e).__name__ in (
+                "CocoMaskEvaluator",
+                "PascalInstanceSegmentationEvaluator",
+                "WeightedPascalInstanceSegmentationEvaluator",
+            )
+            for e in evaluators
         )
         if want_masks and "detection_masks" not in det and start == 0:
             print(
@@ -174,6 +190,10 @@ def evaluate_checkpoint(model, state, dataset, eval_config, categories,
                 "groundtruth_classes": s["gt_classes"][:gt_n] + 1,
                 "groundtruth_difficult": s["gt_difficult"][:gt_n].astype(bool),
             }
+            if "gt_group_of" in s:
+                gt_info["groundtruth_group_of"] = (
+                    s["gt_group_of"][:gt_n].astype(bool)
+                )
             n_det = int(det["num_detections"][j])
             boxes_norm = det["detection_boxes"][j][:n_det]
             scale = np.asarray([th, tw, th, tw], np.float32)

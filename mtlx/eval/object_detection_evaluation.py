@@ -34,19 +34,34 @@ class ObjectDetectionEvaluation:
         groundtruth_boxes: np.ndarray,
         groundtruth_class_labels: np.ndarray,
         groundtruth_is_difficult: Optional[np.ndarray] = None,
+        groundtruth_is_group_of: Optional[np.ndarray] = None,
+        groundtruth_masks: Optional[np.ndarray] = None,
     ):
         if groundtruth_is_difficult is None or len(groundtruth_is_difficult) != len(
             groundtruth_class_labels
         ):
             groundtruth_is_difficult = np.zeros(len(groundtruth_class_labels), bool)
         groundtruth_is_difficult = groundtruth_is_difficult.astype(bool)
+        if groundtruth_is_group_of is None or len(groundtruth_is_group_of) != len(
+            groundtruth_class_labels
+        ):
+            groundtruth_is_group_of = np.zeros(len(groundtruth_class_labels), bool)
+        groundtruth_is_group_of = groundtruth_is_group_of.astype(bool)
         self.gt[image_key] = {
             "boxes": groundtruth_boxes,
             "labels": groundtruth_class_labels,
             "difficult": groundtruth_is_difficult,
+            "group_of": groundtruth_is_group_of,
+            "masks": groundtruth_masks,
         }
         for cls in range(self.num_classes):
-            sel = (groundtruth_class_labels == cls) & (~groundtruth_is_difficult)
+            # group-of boxes never enter the recall denominator (reference
+            # ObjectDetectionEvaluation excludes both difficult and group-of)
+            sel = (
+                (groundtruth_class_labels == cls)
+                & (~groundtruth_is_difficult)
+                & (~groundtruth_is_group_of)
+            )
             self.num_gt_per_class[cls] += int(sel.sum())
             if (groundtruth_class_labels == cls).any():
                 self.num_gt_imgs_per_class[cls] += 1
@@ -57,6 +72,7 @@ class ObjectDetectionEvaluation:
         detected_boxes: np.ndarray,
         detected_scores: np.ndarray,
         detected_class_labels: np.ndarray,
+        detected_masks: Optional[np.ndarray] = None,
     ):
         gt = self.gt.get(
             image_key,
@@ -64,6 +80,8 @@ class ObjectDetectionEvaluation:
                 "boxes": np.zeros((0, 4), np.float32),
                 "labels": np.zeros(0, np.int64),
                 "difficult": np.zeros(0, bool),
+                "group_of": np.zeros(0, bool),
+                "masks": None,
             },
         )
         scores, tp_fp, correct = self.per_image.compute_object_detection_metrics(
@@ -73,6 +91,9 @@ class ObjectDetectionEvaluation:
             gt["boxes"],
             gt["labels"],
             gt["difficult"],
+            groundtruth_is_group_of=gt["group_of"],
+            detected_masks=detected_masks,
+            groundtruth_masks=gt["masks"],
         )
         for cls in range(self.num_classes):
             self.scores_per_class[cls].append(scores[cls])
@@ -149,6 +170,65 @@ class PascalDetectionEvaluator:
         self.__init__(self.categories, self.evaluation.per_image.iou_threshold)
 
 
+class PascalInstanceSegmentationEvaluator(PascalDetectionEvaluator):
+    """Reference PascalInstanceSegmentationEvaluator: the Pascal protocol
+    with matching on instance-mask IoU instead of box IoU (metric prefix
+    'PascalMasks_'). Groundtruth/detection dicts must carry
+    'groundtruth_instance_masks' / 'detection_masks' ([N, H, W] binary)."""
+
+    _PREFIX = "PascalMasks_"
+
+    def add_single_ground_truth_image_info(self, image_id: str, groundtruth_dict: dict):
+        self.evaluation.add_single_ground_truth_image_info(
+            image_id,
+            groundtruth_dict["groundtruth_boxes"],
+            groundtruth_dict["groundtruth_classes"] - self._label_offset,
+            groundtruth_dict.get("groundtruth_difficult"),
+            groundtruth_masks=np.asarray(
+                groundtruth_dict["groundtruth_instance_masks"], bool
+            ),
+        )
+
+    def add_single_detected_image_info(self, image_id: str, detections_dict: dict):
+        self.evaluation.add_single_detected_image_info(
+            image_id,
+            detections_dict["detection_boxes"],
+            detections_dict["detection_scores"],
+            detections_dict["detection_classes"] - self._label_offset,
+            detected_masks=np.asarray(detections_dict["detection_masks"], bool),
+        )
+
+    def evaluate(self) -> Dict[str, float]:
+        out = super().evaluate()
+        return {f"{self._PREFIX}{k}": v for k, v in out.items()}
+
+
+class OpenImagesDetectionEvaluator(PascalDetectionEvaluator):
+    """Reference OpenImagesDetectionEvaluator
+    (open_images_V2_detection_metrics): Pascal-style AP@0.5 with the
+    OpenImages group-of protocol — group-of groundtruth boxes are excluded
+    from the recall denominator, and unmatched detections inside a
+    group-of box (IoA >= threshold) are unscored instead of false
+    positives. Groundtruth dicts may carry 'groundtruth_group_of'."""
+
+    def add_single_ground_truth_image_info(self, image_id: str, groundtruth_dict: dict):
+        self.evaluation.add_single_ground_truth_image_info(
+            image_id,
+            groundtruth_dict["groundtruth_boxes"],
+            groundtruth_dict["groundtruth_classes"] - self._label_offset,
+            groundtruth_dict.get("groundtruth_difficult"),
+            groundtruth_is_group_of=groundtruth_dict.get("groundtruth_group_of"),
+        )
+
+    def evaluate(self) -> Dict[str, float]:
+        aps, mean_ap, _, _, _, _ = self.evaluation.evaluate()
+        out = {"OpenImagesV2_Precision/mAP@0.5IOU": mean_ap}
+        for cls_id, name in self._name.items():
+            ap = aps[cls_id - self._label_offset]
+            out[f"OpenImagesV2_PerformanceByCategory/AP@0.5IOU/{name}"] = float(ap)
+        return out
+
+
 class WeightedPascalDetectionEvaluator(PascalDetectionEvaluator):
     """Reference WeightedPascalDetectionEvaluator (use_weighted_mean_ap):
     instead of averaging per-class APs, all classes' detections are pooled
@@ -178,3 +258,16 @@ class WeightedPascalDetectionEvaluator(PascalDetectionEvaluator):
                 float(ap)
             )
         return out
+
+
+class WeightedPascalInstanceSegmentationEvaluator(PascalInstanceSegmentationEvaluator):
+    """Weighted (box-count-pooled) AP over mask-IoU matches — the mask
+    analog of WeightedPascalDetectionEvaluator (reference
+    weighted_pascal_voc_instance_segmentation_metrics)."""
+
+    def evaluate(self) -> Dict[str, float]:
+        pooled = WeightedPascalDetectionEvaluator.evaluate(self)
+        return {
+            k.replace("WeightedPascalBoxes_", "WeightedPascalMasks_"): v
+            for k, v in pooled.items()
+        }

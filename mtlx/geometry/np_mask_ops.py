@@ -1,0 +1,45 @@
+"""Numpy operations on [N, H, W] binary instance masks (reference
+utils/np_mask_ops.py, SURVEY.md §3.7 np_box_* family).
+
+Masks are uint8/bool arrays; all pairwise ops return float64 like their
+box counterparts in np_box_ops. These serve as the matching geometry for
+the instance-segmentation evaluators the same way np_box_ops serves the
+box evaluators.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EPSILON = 1e-7
+
+
+def area(masks: np.ndarray) -> np.ndarray:
+    """[N, H, W] -> [N] pixel counts."""
+    if masks.ndim != 3:
+        raise ValueError("masks must be [N, H, W]")
+    return masks.astype(bool).sum(axis=(1, 2)).astype(np.float64)
+
+
+def intersection(masks1: np.ndarray, masks2: np.ndarray) -> np.ndarray:
+    """Pairwise intersection areas: [N, H, W] x [M, H, W] -> [N, M]."""
+    n, m = len(masks1), len(masks2)
+    if n == 0 or m == 0:
+        return np.zeros((n, m), np.float64)
+    a = masks1.reshape(n, -1).astype(np.float64)
+    b = masks2.reshape(m, -1).astype(np.float64)
+    return a @ b.T
+
+
+def iou(masks1: np.ndarray, masks2: np.ndarray) -> np.ndarray:
+    """Pairwise mask IoU: [N, M]."""
+    inter = intersection(masks1, masks2)
+    union = area(masks1)[:, None] + area(masks2)[None, :] - inter
+    return inter / np.maximum(union, EPSILON)
+
+
+def ioa(masks1: np.ndarray, masks2: np.ndarray) -> np.ndarray:
+    """Pairwise intersection-over-area of masks2: ioa[i, j] =
+    |m1_i & m2_j| / |m2_j| (matches np_box_ops.ioa convention)."""
+    inter = intersection(masks1, masks2)
+    return inter / np.maximum(area(masks2)[None, :], EPSILON)

@@ -109,6 +109,56 @@ def non_max_suppression_padded(
     return indices, keep
 
 
+# Fixed-point NMS (exact greedy survivors via suppression-chain iteration)
+# is used inside multiclass NMS when the per-class candidate count is small
+# enough that the [K, N, N] suppression matrix is cheap. Greedy NMS runs
+# max_output sequential steps (100 for the FRCNN second stage); the fixed
+# point converges in O(longest suppression chain) steps — typically <16 —
+# because box i is suppressed iff some higher-priority SURVIVOR overlaps
+# it, and survivor-hood propagates one chain level per sweep. The
+# resulting survivor set is exactly greedy's (proof: induction over the
+# priority order; the while_loop iterates to convergence, never a fixed
+# sweep count). None = auto (on when K*N*N is small), True/False force.
+USE_FIXED_POINT: Optional[bool] = None
+_FIXED_POINT_MAX_ELEMS = 4_000_000  # K * N * N budget for the bool matrix
+
+
+def _greedy_survivors_fixed_point(
+    boxes: Array,  # [K, N, 4]
+    scores: Array,  # [K, N]
+    live0: Array,  # [K, N] bool — valid & above score threshold
+    iou_threshold: float,
+) -> Array:
+    """Exact greedy-NMS survivor mask [K, N] for all K classes at once.
+
+    Priority = (score desc, index asc), matching jnp.argmax/TF tie order.
+    j suppresses i iff priority(j) > priority(i), IoU > threshold, and j
+    itself survives — iterated to a fixed point, which is the unique
+    greedy solution (selection order never matters for the surviving SET).
+    """
+    n = boxes.shape[-2]
+    iou = jax.vmap(lambda b: box_ops.iou(b, b))(boxes)  # [K, N, N]
+    s_j = scores[:, :, None]
+    s_i = scores[:, None, :]
+    idx = jnp.arange(n)
+    higher = (s_j > s_i) | ((s_j == s_i) & (idx[:, None] < idx[None, :]))
+    # S[k, j, i]: candidate j can suppress i (if j survives)
+    suppressor = (iou > iou_threshold) & higher & live0[:, :, None]
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    def body(state):
+        alive, _ = state
+        suppressed = jnp.any(suppressor & alive[:, :, None], axis=1)
+        new_alive = live0 & ~suppressed
+        return new_alive, jnp.any(new_alive != alive)
+
+    alive, _ = jax.lax.while_loop(cond, body, (live0, jnp.asarray(True)))
+    return alive
+
+
 class NMSResult(NamedTuple):
     boxes: Array  # [max_total, 4]
     scores: Array  # [max_total]
@@ -157,28 +207,49 @@ def multiclass_non_max_suppression(
 
     k = min(max_size_per_class, n)
 
-    def per_class(c_boxes, c_scores):
-        area_ok = box_ops.area(c_boxes) > 0
-        mask = valid_mask & area_ok
-        idx, keep = non_max_suppression_padded(
-            c_boxes,
-            c_scores,
-            max_output_size=k,
-            iou_threshold=iou_threshold,
-            score_threshold=score_threshold,
-            valid_mask=mask,
-        )
-        return (
-            jnp.take(c_boxes, idx, axis=0),
-            jnp.where(keep, jnp.take(c_scores, idx), _NEG),
-            keep,
-            idx,
-        )
+    use_fp = USE_FIXED_POINT
+    if use_fp is None:
+        use_fp = num_classes * n * n <= _FIXED_POINT_MAX_ELEMS
 
-    # [K, k, ...]
-    cls_boxes, cls_scores, cls_keep, cls_idx = jax.vmap(
-        per_class, in_axes=(1, 1), out_axes=0
-    )(per_class_boxes, scores)
+    if use_fp:
+        # all classes at once: survivors via fixed point, then per-class
+        # top-k by score == greedy's capped, score-ordered output
+        boxes_kn = jnp.swapaxes(per_class_boxes, 0, 1)  # [K, N, 4]
+        scores_kn = jnp.swapaxes(scores, 0, 1)  # [K, N]
+        area_ok = box_ops.area(boxes_kn) > 0
+        live0 = valid_mask[None, :] & area_ok & (scores_kn > score_threshold)
+        alive = _greedy_survivors_fixed_point(
+            boxes_kn, scores_kn, live0, iou_threshold
+        )
+        masked = jnp.where(alive, scores_kn, _NEG)
+        top_vals, top_idx = jax.lax.top_k(masked, k)  # [K, k]
+        cls_keep = top_vals > _NEG / 2
+        cls_idx = jnp.where(cls_keep, top_idx, 0).astype(jnp.int32)
+        cls_boxes = jnp.take_along_axis(boxes_kn, cls_idx[..., None], axis=1)
+        cls_scores = jnp.where(cls_keep, top_vals, _NEG)
+    else:
+        def per_class(c_boxes, c_scores):
+            area_ok = box_ops.area(c_boxes) > 0
+            mask = valid_mask & area_ok
+            idx, keep = non_max_suppression_padded(
+                c_boxes,
+                c_scores,
+                max_output_size=k,
+                iou_threshold=iou_threshold,
+                score_threshold=score_threshold,
+                valid_mask=mask,
+            )
+            return (
+                jnp.take(c_boxes, idx, axis=0),
+                jnp.where(keep, jnp.take(c_scores, idx), _NEG),
+                keep,
+                idx,
+            )
+
+        # [K, k, ...]
+        cls_boxes, cls_scores, cls_keep, cls_idx = jax.vmap(
+            per_class, in_axes=(1, 1), out_axes=0
+        )(per_class_boxes, scores)
 
     class_ids = jnp.broadcast_to(
         jnp.arange(num_classes, dtype=jnp.int32)[:, None], (num_classes, k)

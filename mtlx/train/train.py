@@ -296,7 +296,7 @@ def main(argv=None):
             t0 = time.time()
             shapes = achievable_bucket_shapes(dataset, batch_size)
             sample = dataset.get(0)
-            drop = {"gt_difficult", "original_shape", "source_id"}
+            drop = {"gt_difficult", "gt_group_of", "original_shape", "source_id"}
             # the SDS leaves must carry the same sharding device_prefetch
             # commits real batches with — an unsharded SDS lowers to a
             # different cache key and the call recompiles anyway
@@ -358,7 +358,7 @@ def main(argv=None):
         if profiling and cur >= args.profile_from + args.profile_steps:
             jax.profiler.stop_trace()
             profiling = False
-        drop = {"gt_difficult", "original_shape"}
+        drop = {"gt_difficult", "gt_group_of", "original_shape"}
         batch = {k: v for k, v in batch.items() if k not in drop}
         state, metrics = step(state, batch, rng)
         cur += 1

@@ -78,6 +78,60 @@ def args_batch(args):
     return 8
 
 
+def serving_decompose(fl):
+    """Split the serving/eval step (preprocess+predict+postprocess) into
+    phases to locate inference hotspots (the bench's
+    inference_images_per_sec path)."""
+    import bench
+    from mtlx.train.train_step import make_eval_step, pad_for_model
+
+    model, state, _, _ = bench.build_from_config()
+    peaks = bench._peaks(jax.devices()[0].device_kind)
+    rs = np.random.RandomState(0)
+    ch, cw = model.cfg.canvas_size
+    th, tw = bench.TRUE_SHAPE
+    if fl.full_canvas:
+        ih, iw = ch, cw
+    else:
+        ih = min(ch, -(-th // 128) * 128)
+        iw = min(cw, -(-tw // 128) * 128)
+    b = fl.batch
+    batch = {
+        "image": jnp.asarray(rs.uniform(0, 255, (b, ih, iw, 3)), jnp.uint8),
+        "true_shape": jnp.asarray(np.tile([[th, tw]], (b, 1)), np.int32),
+    }
+    print("serving compute shape:", (b, ih, iw, 3), flush=True)
+    state = jax.device_put(jax.tree.map(jnp.asarray, state))
+    batch = jax.device_put(batch)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    n = fl.iters
+
+    ev = make_eval_step(model)
+    timed("full eval step", ev, (state, batch), n, peaks)
+
+    def predict_only(s, bb):
+        bb = pad_for_model(model, bb)
+        v = {"params": s.params, "batch_stats": s.batch_stats}
+        images = model.preprocess(bb["image"].astype(jnp.float32))
+        return model.predict(v, images, bb["true_shape"], training=False)
+
+    timed("predict only", predict_only, (state, batch), n, peaks)
+
+    # materialize a prediction dict once, then time postprocess alone
+    pred = jax.jit(predict_only)(state, batch)
+    pred = jax.device_put(jax.device_get(pred))
+    ts = batch["true_shape"]
+    timed("postprocess only", model.postprocess, (pred, ts), n, peaks)
+
+    def bb_fwd(v, x):
+        feats = model.modules.apply(v, model.preprocess(x), train=False,
+                                    method=model.modules.features)
+        return jnp.sum(feats.astype(jnp.float32))
+
+    images = jnp.asarray(batch["image"], jnp.float32)
+    timed("backbone fwd", bb_fwd, (variables, images), n, peaks)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
@@ -85,7 +139,14 @@ def main():
     ap.add_argument("--full-canvas", action="store_true",
                     help="pad to the full static canvas instead of the "
                          "128-bucketed true-image region")
+    ap.add_argument("--serving", action="store_true",
+                    help="decompose the serving/eval step instead of the "
+                         "train step")
     fl = ap.parse_args()
+
+    if fl.serving:
+        serving_decompose(fl)
+        return
 
     import bench
     from mtlx.train.train_step import pad_for_model
