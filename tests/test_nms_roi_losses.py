@@ -249,3 +249,49 @@ def test_mean_pooled_crop_gradients():
     g = jax.grad(lambda img: jnp.sum(roi.mean_pooled_crop(img, boxes)))(image)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.sum(jnp.abs(g))) > 0
+
+
+def test_fixed_point_multiclass_equals_greedy():
+    """The fixed-point survivor formulation must match the sequential
+    greedy path bit-for-bit (it is the production second-stage postprocess
+    on TPU) — including score ties, duplicate boxes, clip windows and
+    validity masks."""
+    rs = np.random.RandomState(3)
+    prev = nms.USE_FIXED_POINT
+    try:
+        for trial in range(8):
+            n = int(rs.choice([8, 60, 300]))
+            k = int(rs.choice([2, 10]))
+            raw = rs.uniform(0, 100, (n, 1, 4)).astype(np.float32)
+            boxes = np.concatenate(
+                [np.minimum(raw[..., :2], raw[..., 2:]),
+                 np.maximum(raw[..., :2], raw[..., 2:])], -1)
+            scores = rs.uniform(0, 1, (n, k)).astype(np.float32)
+            if trial % 2 == 0:  # ties + duplicates exercise the priority order
+                half = n // 2
+                scores[:half] = scores[half : 2 * half]
+                boxes[: n // 4] = boxes[n // 4 : 2 * (n // 4)]
+            vm = jnp.asarray(rs.uniform(0, 1, n) > 0.2)
+            kw = dict(score_threshold=0.05, iou_threshold=0.5,
+                      max_size_per_class=10, max_total_size=20,
+                      clip_window=jnp.asarray([0.0, 0.0, 90.0, 90.0]),
+                      change_coordinate_frame=True, valid_mask=vm)
+            nms.USE_FIXED_POINT = False
+            a = nms.multiclass_non_max_suppression(
+                jnp.asarray(boxes), jnp.asarray(scores), **kw)
+            nms.USE_FIXED_POINT = True
+            b = nms.multiclass_non_max_suppression(
+                jnp.asarray(boxes), jnp.asarray(scores), **kw)
+            for name in ("boxes", "scores", "classes", "valid_mask", "num_valid"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+                    err_msg=f"trial {trial} field {name}")
+    finally:
+        nms.USE_FIXED_POINT = prev
+
+
+def test_fixed_point_auto_dispatch_bound():
+    """Auto mode uses the fixed point only when the [K, N, N] suppression
+    matrix fits the budget — the SSD-sized case stays on the greedy path."""
+    assert 20 * 300 * 300 <= nms._FIXED_POINT_MAX_ELEMS  # FRCNN stage 2
+    assert 20 * 1917 * 1917 > nms._FIXED_POINT_MAX_ELEMS  # SSD300
