@@ -25,6 +25,26 @@ import numpy as np
 from mtlx.data.loader import DetectionDataset
 
 
+try:  # grain is optional at import time (plain loader needs none of this)
+    import grain.python as _grain
+except ImportError:  # pragma: no cover - depends on environment
+    _grain = None
+
+if _grain is not None:
+    class _GeometryTransform(_grain.RandomMapTransform):
+        """Host-side variable-size crop/pad geometry as a grain transform:
+        grain hands each record visit its own np.random.Generator (seeded
+        from the sampler seed + visit), exactly the per-visit determinism
+        host_geometry.HostGeometry needs. Module-level so worker processes
+        can unpickle it."""
+
+        def __init__(self, host_geometry):
+            self._hg = host_geometry
+
+        def random_map(self, element, rng: np.random.Generator):
+            return self._hg(element, rng)
+
+
 class _Source:
     """grain RandomAccessDataSource over DetectionDataset."""
 
@@ -49,13 +69,17 @@ def make_grain_loader(
     num_epochs: Optional[int] = None,
     pack_images: bool = False,
     aspect_grouping: Optional[bool] = None,
+    host_geometry=None,
 ) -> Iterator[dict]:
     """Returns an iterator of batched numpy dicts via grain. pack_images
     ships 128-bucketed true-shape images (see loader.pack_batch_images).
     aspect_grouping (default: on when pack_images is) regroups the
     worker-decoded sample stream so each batch shares one compute bucket
     (grain's sampler shuffles globally, so unlike loader.batches the
-    grouping here is a bounded-reservoir stream batcher)."""
+    grouping here is a bounded-reservoir stream batcher). host_geometry
+    (host_geometry.HostGeometry) runs as a grain RandomMapTransform with
+    grain's per-record-visit rng — variable-size crop/pad geometry in the
+    worker processes."""
     import grain.python as grain
 
     if aspect_grouping is None:
@@ -70,19 +94,31 @@ def make_grain_loader(
         num_epochs=num_epochs,
         seed=seed,
     )
+    operations = []
+    if host_geometry is not None:
+        operations.append(_GeometryTransform(host_geometry))
+    if not aspect_grouping:
+        operations.append(grain.Batch(batch_size=batch_size,
+                                      drop_remainder=True))
     loader = grain.DataLoader(
         data_source=_Source(dataset),
         sampler=sampler,
-        operations=(
-            [] if aspect_grouping
-            else [grain.Batch(batch_size=batch_size, drop_remainder=True)]
-        ),
+        operations=operations,
         worker_count=worker_count,
     )
     if aspect_grouping:
         return _bucket_batched(iter(loader), dataset.canvas_size, batch_size)
     if not pack_images:
-        return iter(loader)
+        if host_geometry is None:
+            return iter(loader)
+
+        def unpacked():
+            for batch in loader:
+                b = dict(batch)
+                b.pop("pack_shape", None)  # host-only field
+                yield b
+
+        return unpacked()
 
     from mtlx.data.loader import pack_batch_images
 
@@ -90,7 +126,11 @@ def make_grain_loader(
         for batch in loader:
             b = dict(batch)
             if "true_shape" in b:
-                b["image"] = pack_batch_images(b["image"], b["true_shape"])
+                extents = b.pop("pack_shape", None)
+                b["image"] = pack_batch_images(
+                    b["image"],
+                    extents if extents is not None else b["true_shape"],
+                )
             yield b
 
     return packed()
@@ -118,13 +158,19 @@ def _bucket_batched(samples: Iterator[dict], canvas, batch_size: int,
     def collate(group):
         b = {k: np.stack([s[k] for s in group]) for k in group[0]}
         if "true_shape" in b:
-            b["image"] = pack_batch_images(b["image"], b["true_shape"])
+            extents = b.pop("pack_shape", None)
+            b["image"] = pack_batch_images(
+                b["image"], extents if extents is not None else b["true_shape"]
+            )
+        else:
+            b.pop("pack_shape", None)
         return b
 
     groups: dict = {}
     buffered = 0
     for s in samples:
-        k = key(s["true_shape"]) if "true_shape" in s else None
+        k = (key(s.get("pack_shape", s["true_shape"]))
+             if "true_shape" in s else None)
         groups.setdefault(k, []).append(s)
         buffered += 1
         if len(groups[k]) == batch_size:

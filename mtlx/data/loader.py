@@ -421,7 +421,12 @@ def _collate(samples: List[Dict],
         else:
             out[key] = np.stack([s[key] for s in samples])
     if pack_images and "true_shape" in out:
-        out["image"] = pack_batch_images(out["image"], out["true_shape"])
+        # with host geometry (variable-size crops/pads) the shipped pixels
+        # must cover both the resample's reads and its output true region
+        # — pack_shape is that extent (host_geometry.HostGeometry)
+        extents = out.get("pack_shape", out["true_shape"])
+        out["image"] = pack_batch_images(out["image"], extents)
+    out.pop("pack_shape", None)
     return out
 
 
@@ -494,13 +499,17 @@ def batches(
     decode_threads: int = 0,
     pack_images: bool = False,
     aspect_grouping: Optional[bool] = None,
+    host_geometry=None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Host batch iterator (shuffled each epoch with a fixed seed —
     deterministic data order, SURVEY.md §6.2). decode_threads > 0 decodes
     each batch's JPEGs through the native GIL-free thread pool.
     pack_images ships bucketed true-shape images (see _collate).
     aspect_grouping (default: on when pack_images is) batches records by
-    shared compute bucket (_grouped_epoch_order)."""
+    shared compute bucket (_grouped_epoch_order). host_geometry (a
+    host_geometry.HostGeometry) applies variable-size crop/pad geometry
+    per record visit, seeded by (seed, epoch, record) — deterministic,
+    different every epoch."""
     if aspect_grouping is None:
         aspect_grouping = pack_images
     aspect_grouping = aspect_grouping and batch_size > 1
@@ -525,6 +534,13 @@ def batches(
                 samples = dataset.get_batch(idx, decode_threads)
             else:
                 samples = [dataset.get(int(i)) for i in idx]
+            if host_geometry is not None:
+                samples = [
+                    host_geometry(
+                        s, np.random.default_rng([seed, epoch, int(i)])
+                    )
+                    for s, i in zip(samples, idx)
+                ]
             yield _collate(samples, pack_images)
         epoch += 1
 

@@ -13,8 +13,13 @@ image within the canvas).
 Geometric ops respect the true image region (e.g. horizontal flip mirrors
 only the first true_w columns). Crop-family ops produce fixed shapes by
 resampling the cropped window back onto the same canvas geometry (the
-reference emits variable-size crops and pads later; a static-shape
-pipeline cannot, so crop == crop+resize here — documented deviation).
+reference emits variable-size crops and pads later; a static-shape op
+cannot, so crop == crop+resize here). With a keep_aspect_ratio_resizer
+the training pipeline instead routes crop-family ops through
+mtlx/data/host_geometry.py, which reproduces the reference's
+variable-final-shape crop-then-resize semantics (host-drawn geometry,
+one device window-resample — apply_host_window below); the device ops
+here remain the fixed_shape_resizer path and the standalone API.
 Photometric ops act on the whole canvas; the padding region stays ~black
 and is masked out of every loss by true_shape anyway.
 """
@@ -674,6 +679,72 @@ def subtract_channel_mean(rng, sample, means=(0.0, 0.0, 0.0)):
     out = dict(sample)
     out["image"] = sample["image"] - jnp.asarray(means)
     return out
+
+
+# ---------------------------------------------------------------------------
+# host-geometry materialization (mtlx/data/host_geometry.py)
+# ---------------------------------------------------------------------------
+
+
+def apply_host_window(image, true_shape, window, src_shape, pad_color):
+    """Materialize a host-drawn variable-geometry augmentation: one
+    bilinear resample of `window` (source-canvas coords; the composed
+    crop/pad chain) onto the [0, true_shape) region of the same canvas.
+
+    Bilinear taps outside the true source region [0, src_shape) read
+    pad_color (the reference's pad fill); output pixels beyond true_shape
+    are zeroed like every other true-region op here. Boxes were already
+    transformed host-side (HostGeometry), so only pixels move.
+
+    image [H, W, 3] float; window [4] float (y0, x0, y1, x1); true_shape /
+    src_shape [2] int32; pad_color [3] float.
+    """
+    H, W = image.shape[0], image.shape[1]
+    fh = true_shape[0].astype(jnp.float32)
+    fw = true_shape[1].astype(jnp.float32)
+    wh = window[2] - window[0]
+    ww = window[3] - window[1]
+    sh = src_shape[0].astype(jnp.float32)
+    sw = src_shape[1].astype(jnp.float32)
+    # half-pixel-center bilinear, clamped at the window edge (a
+    # materialized crop would clamp there too); integer-source taps that
+    # land outside the true source region read the pad fill — that part of
+    # the window IS pad content (random_pad_image), not edge extension
+    ys = (jnp.arange(H, dtype=jnp.float32) + 0.5) * (wh / fh) - 0.5 + window[0]
+    xs = (jnp.arange(W, dtype=jnp.float32) + 0.5) * (ww / fw) - 0.5 + window[1]
+    ys = jnp.clip(ys, window[0], jnp.maximum(window[2] - 1.0, window[0]))
+    xs = jnp.clip(xs, window[1], jnp.maximum(window[3] - 1.0, window[1]))
+    y0f = jnp.floor(ys)
+    x0f = jnp.floor(xs)
+    wy = (ys - y0f)[:, None, None]
+    wx = (xs - x0f)[None, :, None]
+    pad = pad_color.astype(image.dtype)
+
+    def tap(yt, xt):
+        yv = (yt >= 0) & (yt < sh)
+        xv = (xt >= 0) & (xt < sw)
+        yi = jnp.clip(yt.astype(jnp.int32), 0, H - 1)
+        xi = jnp.clip(xt.astype(jnp.int32), 0, W - 1)
+        vals = image[yi][:, xi]
+        ok = (yv[:, None] & xv[None, :])[..., None]
+        return jnp.where(ok, vals, pad)
+
+    out = (
+        tap(y0f, x0f) * (1 - wy) * (1 - wx)
+        + tap(y0f, x0f + 1) * (1 - wy) * wx
+        + tap(y0f + 1, x0f) * wy * (1 - wx)
+        + tap(y0f + 1, x0f + 1) * wy * wx
+    )
+    rows = jnp.arange(H, dtype=jnp.float32)[:, None, None]
+    cols = jnp.arange(W, dtype=jnp.float32)[None, :, None]
+    return jnp.where((rows < fh) & (cols < fw), out, 0.0)
+
+
+def batch_apply_host_window(images, true_shapes, windows, src_shapes,
+                            pad_colors):
+    return jax.vmap(apply_host_window)(
+        images, true_shapes, windows, src_shapes, pad_colors
+    )
 
 
 # ---------------------------------------------------------------------------

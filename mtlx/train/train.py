@@ -37,6 +37,18 @@ def make_augmented_batch_fn(aug_options):
     from mtlx.data import preprocessor as prep
 
     def augment(rng, step, batch):
+        if "aug_window" in batch:
+            # host-drawn variable-size crop/pad geometry (mtlx/data/
+            # host_geometry.py): materialize the pixels with one bilinear
+            # window-resample; boxes/true_shape were rewritten host-side
+            batch = dict(batch)
+            batch["image"] = prep.batch_apply_host_window(
+                batch["image"].astype(jnp.float32),
+                batch["true_shape"],
+                batch.pop("aug_window"),
+                batch.pop("aug_src_shape"),
+                batch.pop("aug_pad_color"),
+            )
         if not aug_options:
             return batch
         aug_rng = jax.random.fold_in(rng, step)
@@ -217,12 +229,29 @@ def main(argv=None):
     )
 
     # data
+    resizer = resizer_params(_image_resizer(configs["model"]))
+    # crop/pad-family augmentations with a keep-aspect resizer change the
+    # FINAL image size like the reference's crop-then-resize pipeline:
+    # their geometry is drawn host-side and the bucket machinery computes
+    # at the real post-crop shape (mtlx/data/host_geometry.py)
+    from mtlx.data.host_geometry import HostGeometry, split_host_geometry
+
+    host_geo_ops, aug_options = split_host_geometry(aug_options, resizer)
+    host_geometry = None
+    if host_geo_ops:
+        host_geometry = HostGeometry(
+            host_geo_ops, resizer[1]["min_dimension"],
+            resizer[1]["max_dimension"], model.cfg.canvas_size,
+        )
+        print(f"[train] host-side variable-size geometry: "
+              f"{[n for n, _ in host_geo_ops]}", flush=True)
+
     input_config = configs["train_input_config"]
     paths = list(input_config.tf_record_input_reader.input_path)
     dataset = DetectionDataset(
         paths,
         canvas_size=model.cfg.canvas_size,
-        resizer=resizer_params(_image_resizer(configs["model"])),
+        resizer=resizer,
         max_boxes=model.cfg.max_gt_boxes,
         process_index=jax.process_index(),
         process_count=jax.process_count(),
@@ -296,7 +325,23 @@ def main(argv=None):
             t0 = time.time()
             shapes = achievable_bucket_shapes(dataset, batch_size)
             sample = dataset.get(0)
-            drop = {"gt_difficult", "gt_group_of", "original_shape", "source_id"}
+            if host_geometry is not None:
+                # post-crop shapes join the achievable set (max-closure
+                # with the per-record buckets), and the batch template
+                # carries the aug_* fields real batches will have
+                from mtlx.data.loader import record_bucket_keys
+
+                per = set(record_bucket_keys(dataset)) | set(
+                    host_geometry.achievable_post_buckets()
+                )
+                closed = set(per)
+                for h1, w1 in per:
+                    for h2, w2 in per:
+                        closed.add((max(h1, h2), max(w1, w2)))
+                shapes = sorted(closed)
+                sample = host_geometry(sample, np.random.default_rng(0))
+            drop = {"gt_difficult", "gt_group_of", "original_shape",
+                    "source_id", "pack_shape"}
             # the SDS leaves must carry the same sharding device_prefetch
             # commits real batches with — an unsharded SDS lowers to a
             # different cache key and the call recompiles anyway
@@ -331,12 +376,13 @@ def main(argv=None):
                 worker_count=args.grain_workers, num_epochs=num_epochs,
                 pack_images=bool(args.pack_transfer),
                 aspect_grouping=bool(args.aspect_grouping),
+                host_geometry=host_geometry,
             )
         )
     else:
         host_iter = batches(dataset, batch_size, shuffle=shuffle,
                             seed=args.seed, decode_threads=args.decode_threads,
-                            epochs=num_epochs,
+                            epochs=num_epochs, host_geometry=host_geometry,
                             pack_images=bool(args.pack_transfer),
                             aspect_grouping=bool(args.aspect_grouping))
     data_iter = device_prefetch(
