@@ -234,13 +234,6 @@ class HostGeometry:
 
     def __call__(self, sample: Dict[str, np.ndarray],
                  rng: np.random.Generator) -> Dict[str, np.ndarray]:
-        if "gt_instance_masks" in sample or "gt_keypoints" in sample:
-            # same contract as the device path: crop-family ops do not
-            # transform masks/keypoints (train.py raises there too)
-            raise ValueError(
-                "host geometry (crop/pad family) does not transform "
-                "instance masks/keypoints"
-            )
         pre_h, pre_w = (int(sample["true_shape"][0]),
                         int(sample["true_shape"][1]))
         orig = sample.get("original_shape")
@@ -280,6 +273,24 @@ class HostGeometry:
             frame.boxes * np.asarray([sy, sx, sy, sx])
         ).astype(np.float32)
         out["gt_mask"] = frame.valid
+        if "gt_keypoints" in sample:
+            # crops/pads only translate the frame, so the accumulated
+            # origin transforms keypoints directly; outside-window points
+            # become NaN (reference keypoint_ops.prune_outside_window
+            # after change_coordinate_frame in _strict_random_crop_image)
+            kp = sample["gt_keypoints"].astype(np.float64)
+            kp = (kp - np.asarray([frame.oy, frame.ox])) * np.asarray([sy, sx])
+            inside = (
+                (kp[..., 0] >= 0) & (kp[..., 0] <= fh)
+                & (kp[..., 1] >= 0) & (kp[..., 1] <= fw)
+            )
+            out["gt_keypoints"] = np.where(
+                inside[..., None], kp, np.nan
+            ).astype(np.float32)
+        # gt_instance_masks pass through untouched: they stay aligned to
+        # the SOURCE canvas (at mask_stride resolution) and the train step
+        # window-resamples them with the same aug_window the image uses
+        # (train.make_augmented_batch_fn).
         out["aug_window"] = np.asarray(
             [frame.oy, frame.ox, frame.oy + frame.h, frame.ox + frame.w],
             np.float32,

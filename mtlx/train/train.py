@@ -42,13 +42,33 @@ def make_augmented_batch_fn(aug_options):
             # host_geometry.py): materialize the pixels with one bilinear
             # window-resample; boxes/true_shape were rewritten host-side
             batch = dict(batch)
+            window = batch.pop("aug_window")
+            src_shape = batch.pop("aug_src_shape")
             batch["image"] = prep.batch_apply_host_window(
                 batch["image"].astype(jnp.float32),
                 batch["true_shape"],
-                batch.pop("aug_window"),
-                batch.pop("aug_src_shape"),
+                window,
+                src_shape,
                 batch.pop("aug_pad_color"),
             )
+            if "gt_instance_masks" in batch:
+                # instance masks ride the same window at mask_stride
+                # resolution (the [G] instances are the resample's
+                # channels); loader paste used round(true/stride), so the
+                # mask-frame extents round the same way
+                m = batch["gt_instance_masks"]  # [B, G, mh, mw]
+                ms = batch["image"].shape[1] // m.shape[2]
+                g = m.shape[1]
+                soft = prep.batch_apply_host_window(
+                    jnp.transpose(m, (0, 2, 3, 1)).astype(jnp.float32),
+                    jnp.maximum(
+                        jnp.round(batch["true_shape"] / ms), 1
+                    ).astype(jnp.int32),
+                    window / ms,
+                    jnp.maximum(jnp.round(src_shape / ms), 1).astype(jnp.int32),
+                    jnp.zeros((m.shape[0], g), jnp.float32),
+                )
+                batch["gt_instance_masks"] = jnp.transpose(soft, (0, 3, 1, 2))
         if not aug_options:
             return batch
         aug_rng = jax.random.fold_in(rng, step)

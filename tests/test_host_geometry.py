@@ -222,12 +222,84 @@ def test_deterministic_per_seed_and_varies_per_epoch():
     assert any(not np.array_equal(epochs[0], w) for w in epochs[1:])
 
 
-def test_refuses_masks_and_keypoints():
-    hg = HostGeometry([("random_crop_image", {})], 60, 100, (128, 128))
+def test_keypoints_transform_with_crop():
+    """Keypoints ride the window affine (translate by the accumulated
+    origin, scale with the keep-aspect resize); outside-window points
+    become NaN (reference prune_outside_window semantics)."""
+    hg = HostGeometry(
+        [("random_crop_image", {"min_object_covered": 0.0,
+                                "min_area": 0.2, "max_area": 0.7})],
+        60, 100, (128, 128),
+    )
     s = make_sample()
-    s["gt_instance_masks"] = np.zeros((4, 16, 16), np.uint8)
-    with pytest.raises(ValueError, match="instance masks"):
-        hg(s, np.random.default_rng(0))
+    # one keypoint inside each box corner region, one far corner
+    s["gt_keypoints"] = np.asarray(
+        [[[15.0, 20.0], [1.0, 99.0]],
+         [[30.0, 70.0], [59.0, 1.0]]] + [[[0.0, 0.0]] * 2] * 2,
+        np.float32,
+    )
+    checked = 0
+    for seed in range(12):
+        out = hg(s, np.random.default_rng(seed))
+        w = out["aug_window"].astype(np.float64)
+        wh, ww = w[2] - w[0], w[3] - w[1]
+        if (wh, ww) == (60.0, 100.0):
+            continue
+        checked += 1
+        fh, fw = out["true_shape"]
+        sy, sx = fh / wh, fw / ww
+        for g in range(2):
+            for p in range(2):
+                kp = s["gt_keypoints"][g, p].astype(np.float64)
+                expect = [(kp[0] - w[0]) * sy, (kp[1] - w[1]) * sx]
+                got = out["gt_keypoints"][g, p]
+                if (0 <= expect[0] <= fh) and (0 <= expect[1] <= fw):
+                    np.testing.assert_allclose(got, expect, atol=1e-3)
+                else:
+                    assert np.isnan(got).all(), (got, expect)
+    assert checked >= 5
+
+
+def test_masks_pass_through_and_device_resample():
+    """gt_instance_masks pass through untouched host-side; the train-step
+    resample moves them with the same window at mask-stride resolution so
+    the mask stays under its (transformed) box."""
+    hg = HostGeometry([("random_crop_image", {"min_object_covered": 1.0,
+                                              "min_area": 0.3,
+                                              "max_area": 0.8})],
+                      60, 100, (128, 128))
+    s = make_sample()
+    ms = 8
+    masks = np.zeros((4, 128 // ms, 128 // ms), np.uint8)
+    # instance 0's mask fills its box [10, 10, 40, 50] on the mask grid
+    masks[0, 2:5, 2:6] = 1
+    s["gt_instance_masks"] = masks
+    out = hg(s, np.random.default_rng(3))
+    np.testing.assert_array_equal(out["gt_instance_masks"], masks)
+    w = out["aug_window"]
+    assert tuple(w[2:] - w[:2]) != (60.0, 100.0), "crop must fire"
+
+    # device side: same resample the train step applies (per image)
+    soft = np.asarray(prep.apply_host_window(
+        jnp.asarray(masks.transpose(1, 2, 0), jnp.float32),
+        jnp.maximum(jnp.round(jnp.asarray(out["true_shape"]) / ms), 1
+                    ).astype(jnp.int32),
+        jnp.asarray(w / ms),
+        jnp.maximum(jnp.round(jnp.asarray(out["aug_src_shape"]) / ms), 1
+                    ).astype(jnp.int32),
+        jnp.zeros((4,), jnp.float32),
+    )).transpose(2, 0, 1)
+    # the transformed box, on the mask grid, is covered by mask mass
+    if out["gt_mask"][0]:
+        b = out["gt_boxes"][0] / ms
+        yc, xc = int((b[0] + b[2]) / 2), int((b[1] + b[3]) / 2)
+        assert soft[0, yc, xc] > 0.4, (b, soft[0])
+        # and (almost) no mass lands outside a 1-cell-dilated box
+        y0, x0 = max(0, int(b[0]) - 1), max(0, int(b[1]) - 1)
+        y1, x1 = int(np.ceil(b[2])) + 1, int(np.ceil(b[3])) + 1
+        outside = soft[0].copy()
+        outside[y0:y1, x0:x1] = 0
+        assert outside.max() <= 0.5, outside.max()
 
 
 def test_ssd_branch_and_pad_composition():
@@ -342,6 +414,54 @@ def test_grain_loader_with_host_geometry(tmp_path):
             assert (ts[:, 0] <= batch["image"].shape[1]).all()
             assert (ts[:, 1] <= batch["image"].shape[2]).all()
         assert seen == 2, workers
+
+
+def test_augment_fn_resamples_masks_with_window():
+    """train.make_augmented_batch_fn: a batch carrying aug_* fields gets
+    both image AND instance masks window-resampled (stride derived from
+    the shapes), and host-transformed keypoints pass through."""
+    import jax
+
+    from mtlx.train.train import make_augmented_batch_fn
+
+    hg = HostGeometry([("random_crop_image", {"min_object_covered": 1.0,
+                                              "min_area": 0.3,
+                                              "max_area": 0.8})],
+                      60, 100, (128, 128))
+    s = make_sample()
+    ms = 8
+    masks = np.zeros((4, 128 // ms, 128 // ms), np.uint8)
+    masks[0, 2:5, 2:6] = 1  # fills box [10, 10, 40, 50] on the mask grid
+    s["gt_instance_masks"] = masks
+    s["gt_keypoints"] = np.asarray(
+        [[[15.0, 20.0]], [[30.0, 70.0]], [[0.0, 0.0]], [[0.0, 0.0]]],
+        np.float32,
+    )
+    out = hg(s, np.random.default_rng(3))
+    assert tuple(out["aug_window"][2:] - out["aug_window"][:2]) != (60., 100.)
+
+    batch = {
+        k: jnp.asarray(np.asarray(v)[None])
+        for k, v in out.items()
+        if k not in ("source_id", "original_shape", "pack_shape")
+    }
+    aug = make_augmented_batch_fn([])
+    new = jax.jit(lambda b: aug(jax.random.PRNGKey(0), jnp.int32(0), b))(batch)
+    for f in AUG_FIELDS:
+        assert f not in new
+    np.testing.assert_allclose(
+        np.asarray(new["gt_keypoints"]), out["gt_keypoints"][None], atol=1e-5
+    )
+    assert new["gt_instance_masks"].shape == (1, 4, 16, 16)
+    soft = np.asarray(new["gt_instance_masks"])[0, 0]
+    assert out["gt_mask"][0]
+    b = out["gt_boxes"][0] / ms
+    yc, xc = int((b[0] + b[2]) / 2), int((b[1] + b[3]) / 2)
+    assert soft[yc, xc] > 0.4, (b, soft)
+    outside = soft.copy()
+    outside[max(0, int(b[0]) - 1):int(np.ceil(b[2])) + 1,
+            max(0, int(b[1]) - 1):int(np.ceil(b[3])) + 1] = 0
+    assert outside.max() <= 0.5
 
 
 TRAIN_CONFIG = """
