@@ -323,3 +323,151 @@ def test_mobilenet_conversion_covers_ssd_backbone(tmp_path):
     )
     assert np.isfinite(np.asarray(feats[0])).all()
     assert np.isfinite(np.asarray(feats[1])).all()
+
+
+# slim inception_v2 block channel spec: (Mixed name, in, b0, b1, b2, pool)
+# — b0/pool None marks the stride-2 reduction blocks (Mixed_4a/5a)
+_IV2_BLOCKS = [
+    ("3b", 192, 64, (64, 64), (64, 96), 32),
+    ("3c", 256, 64, (64, 96), (64, 96), 64),
+    ("4a", 320, None, (128, 160), (64, 96), None),
+    ("4b", 576, 224, (64, 96), (96, 128), 128),
+    ("4c", 576, 192, (96, 128), (96, 128), 128),
+    ("4d", 576, 160, (128, 160), (128, 160), 96),
+    ("4e", 576, 96, (128, 192), (160, 192), 96),
+    ("5a", 576, None, (128, 192), (192, 256), None),
+    ("5b", 1024, 352, (192, 320), (160, 224), 128),
+    ("5c", 1024, 352, (192, 320), (192, 224), 128),
+]
+
+
+def _slim_inception_v2_vars(rng):
+    out = {}
+
+    def conv_bn(prefix, shape):
+        c = shape[-1]
+        out[f"{prefix}/weights"] = rng.normal(0, 0.01, shape).astype(np.float32)
+        out[f"{prefix}/BatchNorm/gamma"] = rng.uniform(0.5, 1.5, (c,)).astype(np.float32)
+        out[f"{prefix}/BatchNorm/beta"] = rng.normal(0, 0.1, (c,)).astype(np.float32)
+        out[f"{prefix}/BatchNorm/moving_mean"] = rng.normal(0, 0.1, (c,)).astype(np.float32)
+        out[f"{prefix}/BatchNorm/moving_variance"] = rng.uniform(0.5, 1.5, (c,)).astype(np.float32)
+
+    # separable stem: depthwise [7,7,3,8] + pointwise [1,1,24,64], one BN
+    out["InceptionV2/Conv2d_1a_7x7/depthwise_weights"] = rng.normal(
+        0, 0.01, (7, 7, 3, 8)).astype(np.float32)
+    out["InceptionV2/Conv2d_1a_7x7/pointwise_weights"] = rng.normal(
+        0, 0.01, (1, 1, 24, 64)).astype(np.float32)
+    for leaf, lo, hi in (("gamma", 0.5, 1.5), ("beta", -0.1, 0.1),
+                         ("moving_mean", -0.1, 0.1), ("moving_variance", 0.5, 1.5)):
+        out[f"InceptionV2/Conv2d_1a_7x7/BatchNorm/{leaf}"] = rng.uniform(
+            lo, hi, (64,)).astype(np.float32)
+    conv_bn("InceptionV2/Conv2d_2b_1x1", (1, 1, 64, 64))
+    conv_bn("InceptionV2/Conv2d_2c_3x3", (3, 3, 64, 192))
+    for blk, cin, b0, b1, b2, pool in _IV2_BLOCKS:
+        base = f"InceptionV2/Mixed_{blk}"
+        if b0 is None:  # reduction block scopes
+            conv_bn(f"{base}/Branch_0/Conv2d_0a_1x1", (1, 1, cin, b1[0]))
+            conv_bn(f"{base}/Branch_0/Conv2d_1a_3x3", (3, 3, b1[0], b1[1]))
+            conv_bn(f"{base}/Branch_1/Conv2d_0a_1x1", (1, 1, cin, b2[0]))
+            conv_bn(f"{base}/Branch_1/Conv2d_0b_3x3", (3, 3, b2[0], b2[1]))
+            conv_bn(f"{base}/Branch_1/Conv2d_1a_3x3", (3, 3, b2[1], b2[1]))
+        else:
+            conv_bn(f"{base}/Branch_0/Conv2d_0a_1x1", (1, 1, cin, b0))
+            conv_bn(f"{base}/Branch_1/Conv2d_0a_1x1", (1, 1, cin, b1[0]))
+            conv_bn(f"{base}/Branch_1/Conv2d_0b_3x3", (3, 3, b1[0], b1[1]))
+            conv_bn(f"{base}/Branch_2/Conv2d_0a_1x1", (1, 1, cin, b2[0]))
+            conv_bn(f"{base}/Branch_2/Conv2d_0b_3x3", (3, 3, b2[0], b2[1]))
+            conv_bn(f"{base}/Branch_2/Conv2d_0c_3x3", (3, 3, b2[1], b2[1]))
+            conv_bn(f"{base}/Branch_3/Conv2d_0b_1x1", (1, 1, cin, pool))
+    # classifier head: must be skipped by the mapper
+    out["InceptionV2/Logits/Conv2d_1c_1x1/weights"] = rng.normal(
+        0, 0.01, (1, 1, 1024, 10)).astype(np.float32)
+    out["InceptionV2/Logits/Conv2d_1c_1x1/biases"] = np.zeros((10,), np.float32)
+    return out
+
+
+def test_inception_v2_conversion_covers_ssd_backbone(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from mtlx.backbones.inception_v2 import InceptionV2
+
+    rng = np.random.RandomState(0)
+    values = _slim_inception_v2_vars(rng)
+    ckpt = str(tmp_path / "iv2.ckpt")
+    _write_tf_checkpoint(values, ckpt)
+    variables, n_conv, n_skip = convert_checkpoint.convert(
+        ckpt, "classification", 0, arch="inception_v2"
+    )
+    assert n_skip == 2  # only the Logits head is unmapped
+    assert n_conv == len(values) - 2
+
+    # separable-stem depthwise reshape: [7,7,3,8] slim (channel-major
+    # depthwise output) -> [7,7,1,24] flax grouped-conv kernel
+    dw = variables["params"]["backbone"]["conv1"]["depthwise"]["kernel"]
+    assert dw.shape == (7, 7, 1, 24)
+    src = values["InceptionV2/Conv2d_1a_7x7/depthwise_weights"]
+    np.testing.assert_array_equal(
+        dw[..., 0, :], src.reshape(7, 7, 24)
+    )
+
+    model = InceptionV2(dtype=jnp.float32)
+    init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    flat_model = _flatten(init["params"])
+    flat_conv = _flatten(variables["params"]["backbone"])
+    missing = [k for k in flat_model if k not in flat_conv
+               or flat_conv[k].shape != flat_model[k].shape]
+    assert missing == [], missing[:5]
+    extra = [k for k in flat_conv if k not in flat_model]
+    assert extra == [], extra[:5]
+    feats = model.apply(
+        {"params": variables["params"]["backbone"],
+         "batch_stats": variables["batch_stats"]["backbone"]},
+        jnp.ones((1, 64, 64, 3)),
+    )
+    assert np.isfinite(np.asarray(feats[0])).all()
+    assert np.isfinite(np.asarray(feats[1])).all()
+
+
+def test_inception_v2_frcnn_target_layout(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from mtlx.backbones.inception_v2 import (
+        InceptionV2BoxClassifierFeatures,
+        InceptionV2ProposalFeatures,
+    )
+
+    rng = np.random.RandomState(1)
+    values = _slim_inception_v2_vars(rng)
+    ckpt = str(tmp_path / "iv2f.ckpt")
+    _write_tf_checkpoint(values, ckpt)
+    variables, _, _ = convert_checkpoint.convert(
+        ckpt, "classification", 0, arch="inception_v2", target="frcnn"
+    )
+
+    # full net under backbone/body, Mixed_5a..5c copied to the
+    # second-stage branch (its own params, like the reference's
+    # SecondStageFeatureExtractor)
+    prop = InceptionV2ProposalFeatures(dtype=jnp.float32)
+    pinit = prop.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    flat_model = _flatten(pinit["params"])
+    flat_conv = _flatten(variables["params"]["backbone"])
+    missing = [k for k in flat_model if k not in flat_conv
+               or flat_conv[k].shape != flat_model[k].shape]
+    assert missing == [], missing[:5]
+
+    cls = InceptionV2BoxClassifierFeatures(dtype=jnp.float32)
+    cinit = cls.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 576)))
+    flat_cmodel = _flatten(cinit["params"])
+    flat_cconv = _flatten(variables["params"]["classifier_backbone"])
+    missing = [k for k in flat_cmodel if k not in flat_cconv
+               or flat_cconv[k].shape != flat_cmodel[k].shape]
+    assert missing == [], missing[:5]
+    roi = cls.apply(
+        {"params": variables["params"]["classifier_backbone"],
+         "batch_stats": variables["batch_stats"]["classifier_backbone"]},
+        jnp.ones((2, 4, 4, 576)),
+    )
+    assert roi.shape[-1] == 1024
+    assert np.isfinite(np.asarray(roi)).all()

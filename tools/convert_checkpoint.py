@@ -142,6 +142,118 @@ def map_slim_mobilenet_name(name: str, depth: int = 0):
     return None
 
 
+# slim inception_v2 branch-scope -> mtlx ConvBN name (normal mixed block)
+_IV2_BRANCH = {
+    ("Branch_0", "Conv2d_0a_1x1"): "b0",
+    ("Branch_1", "Conv2d_0a_1x1"): "b1a",
+    ("Branch_1", "Conv2d_0b_3x3"): "b1b",
+    ("Branch_2", "Conv2d_0a_1x1"): "b2a",
+    ("Branch_2", "Conv2d_0b_3x3"): "b2b",
+    ("Branch_2", "Conv2d_0c_3x3"): "b2c",
+    ("Branch_3", "Conv2d_0b_1x1"): "pool_proj",
+}
+# stride-2 reduction blocks (Mixed_4a, Mixed_5a) use different scopes
+_IV2_BRANCH_REDUCTION = {
+    ("Branch_0", "Conv2d_0a_1x1"): "b1a",
+    ("Branch_0", "Conv2d_1a_3x3"): "b1b",
+    ("Branch_1", "Conv2d_0a_1x1"): "b2a",
+    ("Branch_1", "Conv2d_0b_3x3"): "b2b",
+    ("Branch_1", "Conv2d_1a_3x3"): "b2c",
+}
+_IV2_REDUCTIONS = frozenset({"4a", "5a"})
+_IV2_STEM_CONVS = {"Conv2d_2b_1x1": "conv2a", "Conv2d_2c_3x3": "conv2b"}
+
+
+def map_slim_inception_v2_name(name: str, depth: int = 0):
+    """slim InceptionV2 checkpoint (reference slim/nets/inception_v2.py)
+    -> mtlx backbones/inception_v2.InceptionV2 tree rooted at `backbone`
+    (the ssd_inception_v2 layout; convert() restructures for the FRCNN
+    body/classifier split). The separable 7x7 stem's depthwise kernel
+    reshapes [7,7,in,mult] -> [7,7,1,in*mult]: TF depthwise output
+    channel ordering is channel-major (c*mult+m), which is exactly
+    flax/XLA's grouped-conv output layout, so a C-order reshape is the
+    whole transform."""
+    prefix = "InceptionV2/"
+    for strip in ("FirstStageFeatureExtractor/", "SecondStageFeatureExtractor/"):
+        if name.startswith(strip):
+            name = name[len(strip):]
+    if not name.startswith(prefix):
+        return None
+    name = name[len(prefix):]
+
+    def bn_leaf(leaf):
+        return {
+            "gamma": ("params", "scale"),
+            "beta": ("params", "bias"),
+            "moving_mean": ("batch_stats", "mean"),
+            "moving_variance": ("batch_stats", "var"),
+        }.get(leaf)
+
+    m = re.match(
+        r"Conv2d_1a_7x7/(depthwise_weights|pointwise_weights|BatchNorm/(\w+))$",
+        name,
+    )
+    if m:
+        leaf, bn = m.groups()
+        if leaf == "depthwise_weights":
+            return ("params", ("backbone", "conv1", "depthwise", "kernel"),
+                    lambda v: v.reshape(v.shape[0], v.shape[1], 1, -1))
+        if leaf == "pointwise_weights":
+            return "params", ("backbone", "conv1", "pointwise", "conv", "kernel")
+        mapped = bn_leaf(bn)
+        if mapped:  # slim separable_conv2d: one BN after the pointwise
+            return mapped[0], ("backbone", "conv1", "pointwise", "bn", mapped[1])
+        return None
+    m = re.match(r"(Conv2d_2b_1x1|Conv2d_2c_3x3)/(weights|BatchNorm/(\w+))$", name)
+    if m:
+        conv, leaf, bn = m.groups()
+        base = ("backbone", _IV2_STEM_CONVS[conv])
+        if leaf == "weights":
+            return "params", base + ("conv", "kernel")
+        mapped = bn_leaf(bn)
+        if mapped:
+            return mapped[0], base + ("bn", mapped[1])
+        return None
+    m = re.match(
+        r"Mixed_(\d\w)/(Branch_\d)/(Conv2d_\w+)/(weights|BatchNorm/(\w+))$",
+        name,
+    )
+    if m:
+        blk, branch, conv, leaf, bn = m.groups()
+        table = _IV2_BRANCH_REDUCTION if blk in _IV2_REDUCTIONS else _IV2_BRANCH
+        sub = table.get((branch, conv))
+        if sub is None:
+            return None
+        base = ("backbone", f"mixed_{blk.lower()}", sub)
+        if leaf == "weights":
+            return "params", base + ("conv", "kernel")
+        mapped = bn_leaf(bn)
+        if mapped:
+            return mapped[0], base + ("bn", mapped[1])
+    return None
+
+
+def restructure_inception_v2_for_frcnn(params: dict, batch_stats: dict):
+    """SSD-layout inception tree -> the FRCNN extractor layout: the full
+    net under backbone/body (InceptionV2ProposalFeatures) and a copy of
+    Mixed_5a..5c under classifier_backbone (InceptionV2BoxClassifier-
+    Features has its own second-stage branch params, as the reference's
+    SecondStageFeatureExtractor does)."""
+    import copy
+
+    for tree in (params, batch_stats):
+        body = tree.pop("backbone", {})
+        cls = {
+            k: copy.deepcopy(body[k])
+            for k in ("mixed_5a", "mixed_5b", "mixed_5c")
+            if k in body
+        }
+        if body:
+            tree["backbone"] = {"body": body}
+        if cls:
+            tree["classifier_backbone"] = cls
+
+
 def map_od_api_name(name: str, depth: int):
     """TF OD API detection-checkpoint names (RPN + box predictor heads)."""
     mapped = map_slim_resnet_name(name, depth)
@@ -171,7 +283,7 @@ def map_od_api_name(name: str, depth: int):
 
 
 def convert(tf_checkpoint: str, ckpt_type: str, depth: int,
-            arch: str = "resnet"):
+            arch: str = "resnet", target: str = "ssd"):
     import tensorflow as tf
 
     reader = tf.train.load_checkpoint(tf_checkpoint)
@@ -180,6 +292,8 @@ def convert(tf_checkpoint: str, ckpt_type: str, depth: int,
     batch_stats: dict = {}
     if arch == "mobilenet_v1":
         mapper = map_slim_mobilenet_name
+    elif arch == "inception_v2":
+        mapper = map_slim_inception_v2_name
     elif ckpt_type == "classification":
         mapper = map_slim_resnet_name
     else:
@@ -206,6 +320,8 @@ def convert(tf_checkpoint: str, ckpt_type: str, depth: int,
         else:
             _set(batch_stats, path, value)
         converted += 1
+    if arch == "inception_v2" and target == "frcnn":
+        restructure_inception_v2_for_frcnn(params, batch_stats)
     return {"params": params, "batch_stats": batch_stats}, converted, skipped
 
 
@@ -215,16 +331,30 @@ def main():
     p.add_argument("--type", dest="ckpt_type", default="classification",
                    choices=["classification", "detection"])
     p.add_argument("--arch", default="resnet",
-                   choices=["resnet", "mobilenet_v1"],
-                   help="source network family (mobilenet_v1: slim "
-                        "MobilenetV1 classification checkpoints for SSD "
-                        "backbone warm start)")
+                   choices=["resnet", "mobilenet_v1", "inception_v2"],
+                   help="source network family (mobilenet_v1 / inception_v2: "
+                        "slim classification checkpoints for backbone warm "
+                        "start)")
+    p.add_argument("--target", default="ssd", choices=["ssd", "frcnn"],
+                   help="inception_v2 only: ssd lays the tree under "
+                        "`backbone` (ssd_inception_v2); frcnn splits it "
+                        "into backbone/body + classifier_backbone "
+                        "(faster_rcnn_inception_v2)")
     p.add_argument("--depth", type=int, default=50, choices=[50, 101, 152])
     p.add_argument("--output", required=True)
     args = p.parse_args()
 
+    # conversion is pure host work (TF reader -> numpy -> orbax save);
+    # run on the CPU backend so the CLI never dials a TPU (env-var
+    # JAX_PLATFORMS is overridden by this environment's sitecustomize,
+    # so set it via jax.config before first backend use)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     variables, converted, skipped = convert(
-        args.tf_checkpoint, args.ckpt_type, args.depth, args.arch
+        args.tf_checkpoint, args.ckpt_type, args.depth, args.arch,
+        args.target,
     )
     from mtlx.train.checkpoints import save_variables
 
