@@ -213,3 +213,73 @@ def test_grain_loader_multiprocess_workers(tmp_path):
     ))
     assert len(batches) == 3
     assert batches[0]["image"].shape == (2, 32, 32, 3)
+
+
+def test_grain_workers_with_host_geometry(tmp_path):
+    """The production keep-aspect composition: multiprocess workers x
+    host-drawn crop geometry x packed transfer. HostGeometry must pickle
+    into the worker, run per-visit deterministically, and emit the aug_*
+    fields the device window-resample consumes."""
+    import io
+
+    from PIL import Image
+
+    from mtlx.data import tfrecord
+    from mtlx.data.example_decoder import build_example
+    from mtlx.data.grain_loader import make_grain_loader
+    from mtlx.data.host_geometry import HostGeometry
+    from mtlx.data.loader import DetectionDataset
+
+    record = str(tmp_path / "hgw.record")
+    with tfrecord.TFRecordWriter(record) as w:
+        for i in range(6):
+            buf = io.BytesIO()
+            Image.fromarray(
+                np.full((40, 60, 3), 20 + i * 30, np.uint8)
+            ).save(buf, format="JPEG")
+            w.write(
+                build_example(
+                    buf.getvalue(), b"jpeg", 40, 60, f"h{i}.jpg",
+                    np.asarray([[0.1, 0.1, 0.9, 0.9]], np.float32), [1], ["a"],
+                ).SerializeToString()
+            )
+    ds = DetectionDataset(
+        [record], canvas_size=(64, 64),
+        resizer=("keep_aspect", {"min_dimension": 48, "max_dimension": 64}),
+        max_boxes=3,
+    )
+    hg = HostGeometry(
+        [("random_crop_image",
+          dict(min_object_covered=0.5, min_area=0.5, max_area=1.0))],
+        48, 64, (64, 64),
+    )
+
+    def collect():
+        return list(make_grain_loader(
+            ds, batch_size=2, num_epochs=1, seed=3, worker_count=1,
+            pack_images=True, host_geometry=hg,
+        ))
+
+    batches = collect()
+    assert len(batches) == 3
+    for b in batches:
+        for f in ("aug_window", "aug_src_shape", "aug_pad_color"):
+            assert f in b, sorted(b)
+        assert "pack_shape" not in b  # host-only field must not ship
+        assert b["image"].shape[1] <= 64 and b["image"].shape[2] <= 64
+        # post-crop keep-aspect shapes stay within the canvas
+        assert (b["true_shape"] <= 64).all()
+        assert np.isfinite(b["aug_window"]).all()
+    # at least one visit actually cropped (window != full source frame)
+    windows = np.concatenate([b["aug_window"] for b in batches])
+    srcs = np.concatenate([b["aug_src_shape"] for b in batches])
+    full = (
+        (windows[:, 0] == 0) & (windows[:, 1] == 0)
+        & (windows[:, 2] == srcs[:, 0]) & (windows[:, 3] == srcs[:, 1])
+    )
+    assert not full.all()
+    # per-visit rng is seeded by the sampler: same seed -> same stream
+    again = collect()
+    for a, b in zip(batches, again):
+        np.testing.assert_array_equal(a["aug_window"], b["aug_window"])
+        np.testing.assert_array_equal(a["true_shape"], b["true_shape"])
