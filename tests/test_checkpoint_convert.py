@@ -471,3 +471,121 @@ def test_inception_v2_frcnn_target_layout(tmp_path):
     )
     assert roi.shape[-1] == 1024
     assert np.isfinite(np.asarray(roi)).all()
+
+
+def _slim_inception_resnet_v2_vars(rng):
+    out = {}
+
+    def conv_bn(prefix, shape):
+        c = shape[-1]
+        out[f"{prefix}/weights"] = rng.normal(0, 0.01, shape).astype(np.float32)
+        out[f"{prefix}/BatchNorm/gamma"] = rng.uniform(0.5, 1.5, (c,)).astype(np.float32)
+        out[f"{prefix}/BatchNorm/beta"] = rng.normal(0, 0.1, (c,)).astype(np.float32)
+        out[f"{prefix}/BatchNorm/moving_mean"] = rng.normal(0, 0.1, (c,)).astype(np.float32)
+        out[f"{prefix}/BatchNorm/moving_variance"] = rng.uniform(0.5, 1.5, (c,)).astype(np.float32)
+
+    P = "InceptionResnetV2"
+    conv_bn(f"{P}/Conv2d_1a_3x3", (3, 3, 3, 32))
+    conv_bn(f"{P}/Conv2d_2a_3x3", (3, 3, 32, 32))
+    conv_bn(f"{P}/Conv2d_2b_3x3", (3, 3, 32, 64))
+    conv_bn(f"{P}/Conv2d_3b_1x1", (1, 1, 64, 80))
+    conv_bn(f"{P}/Conv2d_4a_3x3", (3, 3, 80, 192))
+    conv_bn(f"{P}/Mixed_5b/Branch_0/Conv2d_1x1", (1, 1, 192, 96))
+    conv_bn(f"{P}/Mixed_5b/Branch_1/Conv2d_0a_1x1", (1, 1, 192, 48))
+    conv_bn(f"{P}/Mixed_5b/Branch_1/Conv2d_0b_5x5", (5, 5, 48, 64))
+    conv_bn(f"{P}/Mixed_5b/Branch_2/Conv2d_0a_1x1", (1, 1, 192, 64))
+    conv_bn(f"{P}/Mixed_5b/Branch_2/Conv2d_0b_3x3", (3, 3, 64, 96))
+    conv_bn(f"{P}/Mixed_5b/Branch_2/Conv2d_0c_3x3", (3, 3, 96, 96))
+    conv_bn(f"{P}/Mixed_5b/Branch_3/Conv2d_0b_1x1", (1, 1, 192, 64))
+    for i in range(1, 11):  # block35 x10 (in 320)
+        b = f"{P}/Repeat/block35_{i}"
+        conv_bn(f"{b}/Branch_0/Conv2d_1x1", (1, 1, 320, 32))
+        conv_bn(f"{b}/Branch_1/Conv2d_0a_1x1", (1, 1, 320, 32))
+        conv_bn(f"{b}/Branch_1/Conv2d_0b_3x3", (3, 3, 32, 32))
+        conv_bn(f"{b}/Branch_2/Conv2d_0a_1x1", (1, 1, 320, 32))
+        conv_bn(f"{b}/Branch_2/Conv2d_0b_3x3", (3, 3, 32, 48))
+        conv_bn(f"{b}/Branch_2/Conv2d_0c_3x3", (3, 3, 48, 64))
+        out[f"{b}/Conv2d_1x1/weights"] = rng.normal(0, 0.01, (1, 1, 128, 320)).astype(np.float32)
+        out[f"{b}/Conv2d_1x1/biases"] = np.zeros((320,), np.float32)
+    conv_bn(f"{P}/Mixed_6a/Branch_0/Conv2d_1a_3x3", (3, 3, 320, 384))
+    conv_bn(f"{P}/Mixed_6a/Branch_1/Conv2d_0a_1x1", (1, 1, 320, 256))
+    conv_bn(f"{P}/Mixed_6a/Branch_1/Conv2d_0b_3x3", (3, 3, 256, 256))
+    conv_bn(f"{P}/Mixed_6a/Branch_1/Conv2d_1a_3x3", (3, 3, 256, 384))
+    for i in range(1, 21):  # block17 x20 (in 1088)
+        b = f"{P}/Repeat_1/block17_{i}"
+        conv_bn(f"{b}/Branch_0/Conv2d_1x1", (1, 1, 1088, 192))
+        conv_bn(f"{b}/Branch_1/Conv2d_0a_1x1", (1, 1, 1088, 128))
+        conv_bn(f"{b}/Branch_1/Conv2d_0b_1x7", (1, 7, 128, 160))
+        conv_bn(f"{b}/Branch_1/Conv2d_0c_7x1", (7, 1, 160, 192))
+        out[f"{b}/Conv2d_1x1/weights"] = rng.normal(0, 0.01, (1, 1, 384, 1088)).astype(np.float32)
+        out[f"{b}/Conv2d_1x1/biases"] = np.zeros((1088,), np.float32)
+    conv_bn(f"{P}/Mixed_7a/Branch_0/Conv2d_0a_1x1", (1, 1, 1088, 256))
+    conv_bn(f"{P}/Mixed_7a/Branch_0/Conv2d_1a_3x3", (3, 3, 256, 384))
+    conv_bn(f"{P}/Mixed_7a/Branch_1/Conv2d_0a_1x1", (1, 1, 1088, 256))
+    conv_bn(f"{P}/Mixed_7a/Branch_1/Conv2d_1a_3x3", (3, 3, 256, 288))
+    conv_bn(f"{P}/Mixed_7a/Branch_2/Conv2d_0a_1x1", (1, 1, 1088, 256))
+    conv_bn(f"{P}/Mixed_7a/Branch_2/Conv2d_0b_3x3", (3, 3, 256, 288))
+    conv_bn(f"{P}/Mixed_7a/Branch_2/Conv2d_1a_3x3", (3, 3, 288, 320))
+    def block8(scope):
+        conv_bn(f"{scope}/Branch_0/Conv2d_1x1", (1, 1, 2080, 192))
+        conv_bn(f"{scope}/Branch_1/Conv2d_0a_1x1", (1, 1, 2080, 192))
+        conv_bn(f"{scope}/Branch_1/Conv2d_0b_1x3", (1, 3, 192, 224))
+        conv_bn(f"{scope}/Branch_1/Conv2d_0c_3x1", (3, 1, 224, 256))
+        out[f"{scope}/Conv2d_1x1/weights"] = rng.normal(0, 0.01, (1, 1, 448, 2080)).astype(np.float32)
+        out[f"{scope}/Conv2d_1x1/biases"] = np.zeros((2080,), np.float32)
+    for i in range(1, 10):  # block8 x9 + the standalone relu-less Block8
+        block8(f"{P}/Repeat_2/block8_{i}")
+    block8(f"{P}/Block8")
+    conv_bn(f"{P}/Conv2d_7b_1x1", (1, 1, 2080, 1536))
+    # classifier heads: must be skipped
+    out[f"{P}/Logits/Logits/weights"] = rng.normal(0, 0.01, (1536, 10)).astype(np.float32)
+    out[f"{P}/Logits/Logits/biases"] = np.zeros((10,), np.float32)
+    return out
+
+
+def test_inception_resnet_v2_conversion_covers_frcnn_split(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from mtlx.backbones.inception_resnet_v2 import (
+        InceptionResnetV2BoxClassifierFeatures,
+        InceptionResnetV2ProposalFeatures,
+    )
+
+    rng = np.random.RandomState(2)
+    values = _slim_inception_resnet_v2_vars(rng)
+    ckpt = str(tmp_path / "irv2.ckpt")
+    _write_tf_checkpoint(values, ckpt)
+    variables, n_conv, n_skip = convert_checkpoint.convert(
+        ckpt, "classification", 0, arch="inception_resnet_v2"
+    )
+    assert n_skip == 2  # only the Logits head is unmapped
+    assert n_conv == len(values) - 2
+
+    prop = InceptionResnetV2ProposalFeatures(dtype=jnp.float32)
+    pinit = prop.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    flat_model = _flatten(pinit["params"])
+    flat_conv = _flatten(variables["params"]["backbone"])
+    missing = [k for k in flat_model if k not in flat_conv
+               or flat_conv[k].shape != flat_model[k].shape]
+    assert missing == [], missing[:5]
+    extra = [k for k in flat_conv if k not in flat_model]
+    assert extra == [], extra[:5]
+
+    cls = InceptionResnetV2BoxClassifierFeatures(dtype=jnp.float32)
+    cinit = cls.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 1088)))
+    flat_cmodel = _flatten(cinit["params"])
+    flat_cconv = _flatten(variables["params"]["classifier_backbone"])
+    missing = [k for k in flat_cmodel if k not in flat_cconv
+               or flat_cconv[k].shape != flat_cmodel[k].shape]
+    assert missing == [], missing[:5]
+    extra = [k for k in flat_cconv if k not in flat_cmodel]
+    assert extra == [], extra[:5]
+
+    roi = cls.apply(
+        {"params": variables["params"]["classifier_backbone"],
+         "batch_stats": variables["batch_stats"]["classifier_backbone"]},
+        jnp.ones((1, 4, 4, 1088)),
+    )
+    assert roi.shape[-1] == 1536
+    assert np.isfinite(np.asarray(roi)).all()

@@ -233,6 +233,153 @@ def map_slim_inception_v2_name(name: str, depth: int = 0):
     return None
 
 
+# slim InceptionResnetV2 scope -> mtlx ConvBN name, per enclosing block.
+# Roots: everything through the block17 repeats is the first-stage
+# extractor ("backbone"); Mixed_7a/block8/Conv2d_7b are the second-stage
+# branch ("classifier_backbone"), as in the reference's
+# FirstStage/SecondStageFeatureExtractor split.
+_IRV2_STEM = {
+    "Conv2d_1a_3x3": "conv1", "Conv2d_2a_3x3": "conv2",
+    "Conv2d_2b_3x3": "conv3", "Conv2d_3b_1x1": "conv4",
+    "Conv2d_4a_3x3": "conv5",
+}
+_IRV2_MIXED = {
+    "Mixed_5b": ("backbone", {
+        ("Branch_0", "Conv2d_1x1"): "m5b_b0",
+        ("Branch_1", "Conv2d_0a_1x1"): "m5b_b1a",
+        ("Branch_1", "Conv2d_0b_5x5"): "m5b_b1b",
+        ("Branch_2", "Conv2d_0a_1x1"): "m5b_b2a",
+        ("Branch_2", "Conv2d_0b_3x3"): "m5b_b2b",
+        ("Branch_2", "Conv2d_0c_3x3"): "m5b_b2c",
+        ("Branch_3", "Conv2d_0b_1x1"): "m5b_b3",
+    }),
+    "Mixed_6a": ("backbone", {
+        ("Branch_0", "Conv2d_1a_3x3"): "m6a_b0",
+        ("Branch_1", "Conv2d_0a_1x1"): "m6a_b1a",
+        ("Branch_1", "Conv2d_0b_3x3"): "m6a_b1b",
+        ("Branch_1", "Conv2d_1a_3x3"): "m6a_b1c",
+    }),
+    "Mixed_7a": ("classifier_backbone", {
+        ("Branch_0", "Conv2d_0a_1x1"): "m7a_b0a",
+        ("Branch_0", "Conv2d_1a_3x3"): "m7a_b0b",
+        ("Branch_1", "Conv2d_0a_1x1"): "m7a_b1a",
+        ("Branch_1", "Conv2d_1a_3x3"): "m7a_b1b",
+        ("Branch_2", "Conv2d_0a_1x1"): "m7a_b2a",
+        ("Branch_2", "Conv2d_0b_3x3"): "m7a_b2b",
+        ("Branch_2", "Conv2d_1a_3x3"): "m7a_b2c",
+    }),
+}
+_IRV2_RESIDUAL = {
+    "block35": ("backbone", {
+        ("Branch_0", "Conv2d_1x1"): "b0",
+        ("Branch_1", "Conv2d_0a_1x1"): "b1a",
+        ("Branch_1", "Conv2d_0b_3x3"): "b1b",
+        ("Branch_2", "Conv2d_0a_1x1"): "b2a",
+        ("Branch_2", "Conv2d_0b_3x3"): "b2b",
+        ("Branch_2", "Conv2d_0c_3x3"): "b2c",
+    }),
+    "block17": ("backbone", {
+        ("Branch_0", "Conv2d_1x1"): "b0",
+        ("Branch_1", "Conv2d_0a_1x1"): "b1a",
+        ("Branch_1", "Conv2d_0b_1x7"): "b1b",
+        ("Branch_1", "Conv2d_0c_7x1"): "b1c",
+    }),
+    "block8": ("classifier_backbone", {
+        ("Branch_0", "Conv2d_1x1"): "b0",
+        ("Branch_1", "Conv2d_0a_1x1"): "b1a",
+        ("Branch_1", "Conv2d_0b_1x3"): "b1b",
+        ("Branch_1", "Conv2d_0c_3x1"): "b1c",
+    }),
+}
+
+
+def map_slim_inception_resnet_v2_name(name: str, depth: int = 0):
+    """slim InceptionResnetV2 checkpoint (reference slim/nets/
+    inception_resnet_v2.py) -> mtlx backbones/inception_resnet_v2 trees:
+    stem..block17 repeats under `backbone` (InceptionResnetV2Proposal-
+    Features), Mixed_7a/block8/Conv2d_7b under `classifier_backbone`
+    (InceptionResnetV2BoxClassifierFeatures) — the FRCNN extractor
+    layout. Residual blocks' projection conv (`Conv2d_1x1` directly
+    under the block scope, with biases, no BN) maps to `up`."""
+    prefix = "InceptionResnetV2/"
+    for strip in ("FirstStageFeatureExtractor/", "SecondStageFeatureExtractor/"):
+        if name.startswith(strip):
+            name = name[len(strip):]
+    if not name.startswith(prefix):
+        return None
+    name = name[len(prefix):]
+
+    def bn_leaf(leaf):
+        return {
+            "gamma": ("params", "scale"),
+            "beta": ("params", "bias"),
+            "moving_mean": ("batch_stats", "mean"),
+            "moving_variance": ("batch_stats", "var"),
+        }.get(leaf)
+
+    def conv_bn(base, leaf, bn):
+        if leaf == "weights":
+            return "params", base + ("conv", "kernel")
+        mapped = bn_leaf(bn)
+        if mapped:
+            return mapped[0], base + ("bn", mapped[1])
+        return None
+
+    # stem + tail plain convs
+    m = re.match(r"(Conv2d_\w+)/(weights|BatchNorm/(\w+))$", name)
+    if m:
+        conv, leaf, bn = m.groups()
+        if conv == "Conv2d_7b_1x1":
+            return conv_bn(("classifier_backbone", "conv7b"), leaf, bn)
+        sub = _IRV2_STEM.get(conv)
+        if sub is None:
+            return None
+        return conv_bn(("backbone", sub), leaf, bn)
+    # mixed blocks
+    m = re.match(
+        r"(Mixed_\w+)/(Branch_\d)/(Conv2d_\w+)/(weights|BatchNorm/(\w+))$",
+        name,
+    )
+    if m:
+        blk, branch, conv, leaf, bn = m.groups()
+        root_table = _IRV2_MIXED.get(blk)
+        if root_table is None:
+            return None
+        root, table = root_table
+        sub = table.get((branch, conv))
+        if sub is None:
+            return None
+        return conv_bn((root, sub), leaf, bn)
+    # residual blocks: slim.repeat scopes Repeat/Repeat_1/Repeat_2 (the
+    # OD-API second stage may nest them differently — match by block name);
+    # the standalone relu-less `Block8` scope is mtlx block8_10
+    m = re.match(
+        r"(?:Repeat(?:_\d)?/)?(block35_\d+|block17_\d+|block8_\d+|Block8)/"
+        r"(?:(Branch_\d)/)?(Conv2d_\w+)/"
+        r"(weights|biases|BatchNorm/(\w+))$",
+        name,
+    )
+    if m:
+        blk, branch, conv, leaf, bn = m.groups()
+        if blk == "Block8":
+            blk = "block8_10"
+        kind = blk.split("_")[0]
+        root, table = _IRV2_RESIDUAL[kind]
+        if branch is None:
+            if conv != "Conv2d_1x1":
+                return None
+            if leaf == "weights":
+                return "params", (root, blk, "up", "kernel")
+            if leaf == "biases":
+                return "params", (root, blk, "up", "bias")
+            return None
+        sub = table.get((branch, conv))
+        if sub is None:
+            return None
+        return conv_bn((root, blk, sub), leaf, bn)
+    return None
+
+
 def restructure_inception_v2_for_frcnn(params: dict, batch_stats: dict):
     """SSD-layout inception tree -> the FRCNN extractor layout: the full
     net under backbone/body (InceptionV2ProposalFeatures) and a copy of
@@ -294,6 +441,8 @@ def convert(tf_checkpoint: str, ckpt_type: str, depth: int,
         mapper = map_slim_mobilenet_name
     elif arch == "inception_v2":
         mapper = map_slim_inception_v2_name
+    elif arch == "inception_resnet_v2":
+        mapper = map_slim_inception_resnet_v2_name
     elif ckpt_type == "classification":
         mapper = map_slim_resnet_name
     else:
@@ -331,10 +480,13 @@ def main():
     p.add_argument("--type", dest="ckpt_type", default="classification",
                    choices=["classification", "detection"])
     p.add_argument("--arch", default="resnet",
-                   choices=["resnet", "mobilenet_v1", "inception_v2"],
-                   help="source network family (mobilenet_v1 / inception_v2: "
-                        "slim classification checkpoints for backbone warm "
-                        "start)")
+                   choices=["resnet", "mobilenet_v1", "inception_v2",
+                            "inception_resnet_v2"],
+                   help="source network family (mobilenet_v1 / inception_v2 "
+                        "/ inception_resnet_v2: slim classification "
+                        "checkpoints for backbone warm start; "
+                        "inception_resnet_v2 emits the FRCNN "
+                        "backbone/classifier_backbone split directly)")
     p.add_argument("--target", default="ssd", choices=["ssd", "frcnn"],
                    help="inception_v2 only: ssd lays the tree under "
                         "`backbone` (ssd_inception_v2); frcnn splits it "
