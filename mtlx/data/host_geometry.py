@@ -60,7 +60,7 @@ CROP_FAMILY = frozenset({
     "ssd_random_crop_fixed_aspect_ratio",
 })
 
-AUG_FIELDS = ("aug_window", "aug_src_shape", "aug_pad_color")
+AUG_FIELDS = ("aug_window", "aug_src_shape", "aug_pad_color", "aug_content")
 
 # mirrors preprocessor._SSD_DEFAULT_OPERATIONS (the reference's 7-branch
 # SSD patch-sampling schedule; the implicit first branch keeps the image)
@@ -105,6 +105,12 @@ class _Frame:
         self.valid = valid.copy()
         self.pad_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
         self.pad_color_set = False
+        # source pixels still visible after the op chain (source-canvas
+        # coords). A crop DISCARDS content outside its window: a later pad
+        # must fill that area with pad color, not resurrect it — the
+        # composed window alone cannot distinguish cropped-away source
+        # territory from pad territory.
+        self.content = np.asarray([0.0, 0.0, float(h), float(w)])
 
 
 def _crop(frame: _Frame, rng, min_object_covered=1.0, min_aspect_ratio=0.75,
@@ -142,6 +148,16 @@ def _crop(frame: _Frame, rng, min_object_covered=1.0, min_aspect_ratio=0.75,
     clipped = np_box_ops.clip_to_window(frame.boxes, window)
     frame.boxes = clipped - np.asarray([y0, x0, y0, x0])
     frame.valid = frame.valid & keep
+    # content visibility shrinks to the crop window (in source coords):
+    # source pixels outside it are gone for good, even if a later pad
+    # re-covers that territory
+    c = frame.content
+    frame.content = np.asarray([
+        max(c[0], frame.oy + y0), max(c[1], frame.ox + x0),
+        min(c[2], frame.oy + y1), min(c[3], frame.ox + x1),
+    ])
+    frame.content[2] = max(frame.content[2], frame.content[0])
+    frame.content[3] = max(frame.content[3], frame.content[1])
     frame.oy += y0
     frame.ox += x0
     frame.h, frame.w = y1 - y0, x1 - x0
@@ -277,12 +293,19 @@ class HostGeometry:
             # crops/pads only translate the frame, so the accumulated
             # origin transforms keypoints directly; outside-window points
             # become NaN (reference keypoint_ops.prune_outside_window
-            # after change_coordinate_frame in _strict_random_crop_image)
-            kp = sample["gt_keypoints"].astype(np.float64)
-            kp = (kp - np.asarray([frame.oy, frame.ox])) * np.asarray([sy, sx])
+            # after change_coordinate_frame in _strict_random_crop_image).
+            # A point must also survive every crop along the chain: its
+            # SOURCE position must sit inside the accumulated content rect
+            # (a crop-then-pad chain can place cropped-away territory back
+            # inside the final frame).
+            src_kp = sample["gt_keypoints"].astype(np.float64)
+            kp = (src_kp - np.asarray([frame.oy, frame.ox])) * np.asarray([sy, sx])
+            c = frame.content
             inside = (
                 (kp[..., 0] >= 0) & (kp[..., 0] <= fh)
                 & (kp[..., 1] >= 0) & (kp[..., 1] <= fw)
+                & (src_kp[..., 0] >= c[0]) & (src_kp[..., 0] <= c[2])
+                & (src_kp[..., 1] >= c[1]) & (src_kp[..., 1] <= c[3])
             )
             out["gt_keypoints"] = np.where(
                 inside[..., None], kp, np.nan
@@ -297,10 +320,12 @@ class HostGeometry:
         )
         out["aug_src_shape"] = np.asarray([pre_h, pre_w], np.int32)
         out["aug_pad_color"] = np.asarray(frame.pad_color, np.float32)
-        # shipped-pixels extent: reads stop at window∩source, writes at the
-        # output true region — pack_batch_images buckets over the max
-        read_h = max(0.0, min(frame.oy + frame.h, pre_h))
-        read_w = max(0.0, min(frame.ox + frame.w, pre_w))
+        out["aug_content"] = frame.content.astype(np.float32)
+        # shipped-pixels extent: reads stop at window∩content (taps outside
+        # the content rect render pad fill, never image pixels), writes at
+        # the output true region — pack_batch_images buckets over the max
+        read_h = max(0.0, min(frame.oy + frame.h, frame.content[2]))
+        read_w = max(0.0, min(frame.ox + frame.w, frame.content[3]))
         out["pack_shape"] = np.asarray(
             [min(ch, max(fh, math.ceil(read_h))),
              min(cw, max(fw, math.ceil(read_w)))],

@@ -686,18 +686,23 @@ def subtract_channel_mean(rng, sample, means=(0.0, 0.0, 0.0)):
 # ---------------------------------------------------------------------------
 
 
-def apply_host_window(image, true_shape, window, src_shape, pad_color):
+def apply_host_window(image, true_shape, window, src_shape, pad_color,
+                      content=None):
     """Materialize a host-drawn variable-geometry augmentation: one
     bilinear resample of `window` (source-canvas coords; the composed
     crop/pad chain) onto the [0, true_shape) region of the same canvas.
 
-    Bilinear taps outside the true source region [0, src_shape) read
-    pad_color (the reference's pad fill); output pixels beyond true_shape
-    are zeroed like every other true-region op here. Boxes were already
-    transformed host-side (HostGeometry), so only pixels move.
+    Bilinear taps outside `content` — the rect of source pixels still
+    visible after the op chain (HostGeometry tracks it; default: the true
+    source region [0, src_shape)) — read pad_color (the reference's pad
+    fill); a crop-then-pad chain must fill cropped-away territory with
+    pad, not resurrect the source pixels there. Output pixels beyond
+    true_shape are zeroed like every other true-region op here. Boxes
+    were already transformed host-side (HostGeometry), so only pixels
+    move.
 
-    image [H, W, 3] float; window [4] float (y0, x0, y1, x1); true_shape /
-    src_shape [2] int32; pad_color [3] float.
+    image [H, W, 3] float; window / content [4] float (y0, x0, y1, x1);
+    true_shape / src_shape [2] int32; pad_color [3] float.
     """
     H, W = image.shape[0], image.shape[1]
     fh = true_shape[0].astype(jnp.float32)
@@ -706,6 +711,11 @@ def apply_host_window(image, true_shape, window, src_shape, pad_color):
     ww = window[3] - window[1]
     sh = src_shape[0].astype(jnp.float32)
     sw = src_shape[1].astype(jnp.float32)
+    if content is None:
+        content = jnp.stack(
+            [jnp.float32(0.0), jnp.float32(0.0), sh, sw]
+        )
+    content = content.astype(jnp.float32)
     # half-pixel-center bilinear, clamped at the window edge (a
     # materialized crop would clamp there too); integer-source taps that
     # land outside the true source region read the pad fill — that part of
@@ -721,8 +731,12 @@ def apply_host_window(image, true_shape, window, src_shape, pad_color):
     pad = pad_color.astype(image.dtype)
 
     def tap(yt, xt):
-        yv = (yt >= 0) & (yt < sh)
-        xv = (xt >= 0) & (xt < sw)
+        yv = (yt >= jnp.maximum(content[0], 0.0)) & (
+            yt < jnp.minimum(content[2], sh)
+        )
+        xv = (xt >= jnp.maximum(content[1], 0.0)) & (
+            xt < jnp.minimum(content[3], sw)
+        )
         yi = jnp.clip(yt.astype(jnp.int32), 0, H - 1)
         xi = jnp.clip(xt.astype(jnp.int32), 0, W - 1)
         vals = image[yi][:, xi]
@@ -741,9 +755,14 @@ def apply_host_window(image, true_shape, window, src_shape, pad_color):
 
 
 def batch_apply_host_window(images, true_shapes, windows, src_shapes,
-                            pad_colors):
+                            pad_colors, contents=None):
+    if contents is None:
+        contents = jnp.concatenate(
+            [jnp.zeros_like(src_shapes, jnp.float32),
+             src_shapes.astype(jnp.float32)], axis=-1,
+        )
     return jax.vmap(apply_host_window)(
-        images, true_shapes, windows, src_shapes, pad_colors
+        images, true_shapes, windows, src_shapes, pad_colors, contents
     )
 
 

@@ -44,12 +44,14 @@ def make_augmented_batch_fn(aug_options):
             batch = dict(batch)
             window = batch.pop("aug_window")
             src_shape = batch.pop("aug_src_shape")
+            content = batch.pop("aug_content", None)
             batch["image"] = prep.batch_apply_host_window(
                 batch["image"].astype(jnp.float32),
                 batch["true_shape"],
                 window,
                 src_shape,
                 batch.pop("aug_pad_color"),
+                content,
             )
             if "gt_instance_masks" in batch:
                 # instance masks ride the same window at mask_stride
@@ -67,6 +69,7 @@ def make_augmented_batch_fn(aug_options):
                     window / ms,
                     jnp.maximum(jnp.round(src_shape / ms), 1).astype(jnp.int32),
                     jnp.zeros((m.shape[0], g), jnp.float32),
+                    content / ms if content is not None else None,
                 )
                 batch["gt_instance_masks"] = jnp.transpose(soft, (0, 3, 1, 2))
         if not aug_options:

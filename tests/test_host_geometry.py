@@ -154,13 +154,20 @@ def test_pad_geometry():
     assert out["pack_shape"][1] >= max(fw, min(100, int(w[3])))
 
 
-def _np_window_resample(image, true_shape, window, src_shape, pad_color):
+def _np_window_resample(image, true_shape, window, src_shape, pad_color,
+                        content=None):
     """Independent float64 oracle of preprocessor.apply_host_window."""
     H, W, _ = image.shape
     fh, fw = float(true_shape[0]), float(true_shape[1])
     y0w, x0w, y1w, x1w = [float(v) for v in window]
     wh, ww = y1w - y0w, x1w - x0w
     sh, sw = float(src_shape[0]), float(src_shape[1])
+    if content is None:
+        content = (0.0, 0.0, sh, sw)
+    c0 = max(float(content[0]), 0.0)
+    c1 = max(float(content[1]), 0.0)
+    c2 = min(float(content[2]), sh)
+    c3 = min(float(content[3]), sw)
     out = np.zeros((H, W, 3), np.float64)
     for i in range(H):
         for j in range(W):
@@ -176,7 +183,7 @@ def _np_window_resample(image, true_shape, window, src_shape, pad_color):
             for dy, fy in ((0, 1 - wy), (1, wy)):
                 for dx, fx in ((0, 1 - wx), (1, wx)):
                     yt, xt = y0 + dy, x0 + dx
-                    if 0 <= yt < sh and 0 <= xt < sw:
+                    if c0 <= yt < c2 and c1 <= xt < c3:
                         v = image[int(min(yt, H - 1)), int(min(xt, W - 1))]
                     else:
                         v = np.asarray(pad_color)
@@ -205,6 +212,20 @@ def test_device_resample_matches_numpy_oracle():
         want = _np_window_resample(image, true_shape, window, src_shape,
                                    pad_color)
         np.testing.assert_allclose(got, want, atol=1e-2)
+    # a content rect smaller than the source (crop-then-pad chains): taps
+    # outside it must read pad fill even though they sit inside the source
+    window = np.asarray([-4.0, -6.0, 24.0, 30.0], np.float32)
+    true_shape = np.asarray([20, 26], np.int32)
+    content = np.asarray([4.0, 5.0, 16.0, 22.0], np.float32)
+    got = np.asarray(prep.apply_host_window(
+        jnp.asarray(image), jnp.asarray(true_shape),
+        jnp.asarray(window), jnp.asarray(src_shape),
+        jnp.asarray(pad_color), jnp.asarray(content),
+    ))
+    want = _np_window_resample(image, true_shape, window, src_shape,
+                               pad_color, content)
+    np.testing.assert_allclose(got, want, atol=1e-2)
+    assert np.any(np.all(got == pad_color, axis=-1))
 
 
 def test_deterministic_per_seed_and_varies_per_epoch():
@@ -547,3 +568,99 @@ def test_train_cli_with_host_geometry(tmp_path, capsys):
     losses = [json.loads(line.split("[train] ", 1)[1])
               for line in out.splitlines() if line.startswith("[train] {")]
     assert losses and all(np.isfinite(l["total_loss"]) for l in losses)
+
+
+def test_crop_then_pad_does_not_resurrect_cropped_pixels():
+    """A crop discards source content outside its window; a following pad
+    re-covers that territory — the resample must render PAD there, not the
+    discarded source pixels (regression: the composed window alone leaked
+    them back in). aug_content carries the surviving source rect."""
+    hg = HostGeometry(
+        [("random_crop_image", {"min_object_covered": 0.0,
+                                "min_area": 0.2, "max_area": 0.4}),
+         ("random_pad_image", {"min_size_ratio": (1.8, 1.8),
+                               "max_size_ratio": (2.0, 2.0),
+                               "pad_color": (9.0, 9.0, 9.0)})],
+        60, 100, (128, 128),
+    )
+    s = make_sample()  # source pixels are random in [1, 255)
+    checked = 0
+    for seed in range(12):
+        out = hg(s, np.random.default_rng(seed))
+        c = out["aug_content"].astype(np.float64)
+        if (c[2] - c[0]) > 0.8 * 60:
+            continue  # crop didn't fire / barely cropped
+        checked += 1
+        w = out["aug_window"].astype(np.float64)
+        fh, fw = out["true_shape"]
+        res = np.asarray(prep.apply_host_window(
+            jnp.asarray(s["image"], jnp.float32),
+            jnp.asarray(out["true_shape"]),
+            jnp.asarray(w, jnp.float32),
+            jnp.asarray(out["aug_src_shape"]),
+            jnp.asarray(out["aug_pad_color"]),
+            jnp.asarray(c, jnp.float32),
+        ))
+        # map the content rect into output coords; outside it (with a 2px
+        # bilinear margin) everything inside the true region must be pad
+        sy, sx = fh / (w[2] - w[0]), fw / (w[3] - w[1])
+        oy0, ox0 = (c[0] - w[0]) * sy, (c[1] - w[1]) * sx
+        oy1, ox1 = (c[2] - w[0]) * sy, (c[3] - w[1]) * sx
+        ys, xs = np.mgrid[0:res.shape[0], 0:res.shape[1]]
+        outside = (
+            (ys < fh) & (xs < fw)
+            & ((ys < oy0 - 2) | (ys > oy1 + 2)
+               | (xs < ox0 - 2) | (xs > ox1 + 2))
+        )
+        assert outside.any()
+        np.testing.assert_allclose(
+            res[outside], np.full((outside.sum(), 3), 9.0), atol=1e-3
+        )
+        # and well inside the mapped content the source shows through
+        inside = (
+            (ys > oy0 + 2) & (ys < oy1 - 2) & (xs > ox0 + 2) & (xs < ox1 - 2)
+        )
+        if inside.any():
+            assert not np.allclose(res[inside], 9.0, atol=1e-3)
+    assert checked >= 3
+
+
+def test_crop_then_pad_prunes_keypoints_outside_content():
+    """A keypoint whose SOURCE position was cropped away must stay NaN
+    even when the pad places its coordinates back inside the final frame."""
+    hg = HostGeometry(
+        [("random_crop_image", {"min_object_covered": 0.0,
+                                "min_area": 0.2, "max_area": 0.4}),
+         ("random_pad_image", {"min_size_ratio": (1.8, 1.8),
+                               "max_size_ratio": (2.0, 2.0)})],
+        60, 100, (128, 128),
+    )
+    s = make_sample()
+    # keypoints spread over the source so some fall outside any small crop
+    gy, gx = np.mgrid[5:60:15, 5:100:25]
+    pts = np.stack([gy.ravel(), gx.ravel()], -1).astype(np.float32)
+    k = pts.shape[0]
+    s["gt_keypoints"] = np.tile(pts[None], (4, 1, 1))[:, :k]
+    hit = 0
+    for seed in range(12):
+        out = hg(s, np.random.default_rng(seed))
+        c = out["aug_content"].astype(np.float64)
+        if (c[2] - c[0]) > 0.8 * 60:
+            continue
+        fh, fw = out["true_shape"]
+        w = out["aug_window"].astype(np.float64)
+        sy, sx = fh / (w[2] - w[0]), fw / (w[3] - w[1])
+        for p in range(k):
+            src = pts[p].astype(np.float64)
+            mapped = [(src[0] - w[0]) * sy, (src[1] - w[1]) * sx]
+            in_frame = 0 <= mapped[0] <= fh and 0 <= mapped[1] <= fw
+            in_content = (c[0] <= src[0] <= c[2]) and (c[1] <= src[1] <= c[3])
+            got = out["gt_keypoints"][0, p]
+            if in_frame and not in_content:
+                hit += 1  # the leak case: in-frame but cropped away
+                assert np.isnan(got).all(), (got, mapped, c)
+            elif in_frame and in_content:
+                np.testing.assert_allclose(got, mapped, atol=1e-3)
+            else:
+                assert np.isnan(got).all()
+    assert hit >= 1
