@@ -375,6 +375,7 @@ def achievable_bucket_shapes(
     dataset: "DetectionDataset",
     batch_size: int,
     max_records: Optional[int] = None,
+    host_geometry=None,
 ) -> List[Tuple[int, int]]:
     """All (h, w) compute-bucket shapes batches of this dataset can
     produce, from JPEG headers only (peek_target_shape — no pixel
@@ -386,8 +387,28 @@ def achievable_bucket_shapes(
     with batch_size > 1 and epoch shuffling the achievable set is the
     pairwise max-closure of the distinct per-record buckets (the max over
     any subset is attained by the record maximizing h and the one
-    maximizing w)."""
+    maximizing w).
+
+    With host_geometry (variable-size crop/pad), a sample ships at
+    pack_shape = max(post-crop keep-aspect shape, crop-window read
+    extent), so its bucket can land on ANY multiple between the smallest
+    post-crop bucket and the per-axis max of the record/post buckets —
+    not just in the two endpoint sets. The achievable set is the full
+    bucket grid over that per-axis range (which is also max-closed, so
+    batch combination adds nothing)."""
     per_record = set(record_bucket_keys(dataset, max_records))
+    if host_geometry is not None:
+        post = set(host_geometry.achievable_post_buckets(_PACK_MULTIPLE))
+        both = per_record | post
+        lo_h = min(h for h, _ in both)
+        lo_w = min(w for _, w in both)
+        hi_h = max(h for h, _ in both)
+        hi_w = max(w for _, w in both)
+        return [
+            (h, w)
+            for h in range(lo_h, hi_h + 1, _PACK_MULTIPLE)
+            for w in range(lo_w, hi_w + 1, _PACK_MULTIPLE)
+        ]
     shapes = set(per_record)
     if batch_size > 1:
         for h1, w1 in per_record:

@@ -346,22 +346,15 @@ def main(argv=None):
             from mtlx.data.loader import achievable_bucket_shapes
 
             t0 = time.time()
-            shapes = achievable_bucket_shapes(dataset, batch_size)
+            # with host geometry the achievable set is the full bucket
+            # grid (pack_shape can land between the post-crop and record
+            # buckets), and the batch template carries the aug_* fields
+            # real batches will have
+            shapes = achievable_bucket_shapes(
+                dataset, batch_size, host_geometry=host_geometry
+            )
             sample = dataset.get(0)
             if host_geometry is not None:
-                # post-crop shapes join the achievable set (max-closure
-                # with the per-record buckets), and the batch template
-                # carries the aug_* fields real batches will have
-                from mtlx.data.loader import record_bucket_keys
-
-                per = set(record_bucket_keys(dataset)) | set(
-                    host_geometry.achievable_post_buckets()
-                )
-                closed = set(per)
-                for h1, w1 in per:
-                    for h2, w2 in per:
-                        closed.add((max(h1, h2), max(w1, w2)))
-                shapes = sorted(closed)
                 sample = host_geometry(sample, np.random.default_rng(0))
             drop = {"gt_difficult", "gt_group_of", "original_shape",
                     "source_id", "pack_shape"}

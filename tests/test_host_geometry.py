@@ -664,3 +664,61 @@ def test_crop_then_pad_prunes_keypoints_outside_content():
             else:
                 assert np.isnan(got).all()
     assert hit >= 1
+
+
+def test_achievable_buckets_cover_observed_pack_shapes(tmp_path):
+    """--precompile_buckets must enumerate every bucket a real batch can
+    ship at. With host geometry, pack_shape = max(post-crop shape, window
+    read extent) lands BETWEEN the record and post-crop buckets, so the
+    achievable set is the full bucket grid (regression: the endpoint-set
+    closure missed in-between buckets -> mid-run XLA compiles)."""
+    from mtlx.data.loader import (
+        DetectionDataset,
+        _PACK_MULTIPLE,
+        achievable_bucket_shapes,
+    )
+    from mtlx.data import tfrecord
+    from mtlx.data.example_decoder import build_example
+    from PIL import Image
+
+    record = str(tmp_path / "ab.record")
+    rs = np.random.RandomState(0)
+    with tfrecord.TFRecordWriter(record) as w:
+        for i, (h0, w0) in enumerate([(300, 420), (420, 300), (350, 350)]):
+            buf = io.BytesIO()
+            Image.fromarray(
+                rs.randint(0, 255, (h0, w0, 3)).astype(np.uint8)
+            ).save(buf, format="JPEG")
+            w.write(build_example(
+                buf.getvalue(), b"jpeg", h0, w0, f"{i}.jpg",
+                np.asarray([[0.2, 0.2, 0.8, 0.8]], np.float32), [1], ["a"],
+            ).SerializeToString())
+    canvas = (512, 512)
+    ds = DetectionDataset(
+        [record], canvas,
+        resizer=("keep_aspect", {"min_dimension": 192, "max_dimension": 448}),
+        max_boxes=3,
+    )
+    hg = HostGeometry(
+        [("random_crop_image", {"min_object_covered": 0.0,
+                                "min_area": 0.15, "max_area": 0.9,
+                                "min_aspect_ratio": 0.4,
+                                "max_aspect_ratio": 2.5}),
+         ("random_pad_image", {})],
+        192, 448, canvas,
+    )
+    shapes = set(achievable_bucket_shapes(ds, 2, host_geometry=hg))
+
+    def bucket(v, cap):
+        return min(cap, -(-int(np.ceil(v)) // _PACK_MULTIPLE) * _PACK_MULTIPLE)
+
+    seen = set()
+    for i in range(len(ds)):
+        s = ds.get(i)
+        for seed in range(80):
+            out = hg(dict(s), np.random.default_rng([seed, i]))
+            ph, pw = out["pack_shape"]
+            seen.add((bucket(ph, canvas[0]), bucket(pw, canvas[1])))
+    missing = seen - shapes
+    assert missing == set(), (sorted(missing), sorted(shapes))
+    assert len(seen) > 3  # the sweep actually exercised several buckets
