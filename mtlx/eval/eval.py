@@ -96,6 +96,41 @@ def evaluate_checkpoint(model, state, dataset, eval_config, categories,
 
     ignore_gt = eval_config.ignore_groundtruth
     evaluators = [] if ignore_gt else build_evaluators(eval_config, categories)
+    # fail fast on a config that requests mask metrics it can never feed:
+    # the Pascal instance-seg evaluators hard-require mask arrays, so a
+    # missing gate would otherwise crash mid-loop with a bare KeyError
+    mask_evaluators = [
+        type(e).__name__ for e in evaluators
+        if type(e).__name__ in (
+            "CocoMaskEvaluator",
+            "PascalInstanceSegmentationEvaluator",
+            "WeightedPascalInstanceSegmentationEvaluator",
+        )
+    ]
+    if mask_evaluators:
+        if not eval_config.eval_instance_masks:
+            raise ValueError(
+                f"metrics_set requests {mask_evaluators} but eval_config."
+                "eval_instance_masks is false — set it to true (and "
+                "load_instance_masks on the eval input reader), or drop "
+                "the instance-segmentation metrics_set entries"
+            )
+        if not getattr(dataset, "load_instance_masks", True):
+            raise ValueError(
+                f"metrics_set requests {mask_evaluators} but the eval "
+                "input reader does not load instance masks — set "
+                "eval_input_reader.load_instance_masks: true"
+            )
+        pascal_mask = [n for n in mask_evaluators if n != "CocoMaskEvaluator"]
+        if pascal_mask and not getattr(
+            getattr(model, "cfg", None), "predict_instance_masks", True
+        ):
+            raise ValueError(
+                f"metrics_set requests {pascal_mask} but the model does "
+                "not predict instance masks — enable predict_instance_"
+                "masks on the box predictor (mask_rcnn_box_predictor "
+                "{ predict_instance_masks: true })"
+            )
     category_index = create_category_index(categories)
     viz_dir = eval_config.visualization_export_dir
     num_viz = (
@@ -165,19 +200,13 @@ def evaluate_checkpoint(model, state, dataset, eval_config, categories,
         # dropped from the results unless enabled
         if not eval_config.eval_instance_masks:
             det.pop("detection_masks", None)
-        want_masks = any(
-            type(e).__name__ in (
-                "CocoMaskEvaluator",
-                "PascalInstanceSegmentationEvaluator",
-                "WeightedPascalInstanceSegmentationEvaluator",
-            )
-            for e in evaluators
-        )
+        want_masks = bool(mask_evaluators)
         if want_masks and "detection_masks" not in det and start == 0:
             print(
-                "[eval] note: coco_mask_metrics requested but no detection "
-                "masks reach the evaluator — set eval_config."
-                "eval_instance_masks: true and use a mask-predicting model",
+                f"[eval] note: {mask_evaluators} requested but no "
+                "detection masks reach the evaluator — use a "
+                "mask-predicting model (coco_mask_metrics scores zero "
+                "mask detections)",
                 flush=True,
             )
         for j, s in enumerate(samples):

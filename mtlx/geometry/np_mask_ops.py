@@ -22,13 +22,19 @@ def area(masks: np.ndarray) -> np.ndarray:
 
 
 def intersection(masks1: np.ndarray, masks2: np.ndarray) -> np.ndarray:
-    """Pairwise intersection areas: [N, H, W] x [M, H, W] -> [N, M]."""
+    """Pairwise intersection areas: [N, H, W] x [M, H, W] -> [N, M].
+
+    The gemm runs in float32 — exact for counts below 2^24 pixels (a
+    16M-pixel mask, far above eval resolutions) at half/quarter the
+    transient memory of float64 operands (e.g. 100 detections on a
+    600x1000 image: 240 MB vs 480 MB); only the [N, M] result is f64.
+    """
     n, m = len(masks1), len(masks2)
     if n == 0 or m == 0:
         return np.zeros((n, m), np.float64)
-    a = masks1.reshape(n, -1).astype(np.float64)
-    b = masks2.reshape(m, -1).astype(np.float64)
-    return a @ b.T
+    a = masks1.reshape(n, -1).astype(np.float32)
+    b = masks2.reshape(m, -1).astype(np.float32)
+    return (a @ b.T).astype(np.float64)
 
 
 def iou(masks1: np.ndarray, masks2: np.ndarray) -> np.ndarray:

@@ -211,3 +211,39 @@ def test_group_of_flows_from_example_to_loader():
     )
     out = decode_example(ex.SerializeToString(), decode_image=False)
     np.testing.assert_array_equal(out["groundtruth_group_of"], [0, 1])
+
+
+def test_mask_metrics_without_masks_fail_fast():
+    """A config requesting instance-seg metrics it can never feed must
+    raise a config error up front, not KeyError mid-eval-loop: the Pascal
+    mask evaluators hard-require mask arrays on every image."""
+    import pytest
+
+    from mtlx.config.protos import pipeline_pb2
+    from mtlx.eval.eval import evaluate_checkpoint
+
+    cats = [{"id": 1, "name": "a"}]
+
+    class _DS:
+        load_instance_masks = False
+
+        def __len__(self):
+            return 0
+
+    class _Model:
+        class cfg:
+            predict_instance_masks = False
+
+    ec = pipeline_pb2.EvalConfig()
+    ec.metrics_set.append("pascal_voc_instance_segmentation_metrics")
+    with pytest.raises(ValueError, match="eval_instance_masks"):
+        evaluate_checkpoint(_Model(), None, _DS(), ec, cats)
+    ec.eval_instance_masks = True
+    with pytest.raises(ValueError, match="load_instance_masks"):
+        evaluate_checkpoint(_Model(), None, _DS(), ec, cats)
+
+    class _DSWithMasks(_DS):
+        load_instance_masks = True
+
+    with pytest.raises(ValueError, match="predict_instance_masks"):
+        evaluate_checkpoint(_Model(), None, _DSWithMasks(), ec, cats)
