@@ -88,11 +88,13 @@ def synthetic_batch(model, batch_size: int, rs: np.random.RandomState,
     packed=True ships the 128-bucket of the true region (the loader's
     pack_images form — the compute operating point for real VOC data);
     packed=False ships the full padded canvas."""
+    from mtlx.train.train_step import BUCKET_MULTIPLE
+
     ch, cw = model.cfg.canvas_size
     th, tw = TRUE_SHAPE
     if packed:
-        ih = min(ch, -(-th // 128) * 128)
-        iw = min(cw, -(-tw // 128) * 128)
+        ih = min(ch, -(-th // BUCKET_MULTIPLE) * BUCKET_MULTIPLE)
+        iw = min(cw, -(-tw // BUCKET_MULTIPLE) * BUCKET_MULTIPLE)
     else:
         ih, iw = ch, cw
     g = model.cfg.max_gt_boxes
@@ -239,7 +241,13 @@ def host_pipeline_images_per_sec(model, state, step_fn, configs,
             shapes_seen.add(batch["image"].shape[1:3])
             state, metrics = step(state, batch, rng)
             done += 1
-            if t0 is None and done >= 2 and len(shapes_seen) >= 2:
+            # start timing once both orientations' buckets have compiled —
+            # or after a bounded warmup if the config maps every
+            # orientation to ONE bucket (fixed resizer / square canvas),
+            # so the benchmark degrades to a one-bucket measurement
+            # instead of never starting
+            if t0 is None and done >= 2 and (len(shapes_seen) >= 2
+                                             or done >= 8):
                 # skip compiles (one per bucket) + first prefetch fill;
                 # device_get is the only true sync on remote backends
                 # (block_until_ready can return before execution finishes)
@@ -268,15 +276,15 @@ def inference_images_per_sec(model, state, batch_size: int = 8,
     """Serving throughput: jitted preprocess+predict+postprocess on the
     128-bucket of the true shape (exporter behavior), params committed to
     device (eval.py behavior)."""
-    from mtlx.train.train_step import make_eval_step
+    from mtlx.train.train_step import BUCKET_MULTIPLE, make_eval_step
 
     state = jax.device_put(jax.tree_util.tree_map(jnp.array, state))
     ev = jax.jit(make_eval_step(model))
     rs = np.random.RandomState(0)
     ch, cw = model.cfg.canvas_size
     th, tw = TRUE_SHAPE
-    ih = min(ch, -(-th // 128) * 128)
-    iw = min(cw, -(-tw // 128) * 128)
+    ih = min(ch, -(-th // BUCKET_MULTIPLE) * BUCKET_MULTIPLE)
+    iw = min(cw, -(-tw // BUCKET_MULTIPLE) * BUCKET_MULTIPLE)
     batch = jax.device_put({
         "image": jnp.asarray(
             rs.uniform(0, 255, (batch_size, ih, iw, 3)), jnp.uint8

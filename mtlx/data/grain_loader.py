@@ -107,7 +107,8 @@ def make_grain_loader(
         worker_count=worker_count,
     )
     if aspect_grouping:
-        return _bucket_batched(iter(loader), dataset.canvas_size, batch_size)
+        return _bucket_batched(iter(loader), dataset.canvas_size, batch_size,
+                               pack_images=pack_images)
     if not pack_images:
         if host_geometry is None:
             return iter(loader)
@@ -137,7 +138,8 @@ def make_grain_loader(
 
 
 def _bucket_batched(samples: Iterator[dict], canvas, batch_size: int,
-                    max_buffered_batches: int = 8) -> Iterator[dict]:
+                    max_buffered_batches: int = 8,
+                    pack_images: bool = True) -> Iterator[dict]:
     """Group a decoded per-sample stream into same-compute-bucket batches
     (mixed portrait/landscape batches force the full-canvas bucket and
     erase the bucketed-compute win). A bounded reservoir keeps memory and
@@ -157,13 +159,13 @@ def _bucket_batched(samples: Iterator[dict], canvas, batch_size: int,
 
     def collate(group):
         b = {k: np.stack([s[k] for s in group]) for k in group[0]}
-        if "true_shape" in b:
-            extents = b.pop("pack_shape", None)
+        extents = b.pop("pack_shape", None)
+        # grouping is useful without packing too (e.g. deterministic A/B
+        # runs), so honor pack_images=False: ship the full canvas
+        if pack_images and "true_shape" in b:
             b["image"] = pack_batch_images(
                 b["image"], extents if extents is not None else b["true_shape"]
             )
-        else:
-            b.pop("pack_shape", None)
         return b
 
     groups: dict = {}

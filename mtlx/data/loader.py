@@ -463,21 +463,23 @@ def record_bucket_keys(
     n = len(dataset)
     if max_records is not None:
         n = min(n, max_records)
-    cached = getattr(dataset, "_bucket_key_cache", None)
-    if cached is not None and len(cached) >= n:
+    cached = getattr(dataset, "_bucket_key_cache", None) or []
+    if len(cached) >= n:
         return cached[:n]
-    out = []
-    for i in range(n):
+    # extend the cached prefix instead of rescanning it: eval polls call
+    # this with max_records=num_examples every checkpoint, and the scan is
+    # O(n) proto parses + JPEG header reads
+    out = list(cached)
+    for i in range(len(out), n):
         th, tw = dataset.peek_target_shape(i)
         out.append((
             min(ch, -(-th // _PACK_MULTIPLE) * _PACK_MULTIPLE),
             min(cw, -(-tw // _PACK_MULTIPLE) * _PACK_MULTIPLE),
         ))
-    if n == len(dataset):
-        try:
-            dataset._bucket_key_cache = out
-        except (AttributeError, TypeError):
-            pass
+    try:
+        dataset._bucket_key_cache = out
+    except (AttributeError, TypeError):
+        pass
     return out
 
 

@@ -508,7 +508,11 @@ class FasterRCNN:
 
         if c.number_of_stages == 1:
             # RPN-only mode (reference number_of_stages=1): proposals ARE
-            # the detections; no second stage, no aux heads
+            # the detections; no second stage, no aux heads. Trainable-BN
+            # stats from the backbone must still flow out, or the moving
+            # averages stay at init for the whole run
+            if update_bn:
+                pred["updated_batch_stats"] = variables["batch_stats"]
             return pred
 
         cls_logits, box_refine, masks, variables = self._predict_second_stage(

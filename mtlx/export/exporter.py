@@ -107,14 +107,14 @@ def export_saved_model(
 
     from mtlx.ops import nms as nms_lib
 
-    _, model, restored = _load_trained(
+    configs, model, restored = _load_trained(
         pipeline_config_path, trained_checkpoint_dir, checkpoint_step
     )
     variables = {
         "params": restored.params, "batch_stats": restored.batch_stats
     }
     ch, cw = model.cfg.canvas_size
-    kind, params = _resizer_of(pipeline_config_path)
+    kind, params = _resizer_params_of(configs)
 
     def forward(images, true_shapes):
         pre = model.preprocess(images.astype(jnp.float32))
@@ -237,20 +237,23 @@ def export_saved_model(
         },
     )
     config_util.save_pipeline_config(
-        config_util.create_pipeline_proto_from_configs(
-            config_util.get_configs_from_pipeline_file(pipeline_config_path)
-        ),
+        config_util.create_pipeline_proto_from_configs(configs),
         output_directory,
     )
     return output_directory
 
 
-def _resizer_of(pipeline_config_path: str):
+def _resizer_params_of(configs):
     from mtlx.builders.model_builder import resizer_params
 
-    configs = config_util.get_configs_from_pipeline_file(pipeline_config_path)
     which = configs["model"].WhichOneof("model")
     return resizer_params(getattr(configs["model"], which).image_resizer)
+
+
+def _resizer_of(pipeline_config_path: str):
+    return _resizer_params_of(
+        config_util.get_configs_from_pipeline_file(pipeline_config_path)
+    )
 
 
 class InferenceModel:

@@ -317,3 +317,31 @@ def test_second_stage_hard_example_miner():
         float(loss["Loss/BoxClassifierLoss/classification_loss"]),
         float(loss2["Loss/BoxClassifierLoss/classification_loss"]),
     )
+
+
+def test_rpn_only_trainable_bn_still_updates_stats():
+    """number_of_stages=1 + batch_norm_trainable: the backbone's mutated
+    batch_stats must flow out of predict (regression: the RPN-only early
+    return skipped the updated_batch_stats attach, so moving averages
+    stayed at init for the whole run and eval normalized with them)."""
+    cfg = tiny_config(number_of_stages=1, batch_norm_trainable=True)
+    model = FasterRCNN(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    images = model.preprocess(jnp.full((2, 64, 64, 3), 150.0))
+    ts = jnp.asarray([[64, 64], [64, 64]])
+    gt = {
+        "boxes": jnp.asarray(
+            [[[8.0, 8.0, 40.0, 40.0]] + [[0.0] * 4] * 3] * 2
+        ),
+        "classes": jnp.zeros((2, 4), jnp.int32),
+        "mask": jnp.asarray([[True, False, False, False]] * 2),
+    }
+    pred = model.predict(variables, images, ts, training=True,
+                         rng=jax.random.PRNGKey(1), groundtruth=gt)
+    assert "updated_batch_stats" in pred
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(pred["updated_batch_stats"])
+    moved = sum(
+        float(jnp.sum(jnp.abs(a - b))) for a, b in zip(after, before)
+    )
+    assert moved > 0.0

@@ -283,3 +283,45 @@ def test_grain_workers_with_host_geometry(tmp_path):
     for a, b in zip(batches, again):
         np.testing.assert_array_equal(a["aug_window"], b["aug_window"])
         np.testing.assert_array_equal(a["true_shape"], b["true_shape"])
+
+
+def test_grain_aspect_grouping_honors_pack_images_false(tmp_path):
+    """--pack_transfer 0 means full-canvas transfer even when aspect
+    grouping batches by bucket (regression: the grouped collate packed
+    unconditionally, silently overriding the flag)."""
+    import io
+
+    from PIL import Image
+
+    from mtlx.data import tfrecord
+    from mtlx.data.example_decoder import build_example
+    from mtlx.data.grain_loader import make_grain_loader
+    from mtlx.data.loader import DetectionDataset
+
+    record = str(tmp_path / "pf.record")
+    with tfrecord.TFRecordWriter(record) as w:
+        for i, (h0, w0) in enumerate([(30, 60), (60, 30)] * 2):
+            buf = io.BytesIO()
+            Image.fromarray(np.full((h0, w0, 3), 50, np.uint8)).save(
+                buf, format="JPEG"
+            )
+            w.write(build_example(
+                buf.getvalue(), b"jpeg", h0, w0, f"p{i}.jpg",
+                np.asarray([[0.1, 0.1, 0.9, 0.9]], np.float32), [1], ["a"],
+            ).SerializeToString())
+    ds = DetectionDataset(
+        [record], canvas_size=(256, 256),
+        resizer=("keep_aspect", {"min_dimension": 100, "max_dimension": 200}),
+        max_boxes=3,
+    )
+    full = list(make_grain_loader(
+        ds, batch_size=2, num_epochs=1, seed=0,
+        pack_images=False, aspect_grouping=True,
+    ))
+    assert full and all(b["image"].shape[1:3] == (256, 256) for b in full)
+    assert all("pack_shape" not in b for b in full)
+    packed = list(make_grain_loader(
+        ds, batch_size=2, num_epochs=1, seed=0,
+        pack_images=True, aspect_grouping=True,
+    ))
+    assert any(b["image"].shape[1:3] != (256, 256) for b in packed)
