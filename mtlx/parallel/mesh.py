@@ -24,6 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+DCN_AXIS = "data_dcn"
 
 
 def create_mesh(devices: Optional[Sequence[Any]] = None) -> Mesh:
@@ -31,6 +32,48 @@ def create_mesh(devices: Optional[Sequence[Any]] = None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def create_hybrid_mesh(num_slices: Optional[int] = None,
+                       devices: Optional[Sequence[Any]] = None) -> Mesh:
+    """2-D (DCN, ICI) data-parallel mesh for multi-slice deployments
+    (SURVEY.md §3.9/§6.8: all-reduce over ICI within a slice, DCN across
+    slices).
+
+    The major axis crosses slices, the minor axis stays inside one slice,
+    so XLA's hierarchical all-reduce keeps the heavy reduce-scatter/
+    all-gather traffic on ICI and moves only slice-level partials over
+    DCN. Slices come from `device.slice_index` when the runtime exposes
+    it (real multi-slice TPU jobs); pass `num_slices` explicitly to
+    partition a flat device list (virtual/CPU testing).
+
+    Everything downstream is unchanged: `batch_sharding` shards the batch
+    over BOTH axes and parameters stay replicated — the mesh shape alone
+    encodes the network hierarchy.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    if num_slices is None and slice_ids != {None}:
+        groups: dict = {}
+        for d in devices:
+            groups.setdefault(d.slice_index, []).append(d)
+        sizes = {len(g) for g in groups.values()}
+        if len(sizes) != 1:
+            raise ValueError(f"uneven slices: { {k: len(v) for k, v in groups.items()} }")
+        arr = np.asarray([groups[k] for k in sorted(groups)])
+        return Mesh(arr, (DCN_AXIS, DATA_AXIS))
+    if num_slices is None:
+        raise ValueError(
+            "devices expose no slice_index; pass num_slices explicitly"
+        )
+    if len(devices) % num_slices != 0:
+        raise ValueError(
+            f"{len(devices)} devices do not split into {num_slices} slices"
+        )
+    arr = np.asarray(devices).reshape(num_slices, -1)
+    return Mesh(arr, (DCN_AXIS, DATA_AXIS))
 
 
 def create_mesh_for_batch(batch_size: int,
@@ -58,8 +101,9 @@ def create_mesh_for_batch(batch_size: int,
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) dim over the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Shard the leading (batch) dim over every data axis of the mesh
+    ((data,) for single-slice, (data_dcn, data) for hybrid meshes)."""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -172,3 +172,80 @@ def test_spatial_train_step_on_bucketed_batch():
         float(sp_metrics["total_loss"]), float(ref_metrics["total_loss"]),
         rtol=2e-4, atol=2e-4,
     )
+
+
+def test_hybrid_multislice_mesh_matches_flat_dp():
+    """Multi-slice DP: the (DCN, ICI) hybrid mesh runs the identical
+    program with batch sharded over BOTH axes, and must produce the same
+    loss and updated params as the flat 1-D data mesh over the same
+    devices (SURVEY.md §3.9/§6.8 multi-slice story — hierarchical
+    all-reduce is an XLA scheduling detail, not a semantics change)."""
+    from mtlx.detector.faster_rcnn import FasterRCNN, FasterRCNNConfig
+    from mtlx.train.train_step import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = FasterRCNNConfig(
+        num_classes=3, canvas_size=(64, 64), anchor_scales=(0.5, 1.0),
+        anchor_aspect_ratios=(1.0,), anchor_base_size=(32.0, 32.0),
+        rpn_depth=16, first_stage_pre_nms_top_k=16,
+        first_stage_max_proposals=8, first_stage_minibatch_size=16,
+        second_stage_batch_size=8, max_gt_boxes=4, dtype=jnp.float32,
+    )
+    model = FasterRCNN(cfg)
+    tx = make_optimizer(learning_rate=0.01)
+    state = create_train_state(model, jax.random.PRNGKey(0), tx)
+
+    rs = np.random.RandomState(1)
+    b, g = 8, 4
+    batch = {
+        "image": rs.uniform(0, 255, (b, 64, 64, 3)).astype(np.float32),
+        "true_shape": np.tile([[64, 64]], (b, 1)).astype(np.int32),
+        "gt_boxes": np.tile(
+            np.asarray([[[8, 8, 40, 40], [20, 28, 56, 60],
+                         [0, 0, 0, 0], [0, 0, 0, 0]]], np.float32),
+            (b, 1, 1),
+        ),
+        "gt_classes": np.zeros((b, g), np.int32),
+        "gt_mask": np.tile(np.asarray([[True, True, False, False]]), (b, 1)),
+    }
+    rng = jax.random.PRNGKey(2)
+    step = make_train_step(model)
+
+    flat_mesh = mesh_lib.create_mesh(jax.devices()[:8])
+    f_new, f_metrics = jax.jit(step)(
+        mesh_lib.replicate(flat_mesh, state),
+        mesh_lib.shard_batch(flat_mesh, batch), rng,
+    )
+
+    hmesh = mesh_lib.create_hybrid_mesh(num_slices=2,
+                                        devices=jax.devices()[:8])
+    assert hmesh.axis_names == (mesh_lib.DCN_AXIS, mesh_lib.DATA_AXIS)
+    assert hmesh.devices.shape == (2, 4)
+    h_new, h_metrics = jax.jit(step)(
+        mesh_lib.replicate(hmesh, state),
+        mesh_lib.shard_batch(hmesh, batch), rng,
+    )
+
+    np.testing.assert_allclose(
+        float(h_metrics["total_loss"]), float(f_metrics["total_loss"]),
+        rtol=2e-4, atol=2e-4,
+    )
+    worst = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(c))))
+        for a, c in zip(jax.tree_util.tree_leaves(f_new.params),
+                        jax.tree_util.tree_leaves(h_new.params))
+    )
+    assert worst < 2e-4, worst
+
+
+def test_create_hybrid_mesh_validation():
+    import pytest
+
+    devs = jax.devices()[:8]
+    with pytest.raises(ValueError, match="slice"):
+        mesh_lib.create_hybrid_mesh(num_slices=3, devices=devs)
+    with pytest.raises(ValueError, match="num_slices"):
+        mesh_lib.create_hybrid_mesh(devices=devs)  # CPUs have no slice_index
