@@ -61,7 +61,7 @@ def balanced_subsample(
     neg_mask = indicator & (~labels)
     max_pos = int(positive_fraction * batch_size)
     num_pos = jnp.minimum(jnp.sum(pos_mask), max_pos)
-    sampled_pos = pos_mask & (random_rank(rng_pos, pos_mask) < num_pos)
+    sampled_pos = subsample_mask(rng_pos, pos_mask, num_pos)
     num_neg = batch_size - jnp.sum(sampled_pos)
-    sampled_neg = neg_mask & (random_rank(rng_neg, neg_mask) < num_neg)
+    sampled_neg = subsample_mask(rng_neg, neg_mask, num_neg)
     return sampled_pos | sampled_neg

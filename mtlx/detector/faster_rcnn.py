@@ -626,10 +626,18 @@ class FasterRCNN:
             boxes = self.box_coder.decode(enc, anchors)
             window = jnp.concatenate([jnp.zeros(2), true_hw.astype(jnp.float32)])
             boxes = box_ops.clip_to_window(boxes, window)
+            # zero-area boxes (anchors entirely outside the true image —
+            # canvas/bucket padding) must not compete for pre-NMS top-k
+            # slots: the reference prunes empty boxes at clip time, before
+            # any selection. With an undertrained RPN the padding region
+            # can otherwise fill most of the top-k and starve real
+            # proposals.
+            scores = jnp.where(box_ops.area(boxes) > 0, scores, -jnp.inf)
             k = min(c.first_stage_pre_nms_top_k, boxes.shape[0])
             top_scores, top_idx = jax.lax.top_k(scores, k)
             top_boxes = jnp.take(boxes, top_idx, axis=0)
             area_ok = box_ops.area(top_boxes) > 0
+            top_scores = jnp.where(area_ok, top_scores, 0.0)
             idx, keep = nms_lib.non_max_suppression_padded(
                 top_boxes,
                 top_scores,

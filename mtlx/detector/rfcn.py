@@ -42,8 +42,15 @@ class RFCNModules(FasterRCNNModules):
             name="rfcn_predictor",
         )
 
-    def rfcn_predictions(self, feats, norm_proposals):
-        return self.rfcn_predictor(feats, norm_proposals)
+    def rfcn_predictions(self, feats, norm_proposals, train: bool = False):
+        # reference rfcn_meta_arch runs extract_box_classifier_features
+        # (resnet block4) IMAGE-WIDE before the position-sensitive
+        # predictor: one block4 pass over the shared map (stride 32, 2048
+        # ch), then the predictor's 1x1 reduce + score-map convs. This is
+        # also where a TF R-FCN checkpoint's SecondStageFeatureExtractor
+        # weights land (converter: block4 -> classifier_backbone).
+        cls_feats = self.classifier_features(feats, train)
+        return self.rfcn_predictor(cls_feats, norm_proposals)
 
     def __call__(self, images):
         feats = self.proposal_features(images)
@@ -51,7 +58,9 @@ class RFCNModules(FasterRCNNModules):
         dummy_boxes = jnp.tile(
             jnp.asarray([[0.0, 0.0, 1.0, 1.0]]), (images.shape[0], 1, 1)
         )
-        cls, box = self.rfcn_predictor(feats, dummy_boxes)
+        cls, box = self.rfcn_predictor(
+            self.classifier_features(feats), dummy_boxes
+        )
         aux_pooled = jnp.mean(feats, axis=(1, 2)).astype(jnp.float32)
         if self.cfg.mtl.foreground:
             _ = self.foreground_head(feats)
@@ -64,6 +73,16 @@ class RFCNModules(FasterRCNNModules):
 
 class RFCN(FasterRCNN):
     def __init__(self, cfg: RFCNConfig):
+        if cfg.mtl.refine:
+            # the refine path fuses aux hidden features into the per-ROI
+            # FC predictor — R-FCN has no per-ROI features to fuse into
+            # (position-sensitive pooling IS the classifier); silently
+            # ignoring the flag would fake the paper's refinement
+            raise ValueError(
+                "mtl.refine is not supported by the R-FCN meta-arch "
+                "(no per-ROI feature stack to refine); disable refine "
+                "or use faster_rcnn"
+            )
         super().__init__(cfg)
         self.modules = RFCNModules(cfg)
 
@@ -72,12 +91,23 @@ class RFCN(FasterRCNN):
         c = self.cfg
         ch, cw = canvas_hw if canvas_hw is not None else c.canvas_size
         canvas = jnp.asarray([ch, cw, ch, cw], jnp.float32)
-        cls_logits, box_refine = self.modules.apply(
-            variables,
-            feats,
-            proposals / canvas,
-            method=RFCNModules.rfcn_predictions,
-        )
+        if training and c.batch_norm_trainable:
+            (cls_logits, box_refine), mutated = self.modules.apply(
+                variables,
+                feats,
+                proposals / canvas,
+                True,
+                method=RFCNModules.rfcn_predictions,
+                mutable=["batch_stats"],
+            )
+            variables = dict(variables, batch_stats=mutated["batch_stats"])
+        else:
+            cls_logits, box_refine = self.modules.apply(
+                variables,
+                feats,
+                proposals / canvas,
+                method=RFCNModules.rfcn_predictions,
+            )
         return (
             cls_logits.astype(jnp.float32),
             box_refine.astype(jnp.float32),

@@ -128,6 +128,7 @@ def _greedy_survivors_fixed_point(
     scores: Array,  # [K, N]
     live0: Array,  # [K, N] bool — valid & above score threshold
     iou_threshold: float,
+    shared_boxes: bool = False,
 ) -> Array:
     """Exact greedy-NMS survivor mask [K, N] for all K classes at once.
 
@@ -135,9 +136,16 @@ def _greedy_survivors_fixed_point(
     j suppresses i iff priority(j) > priority(i), IoU > threshold, and j
     itself survives — iterated to a fixed point, which is the unique
     greedy solution (selection order never matters for the surviving SET).
+
+    shared_boxes: every class row of `boxes` is the same box set (Q==1
+    multiclass NMS) — compute the IoU matrix once and broadcast instead
+    of K identical [N, N] matrices.
     """
     n = boxes.shape[-2]
-    iou = jax.vmap(lambda b: box_ops.iou(b, b))(boxes)  # [K, N, N]
+    if shared_boxes:
+        iou = box_ops.iou(boxes[0], boxes[0])[None]  # [1, N, N] broadcasts
+    else:
+        iou = jax.vmap(lambda b: box_ops.iou(b, b))(boxes)  # [K, N, N]
     s_j = scores[:, :, None]
     s_i = scores[:, None, :]
     idx = jnp.arange(n)
@@ -219,7 +227,10 @@ def multiclass_non_max_suppression(
         area_ok = box_ops.area(boxes_kn) > 0
         live0 = valid_mask[None, :] & area_ok & (scores_kn > score_threshold)
         alive = _greedy_survivors_fixed_point(
-            boxes_kn, scores_kn, live0, iou_threshold
+            boxes_kn, scores_kn, live0, iou_threshold,
+            # q == 1: one box set broadcast to all classes (clipping
+            # applies identically per class, so rows stay shared)
+            shared_boxes=(q == 1),
         )
         masked = jnp.where(alive, scores_kn, _NEG)
         top_vals, top_idx = jax.lax.top_k(masked, k)  # [K, k]
@@ -300,11 +311,43 @@ def multiclass_non_max_suppression(
 
 
 def batch_multiclass_non_max_suppression(
-    boxes: Array, scores: Array, valid_mask: Optional[Array] = None, **kwargs
+    boxes: Array, scores: Array, valid_mask: Optional[Array] = None,
+    clip_window: Optional[Array] = None, extra_fields: Optional[dict] = None,
+    **kwargs,
 ) -> NMSResult:
-    """vmap of multiclass NMS over a leading batch dim."""
+    """vmap of multiclass NMS over a leading batch dim.
+
+    Per-image arguments are mapped, not closed over: clip_window may be
+    [4] (shared) or [B, 4] (per image); extra_fields values must carry
+    the batch dim ([B, N, ...]). Remaining kwargs are batch-shared
+    scalars (thresholds/sizes)."""
     if valid_mask is None:
         valid_mask = jnp.ones(boxes.shape[:2], dtype=bool)
-    return jax.vmap(
-        lambda b, s, m: multiclass_non_max_suppression(b, s, valid_mask=m, **kwargs)
-    )(boxes, scores, valid_mask)
+    cw_axis = None
+    if clip_window is not None:
+        clip_window = jnp.asarray(clip_window)
+        if clip_window.ndim == 2:
+            if clip_window.shape[0] != boxes.shape[0]:
+                raise ValueError(
+                    f"clip_window batch {clip_window.shape[0]} != "
+                    f"boxes batch {boxes.shape[0]}"
+                )
+            cw_axis = 0
+    ef_axis = None
+    if extra_fields:
+        for key, val in extra_fields.items():
+            if val.shape[:2] != boxes.shape[:2]:
+                raise ValueError(
+                    f"extra_fields[{key!r}] must be [B, N, ...]; got "
+                    f"{val.shape} for boxes {boxes.shape}"
+                )
+        ef_axis = 0
+
+    def one(b, s, m, cw, ef):
+        return multiclass_non_max_suppression(
+            b, s, valid_mask=m, clip_window=cw, extra_fields=ef, **kwargs
+        )
+
+    return jax.vmap(one, in_axes=(0, 0, 0, cw_axis, ef_axis))(
+        boxes, scores, valid_mask, clip_window, extra_fields
+    )

@@ -189,6 +189,14 @@ def position_sensitive_crop_regions(
     """
     bins_y, bins_x = num_spatial_bins
     total_bins = bins_y * bins_x
+    if image.shape[-1] % total_bins:
+        # the reference raises too: a silent floor division would
+        # mis-group the per-bin channel assignment and train with
+        # scrambled bins
+        raise ValueError(
+            f"channel count {image.shape[-1]} is not divisible by "
+            f"num_spatial_bins {bins_y}x{bins_x}={total_bins}"
+        )
     depth = image.shape[-1] // total_bins
     ch, cw = crop_size
     if ch % bins_y or cw % bins_x:

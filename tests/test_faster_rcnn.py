@@ -345,3 +345,37 @@ def test_rpn_only_trainable_bn_still_updates_stats():
         float(jnp.sum(jnp.abs(a - b))) for a, b in zip(after, before)
     )
     assert moved > 0.0
+
+
+def test_rpn_padding_anchors_do_not_consume_top_k():
+    """Anchors entirely outside the true image (canvas/bucket padding)
+    clip to zero area and must not occupy pre-NMS top-k slots — with an
+    undertrained RPN scoring the padding high, proposals from the real
+    image would otherwise be starved (the reference prunes empty boxes at
+    clip time, before selection)."""
+    cfg = tiny_config(first_stage_pre_nms_top_k=8,
+                      first_stage_max_proposals=8)
+    model = FasterRCNN(cfg)
+    anchors = model.anchors_for((64, 64))
+    n = anchors.shape[0]
+    # true image occupies the top-left 32x32 of the 64x64 canvas
+    ts = jnp.asarray([[32, 32]])
+    inside = np.asarray(
+        (anchors[:, 0] < 32) & (anchors[:, 1] < 32)
+    )
+    assert inside.sum() >= 4 and (~inside).sum() >= 8
+    # padding anchors score HIGHER than every true-image anchor
+    obj = np.zeros((1, n, 2), np.float32)
+    obj[0, ~inside, 1] = 5.0
+    obj[0, inside, 1] = 1.0
+    enc = np.zeros((1, n, 4), np.float32)  # decode = the anchors themselves
+    boxes, scores, keep = model._postprocess_rpn(
+        jnp.asarray(obj), jnp.asarray(enc), ts, anchors
+    )
+    kept = np.asarray(keep[0])
+    assert kept.any()
+    kb = np.asarray(boxes[0])[kept]
+    # every surviving proposal intersects the true image (nonzero area)
+    areas = (kb[:, 2] - kb[:, 0]) * (kb[:, 3] - kb[:, 1])
+    assert (areas > 0).all(), kb
+    assert (kb[:, 0] < 32).all() and (kb[:, 1] < 32).all()

@@ -204,3 +204,43 @@ def test_ssd_bn_epsilon_threads_from_conv_hyperparams():
         np.asarray(a["class_predictions_with_background"]),
         np.asarray(b["class_predictions_with_background"]),
     )
+
+
+def test_rfcn_runs_classifier_features_image_wide():
+    """The reference rfcn_meta_arch runs extract_box_classifier_features
+    (resnet block4) image-wide before the position-sensitive predictor
+    (regression: the predictor consumed stride-16 conv4 directly, so
+    SecondStageFeatureExtractor weights had no home and the reduce conv
+    saw 1024 channels instead of block4's 2048)."""
+    import jax
+    from mtlx.detector.rfcn import RFCN, RFCNConfig
+
+    cfg = RFCNConfig(
+        num_classes=3, canvas_size=(64, 64), anchor_scales=(0.5, 1.0),
+        anchor_aspect_ratios=(1.0,), anchor_base_size=(32.0, 32.0),
+        rpn_depth=32, rfcn_depth=32, first_stage_pre_nms_top_k=24,
+        first_stage_max_proposals=12, first_stage_minibatch_size=16,
+        second_stage_batch_size=8, max_gt_boxes=4, dtype=jnp.float32,
+    )
+    model = RFCN(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    params = variables["params"]
+    # block4 params exist in the R-FCN tree (converted TF checkpoints'
+    # SecondStageFeatureExtractor lands here)
+    assert "classifier_backbone" in params, sorted(params)
+    # and the predictor's reduce conv consumes block4's output width
+    reduce_in = params["rfcn_predictor"]["reduce"]["kernel"].shape[2]
+    assert reduce_in == 2048, reduce_in
+
+
+def test_rfcn_rejects_mtl_refine():
+    import pytest
+    from mtlx.detector.faster_rcnn import MTLConfig
+    from mtlx.detector.rfcn import RFCN, RFCNConfig
+
+    cfg = RFCNConfig(
+        num_classes=3, canvas_size=(64, 64),
+        mtl=MTLConfig(multiobject=True, refine=True),
+    )
+    with pytest.raises(ValueError, match="refine"):
+        RFCN(cfg)
