@@ -180,7 +180,11 @@ class InceptionResnetV2BoxClassifierFeatures(BNKnobs):
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, **self._bn_kwargs())
         x = x.astype(self.dtype)
-        # mixed_7a at stride 1 (detector fine-tuning keeps ROI resolution)
+        # mixed_7a at stride 1 (detector fine-tuning keeps ROI resolution;
+        # kernel shapes match the reference's stride-2 form 1:1). Branch 3
+        # is the reference's max-pool branch — at stride 1 that is a 3x3/1
+        # max pool, NOT the raw identity (converted checkpoints' block8
+        # convs expect max-pooled statistics on those channels).
         b0 = ConvBN(256, (1, 1), name="m7a_b0a", **kw)(x, train)
         b0 = ConvBN(384, (3, 3), name="m7a_b0b", **kw)(b0, train)
         b1 = ConvBN(256, (1, 1), name="m7a_b1a", **kw)(x, train)
@@ -188,7 +192,8 @@ class InceptionResnetV2BoxClassifierFeatures(BNKnobs):
         b2 = ConvBN(256, (1, 1), name="m7a_b2a", **kw)(x, train)
         b2 = ConvBN(288, (3, 3), name="m7a_b2b", **kw)(b2, train)
         b2 = ConvBN(320, (3, 3), name="m7a_b2c", **kw)(b2, train)
-        x = jnp.concatenate([b0, b1, b2, x], axis=-1)
+        pooled = nn.max_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+        x = jnp.concatenate([b0, b1, b2, pooled], axis=-1)
         for i in range(9):
             x = Block8(name=f"block8_{i + 1}", **kw)(x, train)
         x = Block8(relu=False, name="block8_10", **kw)(x, train)

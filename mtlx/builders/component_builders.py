@@ -81,10 +81,20 @@ def build_matcher(proto) -> Callable:
     kind = proto.WhichOneof("matcher_oneof")
     if kind == "argmax_matcher":
         m = proto.argmax_matcher
-        unmatched = m.matched_threshold if m.ignore_thresholds else m.unmatched_threshold
+        if m.ignore_thresholds:
+            # reference matcher_builder: ignore_thresholds disables BOTH
+            # thresholds (ArgMaxMatcher(matched_threshold=None)) — every
+            # anchor matches its argmax row; there are no negatives or
+            # ignores (NOT merely a collapsed ignore band)
+            return matcher_lib.make_argmax_matcher(
+                matched_threshold=float("-inf"),
+                unmatched_threshold=float("-inf"),
+                negatives_lower_than_unmatched=m.negatives_lower_than_unmatched,
+                force_match_for_each_row=m.force_match_for_each_row,
+            )
         return matcher_lib.make_argmax_matcher(
             matched_threshold=m.matched_threshold,
-            unmatched_threshold=unmatched,
+            unmatched_threshold=m.unmatched_threshold,
             negatives_lower_than_unmatched=m.negatives_lower_than_unmatched,
             force_match_for_each_row=m.force_match_for_each_row,
         )
@@ -182,7 +192,15 @@ def build_losses(loss_proto):
     loc_fn = build_localization_loss(loss_proto.localization_loss)
     miner = None
     if loss_proto.HasField("hard_example_miner"):
-        miner = build_hard_example_miner(loss_proto.hard_example_miner)
+        # reference losses_builder passes the Loss proto's configured
+        # weights into the miner (overriding HardExampleMiner's 0.05/0.06
+        # class defaults) — the miner must rank examples by the same
+        # weighted loss the training loss uses
+        miner = build_hard_example_miner(
+            loss_proto.hard_example_miner,
+            cls_loss_weight=loss_proto.classification_weight,
+            loc_loss_weight=loss_proto.localization_weight,
+        )
     return (
         cls_fn,
         loc_fn,

@@ -12,7 +12,11 @@ from __future__ import annotations
 
 import optax
 
-from mtlx.train.train_step import freeze_transform, make_optimizer
+from mtlx.train.train_step import (
+    bias_multiplier_transform,
+    freeze_transform,
+    make_optimizer,
+)
 
 
 def build_learning_rate(lr_proto):
@@ -77,7 +81,13 @@ def build(optimizer_proto, train_config=None):
         return tx, lr, ema_decay
 
     def _chain(inner):
+        # same knob order as make_optimizer's momentum path: the
+        # reference trainer applies the bias multiplier and clipping
+        # regardless of optimizer choice
         chain = []
+        bias_tx = bias_multiplier_transform(bias_mult)
+        if bias_tx is not None:
+            chain.append(bias_tx)
         frozen = freeze_transform(freeze)
         if frozen is not None:
             chain.append(frozen)

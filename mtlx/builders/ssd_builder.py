@@ -54,9 +54,15 @@ def build(ssd_proto, is_training: bool, max_gt_boxes: int = 100, dtype=jnp.bfloa
     cls_loss = (
         "weighted_softmax" if cls_kind == "weighted_softmax" else "weighted_sigmoid"
     )
-    miner = loss.hard_example_miner
-    neg_per_pos = float(miner.max_negatives_per_positive or 3)
-    min_neg = miner.min_negatives_per_image or 3
+    # reference semantics: no hard_example_miner block = train on all
+    # negatives; an explicit max_negatives_per_positive of 0 = no cap.
+    # (`or 3` would silently coerce both of those into 3:1 mining.)
+    if loss.HasField("hard_example_miner"):
+        miner = loss.hard_example_miner
+        neg_per_pos = float(miner.max_negatives_per_positive)  # 0 = no cap
+        min_neg = int(miner.min_negatives_per_image)
+    else:
+        neg_per_pos, min_neg = 0.0, 0
 
     # box predictor knobs (reference box_predictor.proto ConvolutionalBoxPredictor)
     kernel_size = 3

@@ -302,15 +302,21 @@ class SSD:
                 per_anchor_cls = loss_lib.weighted_softmax_classification_loss(
                     cls_logits, res.cls_targets, res.cls_weights
                 )
-            # classic 3:1 hard negative mining via top-k of negative losses
+            # classic 3:1 hard negative mining via top-k of negative losses;
+            # negatives_per_positive <= 0 = no mining (reference: a config
+            # without a hard_example_miner trains on ALL negatives)
             neg_mask = (res.match == matcher_lib.UNMATCHED) & (res.cls_weights > 0)
-            num_neg = jnp.minimum(
-                jnp.maximum(
-                    c.negatives_per_positive * num_matches,
-                    float(c.min_negatives_per_image),
-                ),
-                jnp.sum(neg_mask.astype(jnp.float32)),
-            )
+            neg_count = jnp.sum(neg_mask.astype(jnp.float32))
+            if c.negatives_per_positive > 0:
+                num_neg = jnp.minimum(
+                    jnp.maximum(
+                        c.negatives_per_positive * num_matches,
+                        float(c.min_negatives_per_image),
+                    ),
+                    neg_count,
+                )
+            else:
+                num_neg = neg_count
             neg_losses = jnp.where(neg_mask, per_anchor_cls, -jnp.inf)
             order = jnp.argsort(-neg_losses)
             ranks = jnp.argsort(order)

@@ -364,6 +364,7 @@ def main(argv=None):
         resizer=resizer_params(_image_resizer(configs["model"])),
         max_boxes=100,
         load_instance_masks=input_config.load_instance_masks,
+        num_keypoints=input_config.num_keypoints,
         tf1_resize=args.tf1_resize,
     )
     if input_config.label_map_path:

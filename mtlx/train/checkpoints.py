@@ -146,7 +146,7 @@ def restore_warm_start(
     """
     ckpt = ocp.StandardCheckpointer().restore(os.path.abspath(checkpoint_path))
     # accept either a raw variables dict or a full train-state pytree
-    source = ckpt.get("params", ckpt) if isinstance(ckpt, dict) else ckpt
+    source = ckpt
     if isinstance(ckpt, dict) and "params" in ckpt:
         source = {"params": ckpt["params"], "batch_stats": ckpt.get("batch_stats", {})}
     flat_src = _flatten(source)

@@ -282,6 +282,7 @@ def main(argv=None):
             input_config.load_instance_masks
             and getattr(model.cfg, "predict_instance_masks", False)
         ),
+        num_keypoints=input_config.num_keypoints,
         tf1_resize=args.tf1_resize,
     )
     print(f"[train] {len(dataset)} examples, batch {batch_size}, "

@@ -152,16 +152,25 @@ def main(argv=None):
         f"{args.train_dir}/classifier", {"params": params, "batch_stats": batch_stats}
     )
     if args.export_backbone:
-        # remap classifier body -> detector backbone names for warm start
+        # remap classifier body -> detector backbone names for warm start;
+        # the resnet classifier keeps block4 OUTSIDE `body` (it is the
+        # detector's second-stage classifier_backbone) — dropping it would
+        # leave ~15M second-stage params at random init after warm start
         body_params = params.get("body", params)
         body_stats = batch_stats.get("body", batch_stats) if batch_stats else {}
-        ckpt_lib.save_variables(
-            args.export_backbone,
-            {
-                "params": {"backbone": body_params},
-                "batch_stats": {"backbone": body_stats},
-            },
-        )
+        export = {
+            "params": {"backbone": body_params},
+            "batch_stats": {"backbone": body_stats},
+        }
+        if "block4" in params:
+            export["params"]["classifier_backbone"] = {
+                "block4": params["block4"]
+            }
+            if batch_stats and "block4" in batch_stats:
+                export["batch_stats"]["classifier_backbone"] = {
+                    "block4": batch_stats["block4"]
+                }
+        ckpt_lib.save_variables(args.export_backbone, export)
         print(f"[cls] exported backbone warm-start checkpoint to {args.export_backbone}")
     print("[cls] done", flush=True)
 

@@ -173,6 +173,26 @@ def freeze_transform(patterns) -> Optional[optax.GradientTransformation]:
     return optax.masked(optax.set_to_zero(), mask)
 
 
+def bias_multiplier_transform(
+    bias_grad_multiplier: float,
+) -> Optional[optax.GradientTransformation]:
+    """train_config.bias_grad_multiplier: scale the gradients of every
+    `bias` param (reference trainer applies it regardless of optimizer
+    choice). None when the multiplier is unset."""
+    if not bias_grad_multiplier or bias_grad_multiplier <= 0:
+        return None
+
+    def bias_mask(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: any(
+                getattr(k, "key", None) == "bias" for k in path
+            ),
+            params,
+        )
+
+    return optax.masked(optax.scale(bias_grad_multiplier), bias_mask)
+
+
 def make_optimizer(
     learning_rate: Any = 1e-3,
     momentum: float = 0.9,
@@ -183,19 +203,9 @@ def make_optimizer(
     """Momentum SGD + grad clip (+ optional bias gradient multiplier and
     frozen-variable patterns), mirroring the reference train_config knobs."""
     chain = []
-    if bias_grad_multiplier and bias_grad_multiplier > 0:
-        def bias_mask(params):
-            return jax.tree_util.tree_map_with_path(
-                lambda path, _: any(
-                    getattr(k, "key", None) == "bias" for k in path
-                ),
-                params,
-            )
-        chain.append(
-            optax.masked(
-                optax.scale(bias_grad_multiplier), bias_mask
-            )
-        )
+    bias_tx = bias_multiplier_transform(bias_grad_multiplier)
+    if bias_tx is not None:
+        chain.append(bias_tx)
     frozen = freeze_transform(freeze_variables)
     if frozen is not None:
         chain.append(frozen)

@@ -161,3 +161,120 @@ def test_ssd_random_crop_transform():
     out = preprocessor.ssd_random_crop(jax.random.PRNGKey(3), s)
     assert out["image"].shape == (32, 32, 3)
     assert np.isfinite(np.asarray(out["boxes"])).all()
+
+
+def test_miner_uses_configured_loss_weights():
+    """build_losses threads the Loss proto's classification/localization
+    weights into the miner (regression: the miner ranked by the
+    HardExampleMiner class defaults 0.05/0.06 regardless of config)."""
+    from google.protobuf import text_format
+
+    from mtlx.builders.component_builders import build_losses
+    from mtlx.config.protos import components_pb2
+
+    proto = text_format.Parse(
+        """
+        classification_loss { weighted_sigmoid {} }
+        localization_loss { weighted_smooth_l1 {} }
+        classification_weight: 2.0
+        localization_weight: 0.5
+        hard_example_miner { num_hard_examples: 32 iou_threshold: 0.7 }
+        """,
+        components_pb2.Loss(),
+    )
+    _, _, cw, lw, miner = build_losses(proto)
+    assert (cw, lw) == (2.0, 0.5)
+    assert miner.cls_loss_weight == 2.0
+    assert miner.loc_loss_weight == 0.5
+
+
+def test_ignore_thresholds_matches_every_anchor():
+    """argmax_matcher { ignore_thresholds: true } disables BOTH
+    thresholds: every anchor matches its argmax groundtruth row, no
+    negatives or ignores (reference ArgMaxMatcher(matched_threshold=None)
+    semantics — not a collapsed ignore band)."""
+    import jax.numpy as jnp
+    from google.protobuf import text_format
+
+    from mtlx.builders.component_builders import build_matcher
+    from mtlx.config.protos import components_pb2
+
+    proto = text_format.Parse(
+        "argmax_matcher { ignore_thresholds: true }",
+        components_pb2.Matcher(),
+    )
+    match_fn = build_matcher(proto)
+    sim = jnp.asarray([[0.05, 0.3], [0.2, 0.01], [0.0, 0.0]])  # [rows, cols]
+    match = np.asarray(match_fn(sim))
+    # all columns matched, to the row with the highest (even tiny) IoU
+    np.testing.assert_array_equal(match, [1, 0])
+
+
+def test_optimizer_bias_multiplier_applies_to_all_optimizers():
+    """train_config.bias_grad_multiplier scales bias grads under rms_prop
+    and adam too (regression: only the momentum path applied it)."""
+    import jax.numpy as jnp
+    from google.protobuf import text_format
+
+    from mtlx.builders import optimizer_builder
+    from mtlx.config.protos import pipeline_pb2
+
+    tc = pipeline_pb2.TrainConfig()
+    tc.bias_grad_multiplier = 3.0
+    params = {"d": {"kernel": jnp.ones((2, 2)), "bias": jnp.ones((2,))}}
+    # adaptive optimizers normalize update magnitude by the gradient's
+    # own scale, so probe in the epsilon-dominated regime (tiny grads,
+    # large epsilon) where the update is linear in the pre-scaled grad
+    for text, g in (
+        ("rms_prop_optimizer { epsilon: 1.0 learning_rate { "
+         "constant_learning_rate { learning_rate: 1.0 } } }", 1e-6),
+        # adam's eps is 1e-8: grads far below it keep sqrt(v) << eps
+        ("adam_optimizer { learning_rate { constant_learning_rate "
+         "{ learning_rate: 1.0 } } }", 1e-12),
+    ):
+        grads = {"d": {"kernel": jnp.full((2, 2), g),
+                       "bias": jnp.full((2,), g)}}
+        proto = text_format.Parse(text, pipeline_pb2.Optimizer())
+        tx, _, _ = optimizer_builder.build(proto, tc)
+        state = tx.init(params)
+        updates, _ = tx.update(grads, state, params)
+        ratio = float(jnp.abs(updates["d"]["bias"]).mean()) / float(
+            jnp.abs(updates["d"]["kernel"]).mean()
+        )
+        assert 2.0 < ratio < 4.0, (text, ratio)
+
+
+def test_ssd_builder_miner_absent_means_no_mining():
+    """No hard_example_miner block = train on all negatives; an explicit
+    max_negatives_per_positive: 0 = no cap (regression: `or 3` coerced
+    both into 3:1 mining)."""
+    from google.protobuf import text_format
+
+    from mtlx.builders import ssd_builder
+    from mtlx.config.protos import pipeline_pb2
+
+    base = """
+      num_classes: 2
+      image_resizer { fixed_shape_resizer { height: 64 width: 64 } }
+      feature_extractor { type: "ssd_mobilenet_v1" }
+      anchor_generator { ssd_anchor_generator { num_layers: 2 } }
+      box_predictor { convolutional_box_predictor {} }
+      loss { classification_loss { weighted_sigmoid {} }
+             localization_loss { weighted_smooth_l1 {} } %s }
+    """
+    no_miner = text_format.Parse(base % "", pipeline_pb2.Ssd())
+    cfg = ssd_builder.build(no_miner, is_training=True).cfg
+    assert cfg.negatives_per_positive == 0.0
+    uncapped = text_format.Parse(
+        base % ("hard_example_miner { max_negatives_per_positive: 0 "
+                "min_negatives_per_image: 0 }"),
+        pipeline_pb2.Ssd(),
+    )
+    cfg = ssd_builder.build(uncapped, is_training=True).cfg
+    assert cfg.negatives_per_positive == 0.0
+    capped = text_format.Parse(
+        base % "hard_example_miner { max_negatives_per_positive: 5 }",
+        pipeline_pb2.Ssd(),
+    )
+    cfg = ssd_builder.build(capped, is_training=True).cfg
+    assert cfg.negatives_per_positive == 5.0

@@ -72,3 +72,11 @@ def test_classifier_train_and_backbone_warm_start(tmp_path, capsys):
     old = np.asarray(variables["params"]["backbone"]["conv1"]["kernel"])
     new = np.asarray(new_vars["params"]["backbone"]["conv1"]["kernel"])
     assert not np.allclose(old, new)
+    # block4 (the detector's second-stage classifier_backbone) must warm
+    # start too (regression: --export_backbone dropped it, leaving ~15M
+    # second-stage params at random init)
+    old4 = np.asarray(jax.tree_util.tree_leaves(
+        variables["params"]["classifier_backbone"])[0])
+    new4 = np.asarray(jax.tree_util.tree_leaves(
+        new_vars["params"]["classifier_backbone"])[0])
+    assert not np.allclose(old4, new4)
