@@ -42,7 +42,16 @@ class BoxList:
         return self._data[name]
 
     def add_field(self, name: str, value: Array) -> None:
-        self._data[name] = jnp.asarray(value)
+        value = jnp.asarray(value)
+        n = self.num_boxes()
+        if value.ndim == 0 or value.shape[0] != n:
+            # np_box_list raises on this too; a silent mismatch would
+            # be clamped (not error) by later jnp.take gathers
+            raise ValueError(
+                f"field {name!r} has leading dim "
+                f"{value.shape[0] if value.ndim else None}, expected {n}"
+            )
+        self._data[name] = value
 
     def has_field(self, name: str) -> bool:
         return name in self._data

@@ -19,7 +19,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import Array
 
-EPSILON = 1e-8
+# divisor guard for IoU/IoA ratios: must match the numpy oracle's 1e-30
+# (a 1e-8 floor gave tiny-but-real unions an arbitrary partial IoU —
+# normalized SSD-coordinate boxes of side ~3e-5 have unions ~1e-9).
+# The reference encoder's width/height stabilizer stays 1e-8 separately.
+EPSILON = 1e-30
 
 
 def area(boxes: Array) -> Array:

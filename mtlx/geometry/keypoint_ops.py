@@ -14,8 +14,11 @@ def scale(keypoints: Array, y_scale, x_scale) -> Array:
 
 
 def clip_to_window(keypoints: Array, window: Array) -> Array:
-    y = jnp.clip(keypoints[..., 0], window[..., 0], window[..., 2])
-    x = jnp.clip(keypoints[..., 1], window[..., 1], window[..., 3])
+    # window [..., 4] broadcasts over the keypoint axis via the 0:1
+    # slices, exactly like box_ops' windowed ops — keypoints [B, K, 2]
+    # with windows [B, 4] clip per batch row, not per keypoint
+    y = jnp.clip(keypoints[..., 0], window[..., 0:1], window[..., 2:3])
+    x = jnp.clip(keypoints[..., 1], window[..., 1:2], window[..., 3:4])
     return jnp.stack([y, x], axis=-1)
 
 
@@ -24,17 +27,17 @@ def prune_outside_window(keypoints: Array, window: Array) -> Array:
     convention for 'absent')."""
     y, x = keypoints[..., 0], keypoints[..., 1]
     inside = (
-        (y >= window[..., 0]) & (y <= window[..., 2])
-        & (x >= window[..., 1]) & (x <= window[..., 3])
+        (y >= window[..., 0:1]) & (y <= window[..., 2:3])
+        & (x >= window[..., 1:2]) & (x <= window[..., 3:4])
     )
     return jnp.where(inside[..., None], keypoints, jnp.nan)
 
 
 def change_coordinate_frame(keypoints: Array, window: Array) -> Array:
-    win_h = window[..., 2] - window[..., 0]
-    win_w = window[..., 3] - window[..., 1]
-    y = (keypoints[..., 0] - window[..., 0]) / win_h
-    x = (keypoints[..., 1] - window[..., 1]) / win_w
+    win_h = window[..., 2:3] - window[..., 0:1]
+    win_w = window[..., 3:4] - window[..., 1:2]
+    y = (keypoints[..., 0] - window[..., 0:1]) / win_h
+    x = (keypoints[..., 1] - window[..., 1:2]) / win_w
     return jnp.stack([y, x], axis=-1)
 
 

@@ -88,6 +88,8 @@ def non_max_suppression(
     for i in order:
         if suppressed[i]:
             continue
+        if len(keep) >= max_output_size:  # before appending: size 0 = none
+            break
         keep.append(int(i))
         if len(keep) == max_output_size:
             break

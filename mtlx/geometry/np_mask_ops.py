@@ -32,8 +32,10 @@ def intersection(masks1: np.ndarray, masks2: np.ndarray) -> np.ndarray:
     n, m = len(masks1), len(masks2)
     if n == 0 or m == 0:
         return np.zeros((n, m), np.float64)
-    a = masks1.reshape(n, -1).astype(np.float32)
-    b = masks2.reshape(m, -1).astype(np.float32)
+    # binarize like area() does — 0/255-coded uint8 masks would otherwise
+    # contribute 255^2 per overlapping pixel
+    a = masks1.astype(bool).reshape(n, -1).astype(np.float32)
+    b = masks2.astype(bool).reshape(m, -1).astype(np.float32)
     return (a @ b.T).astype(np.float64)
 
 

@@ -194,7 +194,6 @@ class RfcnBoxPredictor(nn.Module):
     @nn.compact
     def __call__(self, features, proposal_boxes):
         from mtlx.ops import roi as roi_ops
-        import jax
 
         bins = self.num_spatial_bins[0] * self.num_spatial_bins[1]
         x = nn.relu(

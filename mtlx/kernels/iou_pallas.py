@@ -37,7 +37,7 @@ def _iou_kernel(b1_ref, b2_ref, out_ref):
     area1 = (ymax1 - ymin1) * (xmax1 - xmin1)
     area2 = (ymax2 - ymin2) * (xmax2 - xmin2)
     union = area1 + area2 - inter
-    out_ref[:] = jnp.where(union > 0, inter / jnp.maximum(union, 1e-8), 0.0)
+    out_ref[:] = jnp.where(union > 0, inter / jnp.maximum(union, 1e-30), 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

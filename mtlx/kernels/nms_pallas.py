@@ -73,7 +73,7 @@ def _nms_kernel(
         iw = jnp.maximum(0.0, jnp.minimum(xmax, bx1) - jnp.maximum(xmin, bx0))
         inter = ih * iw
         union = area + barea - inter
-        iou = jnp.where(union > 0, inter / jnp.maximum(union, 1e-8), 0.0)
+        iou = jnp.where(union > 0, inter / jnp.maximum(union, 1e-30), 0.0)
 
         suppress = (iou > iou_threshold) | (col == best)
         live_ref[:] = jnp.where(valid & suppress, _NEG, live)

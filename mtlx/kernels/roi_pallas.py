@@ -144,8 +144,17 @@ def _crop_core_bwd(res, g):
 _crop_core.defvjp(_crop_core_fwd, _crop_core_bwd)
 
 
-def crop_and_resize_fused(image: Array, boxes: Array, crop_size) -> Array:
-    """Drop-in for mtlx.ops.roi.crop_and_resize_mxu on TPU (one image)."""
+def crop_and_resize_fused(image: Array, boxes: Array, crop_size,
+                          extrapolation_value: float = 0.0) -> Array:
+    """Drop-in for mtlx.ops.roi.crop_and_resize_mxu on TPU (one image)
+    for the default extrapolation_value=0.0 (out-of-range samples read
+    zero, which the interp-matrix form produces implicitly); other fill
+    values are not implemented in this kernel."""
+    if extrapolation_value != 0.0:
+        raise NotImplementedError(
+            "crop_and_resize_fused supports extrapolation_value=0.0 only; "
+            "use mtlx.ops.roi.crop_and_resize_mxu for other fills"
+        )
     h, w, _ = image.shape
     ch, cw = crop_size
     y1, x1, y2, x2 = (boxes[:, i].astype(jnp.float32) for i in range(4))

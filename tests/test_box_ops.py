@@ -144,3 +144,59 @@ def test_keypoint_coder_roundtrip():
     dec_boxes, dec_kp = box_coders.keypoint_decode(codes, jnp.asarray(anchors), num_keypoints=3)
     np.testing.assert_allclose(dec_boxes, boxes, rtol=1e-3, atol=1e-2)
     np.testing.assert_allclose(dec_kp, kp, rtol=1e-3, atol=1e-2)
+
+
+def test_iou_tiny_boxes_match_numpy_oracle():
+    """Divisor guard must not floor tiny-but-real unions (normalized
+    SSD-coordinate boxes have unions ~1e-9): identical boxes IoU == 1."""
+    import jax.numpy as jnp
+
+    from mtlx.geometry import box_ops, np_box_ops
+
+    b = np.asarray([[0.1, 0.1, 0.1 + 3e-5, 0.1 + 3e-5]], np.float32)
+    got = np.asarray(box_ops.iou(jnp.asarray(b), jnp.asarray(b)))
+    want = np_box_ops.iou(b, b)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    np.testing.assert_allclose(got, [[1.0]], atol=1e-5)
+
+
+def test_np_mask_intersection_binarizes():
+    """0/255-coded uint8 masks must behave like booleans."""
+    from mtlx.geometry import np_mask_ops
+
+    m = np.zeros((1, 4, 4), np.uint8)
+    m[0, :2, :2] = 255
+    np.testing.assert_allclose(np_mask_ops.iou(m, m), [[1.0]])
+    np.testing.assert_allclose(np_mask_ops.intersection(m, m), [[4.0]])
+
+
+def test_np_boxlist_nms_zero_output_size():
+    from mtlx.geometry import np_box_list
+
+    bl = np_box_list.BoxList(
+        np.asarray([[0, 0, 1, 1], [2, 2, 3, 3]], np.float32)
+    )
+    bl.add_field("scores", np.asarray([0.9, 0.8], np.float32))
+    out = np_box_list.non_max_suppression(bl, max_output_size=0)
+    assert out.num_boxes() == 0
+
+
+def test_keypoint_ops_batched_windows():
+    """Windowed keypoint ops accept [B, 4] windows alongside [B, K, 2]
+    keypoints (box_ops parallel), clipping per batch row."""
+    import jax.numpy as jnp
+
+    from mtlx.geometry import keypoint_ops
+
+    kp = jnp.asarray([[[0.5, 0.5], [5.0, 5.0], [9.0, 9.0]],
+                      [[0.5, 0.5], [5.0, 5.0], [9.0, 9.0]]])
+    win = jnp.asarray([[0.0, 0.0, 10.0, 10.0], [1.0, 1.0, 6.0, 6.0]])
+    clipped = np.asarray(keypoint_ops.clip_to_window(kp, win))
+    np.testing.assert_allclose(clipped[0], np.asarray(kp[0]))
+    np.testing.assert_allclose(clipped[1], [[1, 1], [5, 5], [6, 6]])
+    pruned = np.asarray(keypoint_ops.prune_outside_window(kp, win))
+    assert not np.isnan(pruned[0]).any()
+    assert np.isnan(pruned[1, 0]).all() and np.isnan(pruned[1, 2]).all()
+    assert not np.isnan(pruned[1, 1]).any()
+    frame = np.asarray(keypoint_ops.change_coordinate_frame(kp, win))
+    np.testing.assert_allclose(frame[1, 1], [0.8, 0.8])
