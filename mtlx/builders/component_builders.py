@@ -166,8 +166,9 @@ def build_hard_example_miner(m, cls_loss_weight: float = 0.05,
     """HardExampleMiner proto -> miner config — the ONE mapping both the
     SSD losses path and the FRCNN model_builder path use (reference
     losses_builder.build_hard_example_miner). Weight defaults follow the
-    reference miner; FRCNN passes 1.0/1.0 (its stage losses already carry
-    the configured weights)."""
+    reference miner; both callers override them with their configured
+    cls/loc loss weights so mining ranks by the same weighted loss the
+    training loss uses."""
     return loss_lib.HardExampleMinerConfig(
         num_hard_examples=m.num_hard_examples,
         iou_threshold=m.iou_threshold,

@@ -163,8 +163,15 @@ def _build_faster_rcnn(fr, is_training: bool, max_gt_boxes: int, dtype):
     if fr.HasField("hard_example_miner"):
         from mtlx.builders.component_builders import build_hard_example_miner
 
+        # reference model_builder passes the second-stage loss weights into
+        # the miner so it ranks ROIs by the same weighted loss training
+        # minimizes (losses_builder.build_hard_example_miner(config,
+        # second_stage_classification_loss_weight,
+        # second_stage_localization_loss_weight))
         miner_cfg = build_hard_example_miner(
-            fr.hard_example_miner, cls_loss_weight=1.0, loc_loss_weight=1.0
+            fr.hard_example_miner,
+            cls_loss_weight=fr.second_stage_classification_loss_weight,
+            loc_loss_weight=fr.second_stage_localization_loss_weight,
         )
     predict_masks, mask_depth = False, 256
     if predictor_kind == "mask_rcnn_box_predictor":

@@ -520,3 +520,21 @@ def test_ssd_live_bn_updates_stats_frozen_does_not(extractor):
     assert np.any(b != a), "live BN must update moving stats"
     b, a = stats_after_step("")
     assert np.all(b == a), "frozen BN must not update stats"
+
+
+def test_frcnn_miner_gets_second_stage_loss_weights():
+    """Reference model_builder passes second_stage_{classification,
+    localization}_loss_weight into losses_builder.build_hard_example_miner
+    so mining ranks ROIs by the same weighted loss training minimizes
+    (regression: the FRCNN path hardcoded 1.0/1.0)."""
+    extra = """
+  second_stage_classification_loss_weight: 3.0
+  second_stage_localization_loss_weight: 0.25
+  hard_example_miner { num_hard_examples: 12 iou_threshold: 0.8 }
+"""
+    model = model_builder.build(_model_proto(extra=extra), is_training=True)
+    miner = model.cfg.hard_example_miner
+    assert miner is not None
+    assert miner.num_hard_examples == 12
+    assert miner.cls_loss_weight == 3.0
+    assert miner.loc_loss_weight == 0.25
