@@ -769,19 +769,24 @@ class FasterRCNN:
             loc_loss = loss_lib.weighted_smooth_l1_loss(
                 enc, res.reg_targets, res.reg_weights * w
             )
+            normalizer = jnp.maximum(jnp.sum(w), 1.0)
             if c.hard_example_miner is not None:
-                # reference: the miner picks the hardest ROIs (NMS-style
-                # de-dup + negatives cap) and the losses sum over only those
+                # reference: per-ROI losses are normalized by the proposal
+                # count FIRST, then the miner picks the hardest ROIs
+                # (NMS-style de-dup + negatives cap) and SUMS over only
+                # those (meta-arch _unpad_proposals_and_apply_hard_mining →
+                # HardExampleMiner reduce_sum of the gathered, already-
+                # normalized losses) — NOT a mean over the mined subset,
+                # which would inflate the loss (mean of the hardest ≥ mean
+                # of all).
                 keep = loss_lib.hard_example_mining_mask(
                     cls_loss, loc_loss, props, res.match, c.hard_example_miner
                 ).astype(jnp.float32)
                 keep = keep * w
-                normalizer = jnp.maximum(jnp.sum(keep), 1.0)
                 return (
                     jnp.sum(cls_loss * keep) / normalizer,
                     jnp.sum(loc_loss * keep) / normalizer,
                 )
-            normalizer = jnp.maximum(jnp.sum(w), 1.0)
             return jnp.sum(cls_loss) / normalizer, jnp.sum(loc_loss) / normalizer
 
         cls_l, loc_l = jax.vmap(per_image)(

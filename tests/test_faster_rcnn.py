@@ -379,3 +379,32 @@ def test_rpn_padding_anchors_do_not_consume_top_k():
     areas = (kb[:, 2] - kb[:, 0]) * (kb[:, 3] - kb[:, 1])
     assert (areas > 0).all(), kb
     assert (kb[:, 0] < 32).all() and (kb[:, 1] < 32).all()
+
+
+def test_miner_sums_over_proposal_normalizer():
+    """Reference hard mining: per-ROI losses are divided by the proposal
+    count, then the miner SUMS the mined subset — so the mined loss can
+    never exceed the unmined loss (sum over a subset of nonnegative
+    terms). Regression: dividing by the mined count instead yields the
+    mean of the hardest subset, which is >= the unmined mean."""
+    from mtlx.losses.losses import HardExampleMinerConfig
+
+    cfg = tiny_config(
+        hard_example_miner=HardExampleMinerConfig(
+            num_hard_examples=2, iou_threshold=0.99, loss_type="both",
+            cls_loss_weight=1.0, loc_loss_weight=1.0,
+        )
+    )
+    model = FasterRCNN(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    gt = make_gt()
+    images = model.preprocess(jnp.full((2, 64, 64, 3), 100.0))
+    ts = jnp.asarray([[64, 64], [64, 64]])
+    rng = jax.random.PRNGKey(1)
+    pred = model.predict(variables, images, ts, training=True, rng=rng,
+                         groundtruth=gt)
+    mined = model.loss(pred, gt, rng)
+    plain = FasterRCNN(tiny_config()).loss(pred, gt, rng)
+    for key in ("Loss/BoxClassifierLoss/classification_loss",
+                "Loss/BoxClassifierLoss/localization_loss"):
+        assert float(mined[key]) <= float(plain[key]) + 1e-6, key
