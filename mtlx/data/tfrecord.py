@@ -40,10 +40,12 @@ def _make_table():
 _TABLE = _make_table()
 
 _native_crc = None
-try:  # optional C extension (built by tools/build_native.py)
-    from mtlx.data import _crc32c_ext  # type: ignore
+try:  # optional C extension, lazily compiled when missing
+    from mtlx.data.native_build import ensure_native as _ensure_native
 
-    _native_crc = _crc32c_ext.crc32c
+    _ext = _ensure_native("_crc32c_ext")
+    if _ext is not None:
+        _native_crc = _ext.crc32c
 except Exception:  # pragma: no cover - extension genuinely optional
     pass
 
