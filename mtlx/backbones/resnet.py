@@ -29,6 +29,11 @@ import flax.linen as nn
 Dtype = Any
 
 BLOCK_SIZES = {
+    # depth 10 is a wiring-validation size (1 bottleneck per stage): same
+    # stem / stage / stride-transition structure as the production depths
+    # at a fraction of the compile time — used by the multi-chip dryrun
+    # and sharding tests, not a checkpoint-compatible architecture.
+    10: (1, 1, 1, 1),
     50: (3, 4, 6, 3),
     101: (3, 4, 23, 3),
     152: (3, 8, 36, 3),

@@ -146,9 +146,12 @@ class FasterRCNNConfig:
 
     @property
     def resnet_depth(self) -> int:
-        return {"resnet50": 50, "resnet101": 101, "resnet152": 152}.get(
-            self.backbone, 50
-        )
+        return {
+            "resnet10": 10,  # wiring-validation size (see resnet.BLOCK_SIZES)
+            "resnet50": 50,
+            "resnet101": 101,
+            "resnet152": 152,
+        }.get(self.backbone, 50)
 
     @property
     def feature_map_shape(self) -> Tuple[int, int]:

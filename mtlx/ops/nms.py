@@ -71,6 +71,18 @@ def non_max_suppression_padded(
       indices: [max_output_size] int32 indices into boxes (0-padded),
       keep_mask: [max_output_size] bool validity of each output slot.
     """
+    n = boxes.shape[0]
+    use_chunked = USE_CHUNKED
+    if use_chunked is None:
+        use_chunked = n >= _CHUNKED_MIN_N
+    if use_chunked:
+        live = scores
+        if valid_mask is not None:
+            live = jnp.where(valid_mask, live, _NEG)
+        live = jnp.where(live > score_threshold, live, _NEG)
+        return _nms_priority_chunked(
+            boxes, live, max_output_size, iou_threshold
+        )
     if _pallas_enabled():
         from mtlx.kernels import nms_pallas
 
@@ -82,7 +94,6 @@ def non_max_suppression_padded(
             score_threshold=score_threshold,
             valid_mask=valid_mask,
         )
-    n = boxes.shape[0]
     live = scores
     if valid_mask is not None:
         live = jnp.where(valid_mask, live, _NEG)
@@ -118,9 +129,15 @@ def non_max_suppression_padded(
 # it, and survivor-hood propagates one chain level per sweep. The
 # resulting survivor set is exactly greedy's (proof: induction over the
 # priority order; the while_loop iterates to convergence, never a fixed
-# sweep count). None = auto (on when K*N*N is small), True/False force.
+# sweep count). None = auto (on when the suppression matrix is cheap),
+# True/False force.
 USE_FIXED_POINT: Optional[bool] = None
-_FIXED_POINT_MAX_ELEMS = 4_000_000  # K * N * N budget for the bool matrix
+_FIXED_POINT_MAX_ELEMS = 4_000_000  # live bool-matrix budget per chunk
+# COCO-scale class counts chunk the [K, N, N] matrix over class blocks
+# (lax.map — sequential); auto mode only accepts a few blocks, because
+# past that the serialization loses to the vmapped greedy loop (SSD's
+# N=1917 x 90 classes would be 90 sequential solves).
+_FIXED_POINT_MAX_BLOCKS = 8
 
 
 def _greedy_survivors_fixed_point(
@@ -129,6 +146,7 @@ def _greedy_survivors_fixed_point(
     live0: Array,  # [K, N] bool — valid & above score threshold
     iou_threshold: float,
     shared_boxes: bool = False,
+    iou: Optional[Array] = None,
 ) -> Array:
     """Exact greedy-NMS survivor mask [K, N] for all K classes at once.
 
@@ -140,12 +158,17 @@ def _greedy_survivors_fixed_point(
     shared_boxes: every class row of `boxes` is the same box set (Q==1
     multiclass NMS) — compute the IoU matrix once and broadcast instead
     of K identical [N, N] matrices.
+
+    iou: optional precomputed pairwise-IoU matrix ([K, N, N], or
+    [1, N, N] when shared) — the class-chunked driver below computes the
+    shared matrix once and reuses it for every chunk.
     """
     n = boxes.shape[-2]
-    if shared_boxes:
-        iou = box_ops.iou(boxes[0], boxes[0])[None]  # [1, N, N] broadcasts
-    else:
-        iou = jax.vmap(lambda b: box_ops.iou(b, b))(boxes)  # [K, N, N]
+    if iou is None:
+        if shared_boxes:
+            iou = box_ops.iou(boxes[0], boxes[0])[None]  # [1,N,N] broadcasts
+        else:
+            iou = jax.vmap(lambda b: box_ops.iou(b, b))(boxes)  # [K, N, N]
     s_j = scores[:, :, None]
     s_i = scores[:, None, :]
     idx = jnp.arange(n)
@@ -165,6 +188,139 @@ def _greedy_survivors_fixed_point(
 
     alive, _ = jax.lax.while_loop(cond, body, (live0, jnp.asarray(True)))
     return alive
+
+
+def _greedy_survivors_class_chunked(
+    boxes: Array,  # [K, N, 4]
+    scores: Array,  # [K, N]
+    live0: Array,  # [K, N] bool
+    iou_threshold: float,
+    shared_boxes: bool,
+) -> Array:
+    """Fixed-point survivors with the [K, N, N] suppression matrix
+    bounded to _FIXED_POINT_MAX_ELEMS by chunking classes through
+    `lax.map` — COCO-scale K (90 classes x N=300 -> 8.1M bools) keeps the
+    fixed-point postprocess instead of silently falling back to the
+    3.2x-slower sequential greedy loop. Classes are independent in
+    per-class NMS, so block results concatenate exactly.
+    """
+    num_classes, n = scores.shape
+    chunk = max(1, min(num_classes, _FIXED_POINT_MAX_ELEMS // max(n * n, 1)))
+    if chunk >= num_classes:
+        return _greedy_survivors_fixed_point(
+            boxes, scores, live0, iou_threshold, shared_boxes=shared_boxes
+        )
+    blocks = -(-num_classes // chunk)
+    pad = blocks * chunk - num_classes  # padded rows: live0 False => alive False
+    scores_b = jnp.pad(scores, ((0, pad), (0, 0))).reshape(blocks, chunk, n)
+    live_b = jnp.pad(live0, ((0, pad), (0, 0))).reshape(blocks, chunk, n)
+    if shared_boxes:
+        iou = box_ops.iou(boxes[0], boxes[0])[None]  # once, reused per chunk
+        alive_b = jax.lax.map(
+            lambda sl: _greedy_survivors_fixed_point(
+                boxes[:1], sl[0], sl[1], iou_threshold,
+                shared_boxes=True, iou=iou,
+            ),
+            (scores_b, live_b),
+        )
+    else:
+        boxes_b = jnp.pad(boxes, ((0, pad), (0, 0), (0, 0))).reshape(
+            blocks, chunk, n, 4
+        )
+        alive_b = jax.lax.map(
+            lambda xs: _greedy_survivors_fixed_point(
+                xs[0], xs[1], xs[2], iou_threshold
+            ),
+            (boxes_b, scores_b, live_b),
+        )
+    return alive_b.reshape(blocks * chunk, n)[:num_classes]
+
+
+# Priority-chunked fixed point for LARGE single-class candidate sets
+# (the RPN's 6000-candidate NMS): process candidates in score-descending
+# chunks; each chunk solves one [C, C] fixed point after masking out
+# candidates suppressed by already-selected survivors, and the loop
+# exits as soon as max_output survivors exist. Exact greedy semantics:
+# chunks are priority prefixes, so a candidate's fate depends only on
+# candidates in its own or earlier chunks, and greedy never looks past
+# its max_output-th pick. None = auto (chunked when N >= _CHUNKED_MIN_N),
+# True/False force.
+USE_CHUNKED: Optional[bool] = None
+_CHUNKED_MIN_N = 2048
+_CHUNK_SIZE = 1024
+
+
+def _nms_priority_chunked(
+    boxes: Array,  # [N, 4]
+    scores: Array,  # [N] — already _NEG-masked for invalid/thresholded
+    max_output_size: int,
+    iou_threshold: float,
+):
+    """Exact greedy NMS via score-ordered chunks of fixed-point solves.
+
+    Returns (indices [max_output_size] int32 0-padded, keep mask) with
+    the same contract as non_max_suppression_padded. Replaces the
+    max_output_size-step sequential greedy loop with ~1 (rarely 2+)
+    [C, C] matrix fixed points: the RPN's 6000->300 selection typically
+    finds all 300 survivors in the first 1024-candidate chunk
+    (SURVEY.md §3.1 first_stage NMS; [U] core/post_processing.py).
+    """
+    n = boxes.shape[0]
+    p = max_output_size
+    chunk = min(_CHUNK_SIZE, n)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+
+    # full priority sort (scores desc, index asc — lax.top_k tie order);
+    # the padding rows sort last with _NEG scores
+    order_scores, order = jax.lax.top_k(scores, n)
+    sboxes = jnp.pad(jnp.take(boxes, order, axis=0), ((0, pad), (0, 0)))
+    sscores = jnp.pad(order_scores, (0, pad), constant_values=_NEG)
+    sidx = jnp.pad(order.astype(jnp.int32), (0, pad))
+
+    def cond(state):
+        ci, _, buf_scores, _, count = state
+        return (ci < n_chunks) & (count < p)
+
+    def body(state):
+        ci, buf_boxes, buf_scores, buf_idx, _ = state
+        start = ci * chunk
+        cb = jax.lax.dynamic_slice(sboxes, (start, 0), (chunk, 4))
+        cs = jax.lax.dynamic_slice(sscores, (start,), (chunk,))
+        cidx = jax.lax.dynamic_slice(sidx, (start,), (chunk,))
+        live0 = cs > _NEG / 2
+        # suppression by survivors carried from earlier (higher-priority)
+        # chunks — all of them, since the loop only runs while count < p
+        carried = buf_scores > _NEG / 2
+        iou_carry = box_ops.iou(buf_boxes, cb)  # [P, C]
+        live0 &= ~jnp.any((iou_carry > iou_threshold) & carried[:, None],
+                          axis=0)
+        alive = _greedy_survivors_fixed_point(
+            cb[None], cs[None], live0[None], iou_threshold
+        )[0]
+        surv_scores = jnp.where(alive, cs, _NEG)
+        # merge: chunk candidates all rank below every carried survivor
+        # (score-sorted chunks; concat order keeps buf first so top_k's
+        # lower-index tie rule preserves cross-chunk priority)
+        all_scores = jnp.concatenate([buf_scores, surv_scores])
+        top_scores, sel = jax.lax.top_k(all_scores, p)
+        buf_boxes = jnp.take(
+            jnp.concatenate([buf_boxes, cb], axis=0), sel, axis=0
+        )
+        buf_idx = jnp.take(jnp.concatenate([buf_idx, cidx]), sel)
+        count = jnp.sum(top_scores > _NEG / 2).astype(jnp.int32)
+        return ci + 1, buf_boxes, top_scores, buf_idx, count
+
+    state = (
+        jnp.asarray(0, jnp.int32),
+        jnp.zeros((p, 4), boxes.dtype),
+        jnp.full((p,), _NEG, scores.dtype),
+        jnp.zeros((p,), jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+    _, _, buf_scores, buf_idx, _ = jax.lax.while_loop(cond, body, state)
+    keep = buf_scores > _NEG / 2
+    return jnp.where(keep, buf_idx, 0), keep
 
 
 class NMSResult(NamedTuple):
@@ -217,7 +373,14 @@ def multiclass_non_max_suppression(
 
     use_fp = USE_FIXED_POINT
     if use_fp is None:
-        use_fp = num_classes * n * n <= _FIXED_POINT_MAX_ELEMS
+        # classes chunk through lax.map, so the per-class [N, N] matrix
+        # must fit the budget and the chunk serialization must stay
+        # shallow (COCO K=90 x N=300 -> 3 blocks: in; SSD N=1917: out)
+        use_fp = (
+            n * n <= _FIXED_POINT_MAX_ELEMS
+            and num_classes * n * n
+            <= _FIXED_POINT_MAX_BLOCKS * _FIXED_POINT_MAX_ELEMS
+        )
 
     if use_fp:
         # all classes at once: survivors via fixed point, then per-class
@@ -226,7 +389,7 @@ def multiclass_non_max_suppression(
         scores_kn = jnp.swapaxes(scores, 0, 1)  # [K, N]
         area_ok = box_ops.area(boxes_kn) > 0
         live0 = valid_mask[None, :] & area_ok & (scores_kn > score_threshold)
-        alive = _greedy_survivors_fixed_point(
+        alive = _greedy_survivors_class_chunked(
             boxes_kn, scores_kn, live0, iou_threshold,
             # q == 1: one box set broadcast to all classes (clipping
             # applies identically per class, so rows stay shared)

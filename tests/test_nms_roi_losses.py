@@ -291,7 +291,95 @@ def test_fixed_point_multiclass_equals_greedy():
 
 
 def test_fixed_point_auto_dispatch_bound():
-    """Auto mode uses the fixed point only when the [K, N, N] suppression
-    matrix fits the budget — the SSD-sized case stays on the greedy path."""
-    assert 20 * 300 * 300 <= nms._FIXED_POINT_MAX_ELEMS  # FRCNN stage 2
-    assert 20 * 1917 * 1917 > nms._FIXED_POINT_MAX_ELEMS  # SSD300
+    """Auto mode uses the fixed point when the per-class [N, N] matrix
+    fits the budget AND class chunking stays shallow — FRCNN stage 2 is
+    in at both VOC (K=20) and COCO (K=90) scale; SSD300's N=1917 stays
+    on the vmapped greedy path (90 sequential chunk solves would lose)."""
+    budget = nms._FIXED_POINT_MAX_ELEMS
+    blocks = nms._FIXED_POINT_MAX_BLOCKS
+    assert 300 * 300 <= budget  # FRCNN stage 2 per-class matrix
+    assert 20 * 300 * 300 <= blocks * budget  # VOC: no chunking needed
+    assert 90 * 300 * 300 <= blocks * budget  # COCO: chunked, still fp
+    assert 90 * 1917 * 1917 > blocks * budget  # SSD300 COCO: greedy
+
+
+def test_priority_chunked_single_class_equals_greedy():
+    """The RPN-scale priority-chunked NMS (score-ordered chunks of
+    fixed-point solves with carried-survivor suppression) must equal the
+    sequential greedy path exactly — including when survivors span
+    several chunks, when a chunk is exhausted by carried suppression,
+    with score ties, thresholds and validity masks."""
+    rs = np.random.RandomState(7)
+    prev_chunk, prev_min = nms._CHUNK_SIZE, nms._CHUNKED_MIN_N
+    prev = nms.USE_CHUNKED
+    try:
+        nms._CHUNK_SIZE = 16  # force many chunks at test sizes
+        for trial in range(6):
+            n = int(rs.choice([30, 64, 100]))
+            # clustered boxes -> heavy cross-chunk suppression chains
+            centers = rs.uniform(10, 90, (max(4, n // 8), 2))
+            pick = centers[rs.randint(0, len(centers), n)]
+            jitter = rs.uniform(-6, 6, (n, 2))
+            y0x0 = pick + jitter - 10
+            y1x1 = pick + jitter + 10 + rs.uniform(0, 8, (n, 2))
+            boxes = np.concatenate([y0x0, y1x1], 1).astype(np.float32)
+            scores = rs.uniform(0, 1, n).astype(np.float32)
+            if trial % 2 == 0:
+                scores[: n // 2] = scores[n // 2:]  # ties
+            vm = jnp.asarray(rs.uniform(0, 1, n) > 0.15)
+            kw = dict(max_output_size=20, iou_threshold=0.4,
+                      score_threshold=0.1, valid_mask=vm)
+            nms.USE_CHUNKED = False
+            ia, ka = nms.non_max_suppression_padded(
+                jnp.asarray(boxes), jnp.asarray(scores), **kw)
+            nms.USE_CHUNKED = True
+            ib, kb = nms.non_max_suppression_padded(
+                jnp.asarray(boxes), jnp.asarray(scores), **kw)
+            np.testing.assert_array_equal(np.asarray(ka), np.asarray(kb),
+                                          err_msg=f"trial {trial} keep")
+            np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib),
+                                          err_msg=f"trial {trial} idx")
+    finally:
+        nms._CHUNK_SIZE, nms._CHUNKED_MIN_N = prev_chunk, prev_min
+        nms.USE_CHUNKED = prev
+
+
+def test_fixed_point_class_chunked_equals_greedy():
+    """COCO-scale class counts chunk the suppression matrix over class
+    blocks; the chunked survivors must equal the sequential greedy path
+    exactly, for both shared (Q==1) and per-class boxes, including the
+    ragged final block."""
+    rs = np.random.RandomState(11)
+    n = 40
+    prev_budget = nms._FIXED_POINT_MAX_ELEMS
+    prev_fp = nms.USE_FIXED_POINT
+    try:
+        # force chunking at tiny sizes: budget of 3 class-rows per block
+        # over K=7 classes -> blocks of 3/3/1 (ragged tail)
+        nms._FIXED_POINT_MAX_ELEMS = 3 * n * n
+        for q in (1, 7):
+            raw = rs.uniform(0, 100, (n, q, 4)).astype(np.float32)
+            boxes = np.concatenate(
+                [np.minimum(raw[..., :2], raw[..., 2:]),
+                 np.maximum(raw[..., :2], raw[..., 2:])], -1)
+            scores = rs.uniform(0, 1, (n, 7)).astype(np.float32)
+            scores[: n // 2] = scores[n // 2:]  # ties exercise priority
+            vm = jnp.asarray(rs.uniform(0, 1, n) > 0.2)
+            kw = dict(score_threshold=0.05, iou_threshold=0.5,
+                      max_size_per_class=10, max_total_size=25,
+                      valid_mask=vm)
+            nms.USE_FIXED_POINT = False
+            a = nms.multiclass_non_max_suppression(
+                jnp.asarray(boxes), jnp.asarray(scores), **kw)
+            nms.USE_FIXED_POINT = True
+            b = nms.multiclass_non_max_suppression(
+                jnp.asarray(boxes), jnp.asarray(scores), **kw)
+            for name in ("boxes", "scores", "classes", "valid_mask",
+                         "num_valid"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(a, name)),
+                    np.asarray(getattr(b, name)),
+                    err_msg=f"q {q} field {name}")
+    finally:
+        nms._FIXED_POINT_MAX_ELEMS = prev_budget
+        nms.USE_FIXED_POINT = prev_fp

@@ -249,3 +249,55 @@ def test_create_hybrid_mesh_validation():
         mesh_lib.create_hybrid_mesh(num_slices=3, devices=devs)
     with pytest.raises(ValueError, match="num_slices"):
         mesh_lib.create_hybrid_mesh(devices=devs)  # CPUs have no slice_index
+
+
+def test_multiprocess_dp_params_identical(tmp_path):
+    """True 2-process data parallelism (SURVEY.md §3.9 multi-host DP row):
+    2 subprocesses x 2 virtual CPU devices each, jax.distributed against a
+    localhost coordinator, each process feeding its process_index shard
+    through the real loader. Post-step params must be identical across the
+    two processes and match a single-process 4-device run on the same
+    global batch (in-suite version of the driver dryrun's stage 5, so a
+    regression is caught on every suite run, not only in the driver
+    artifact)."""
+    import pickle
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    import __graft_entry__ as g
+
+    from mtlx.train.train_step import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    n_devices, global_batch = 4, 8
+    model = g._flagship(canvas=(64, 64), dtype=jnp.float32, **g._TINY_KW)
+    tx = make_optimizer(learning_rate=0.01)
+    state0 = create_train_state(model, jax.random.PRNGKey(0), tx)
+    state0 = jax.tree_util.tree_map(np.asarray, state0)
+
+    records = str(tmp_path / "synthetic.record")
+    g._write_synthetic_records(records, n=global_batch)
+    state_path = str(tmp_path / "state0.pkl")
+    with open(state_path, "wb") as f:
+        pickle.dump(state0.replace(tx=None), f)
+
+    children = g._spawn_mp_children(
+        n_devices, records, global_batch, state_path
+    )
+    mesh = mesh_lib.create_mesh(jax.devices()[:n_devices])
+    ref_step = jax.jit(
+        make_train_step(model),
+        in_shardings=(
+            mesh_lib.replicated(mesh),
+            mesh_lib.batch_sharding(mesh),
+            mesh_lib.replicated(mesh),
+        ),
+    )
+    # raises on child failure, process disagreement, or mismatch vs the
+    # single-process reference
+    g._collect_mp_children(
+        children, n_devices, records, global_batch, ref_step, state0
+    )
