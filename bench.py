@@ -29,10 +29,21 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_REFERENCE_IMG_PER_SEC = 20.0
-CONFIG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      "configs", "faster_rcnn_resnet50_mtl_voc0712.config")
+_CONFIG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "configs")
+CONFIG = os.path.join(_CONFIG_DIR, "faster_rcnn_resnet50_mtl_voc0712.config")
 BATCH_SWEEP = (8, 16, 32)  # 32 shows where scaling flattens/breaks
 STEPS = 10
+
+# secondary milestone operating points (BASELINE.json configs[4] is the
+# R101 3-task COCO config; SSD300 is the other meta-architecture family):
+# (json key, config file, typical true region after the resizer, batch)
+SECONDARY_CONFIGS = (
+    ("frcnn_r101_mtl3_train_coco",
+     "faster_rcnn_resnet101_mtl_coco.config", (600, 800), 16),
+    ("ssd_inception_v2_300_train_voc",
+     "ssd_inception_v2_voc.config", (300, 300), 32),
+)
 
 # per-chip peak numbers for MFU / roofline (bf16 FLOP/s, HBM bytes/s)
 _PEAKS = {
@@ -53,7 +64,7 @@ def _peaks(device_kind: str):
     return _PEAKS["v5e"]  # this environment's chip
 
 
-def build_from_config():
+def build_from_config(config_path=CONFIG):
     from mtlx.builders import model_builder, optimizer_builder
     from mtlx.config import config_util
     from mtlx.train.train_step import (
@@ -62,7 +73,7 @@ def build_from_config():
         make_train_step,
     )
 
-    configs = config_util.get_configs_from_pipeline_file(CONFIG)
+    configs = config_util.get_configs_from_pipeline_file(config_path)
     train_config = configs["train_config"]
     model = model_builder.build(
         configs["model"], is_training=True,
@@ -83,15 +94,16 @@ TRUE_SHAPE = (600, 1000)  # typical VOC landscape after keep-aspect 600/1024
 
 
 def synthetic_batch(model, batch_size: int, rs: np.random.RandomState,
-                    packed: bool = True):
-    """A production-shaped batch: true region TRUE_SHAPE on the canvas.
+                    packed: bool = True, true_shape=None):
+    """A production-shaped batch: true region `true_shape` on the canvas.
     packed=True ships the 128-bucket of the true region (the loader's
     pack_images form — the compute operating point for real VOC data);
     packed=False ships the full padded canvas."""
     from mtlx.train.train_step import BUCKET_MULTIPLE
 
     ch, cw = model.cfg.canvas_size
-    th, tw = TRUE_SHAPE
+    th, tw = true_shape or TRUE_SHAPE
+    th, tw = min(th, ch), min(tw, cw)
     if packed:
         ih = min(ch, -(-th // BUCKET_MULTIPLE) * BUCKET_MULTIPLE)
         iw = min(cw, -(-tw // BUCKET_MULTIPLE) * BUCKET_MULTIPLE)
@@ -119,21 +131,22 @@ def synthetic_batch(model, batch_size: int, rs: np.random.RandomState,
         ),
         "gt_boxes": jnp.asarray(boxes),
         "gt_classes": jnp.asarray(
-            rs.randint(0, 20, (batch_size, g)), jnp.int32
+            rs.randint(0, model.cfg.num_classes, (batch_size, g)), jnp.int32
         ),
         "gt_mask": jnp.asarray(mask),
     }
 
 
 def time_batch(model, state, step_fn, batch_size: int, rs,
-               packed: bool = True):
+               packed: bool = True, true_shape=None):
     """(images/sec, step_seconds, cost_analysis dict or {})."""
     from mtlx.train.train_step import pad_for_model
 
     # fresh buffers: the step donates its input state, so work on a copy
     # to keep the caller's state valid across sweep points
     state = jax.tree_util.tree_map(jnp.array, state)
-    batch = synthetic_batch(model, batch_size, rs, packed=packed)
+    batch = synthetic_batch(model, batch_size, rs, packed=packed,
+                            true_shape=true_shape)
     raw_step = step_fn
 
     def stepped(state, batch, rng):
@@ -272,7 +285,7 @@ def host_pipeline_images_per_sec(model, state, step_fn, configs,
 
 
 def inference_images_per_sec(model, state, batch_size: int = 8,
-                             steps: int = 10):
+                             steps: int = 10, true_shape=None):
     """Serving throughput: jitted preprocess+predict+postprocess on the
     128-bucket of the true shape (exporter behavior), params committed to
     device (eval.py behavior)."""
@@ -282,7 +295,8 @@ def inference_images_per_sec(model, state, batch_size: int = 8,
     ev = jax.jit(make_eval_step(model))
     rs = np.random.RandomState(0)
     ch, cw = model.cfg.canvas_size
-    th, tw = TRUE_SHAPE
+    th, tw = true_shape or TRUE_SHAPE
+    th, tw = min(th, ch), min(tw, cw)
     ih = min(ch, -(-th // BUCKET_MULTIPLE) * BUCKET_MULTIPLE)
     iw = min(cw, -(-tw // BUCKET_MULTIPLE) * BUCKET_MULTIPLE)
     batch = jax.device_put({
@@ -301,6 +315,48 @@ def inference_images_per_sec(model, state, batch_size: int = 8,
     float(jax.device_get(det["detection_scores"]).sum())
     dt = (time.perf_counter() - t0) / steps
     return batch_size / dt
+
+
+def secondary_config_points(device_kind: str):
+    """Device-only train throughput + MFU/roofline for the other
+    milestone operating points (VERDICT r3 #3: BASELINE.json configs[4]
+    R101 3-task COCO, plus an SSD number in a driver artifact)."""
+    peak_flops, peak_bw = _peaks(device_kind)
+    out = {}
+    for key, fname, true_shape, bs in SECONDARY_CONFIGS:
+        try:
+            model, state, step_fn, configs = build_from_config(
+                os.path.join(_CONFIG_DIR, fname)
+            )
+            rs = np.random.RandomState(0)
+            ips, dt, cost = time_batch(
+                model, state, step_fn, bs, rs, true_shape=true_shape
+            )
+            entry = {
+                "images_per_sec_per_chip": round(ips, 2),
+                "config": fname,
+                "batch": bs,
+                "true_shape": list(true_shape),
+            }
+            flops = cost.get("flops")
+            byts = cost.get("bytes accessed")
+            if flops and dt:
+                entry["mfu"] = round(float(flops) / dt / peak_flops, 4)
+            if byts and dt:
+                entry["hbm_roofline_frac"] = round(
+                    float(byts) / dt / peak_bw, 4
+                )
+            if key.startswith("ssd"):
+                entry["serving_images_per_sec"] = round(
+                    inference_images_per_sec(
+                        model, state, batch_size=32, true_shape=true_shape
+                    ),
+                    2,
+                )
+            out[key] = entry
+        except Exception as e:
+            out[key] = f"failed: {type(e).__name__}: {e}"
+    return out
 
 
 def main():
@@ -359,6 +415,12 @@ def main():
     except Exception as e:
         lat = f"failed: {type(e).__name__}"
 
+    secondary = secondary_config_points(device.device_kind)
+
+    from mtlx.data.native_build import decode_path
+
+    decode = decode_path()
+
     print(
         json.dumps(
             {
@@ -380,12 +442,16 @@ def main():
                 "mfu": mfu,
                 "hbm_roofline_frac": hbm_frac,
                 "e2e_images_per_sec_with_host_pipeline": e2e,
+                "e2e_decode_path": decode,
                 "inference_images_per_sec": infer,
                 "inference_latency_ms_b1": lat,
                 "e2e_note": "e2e is bound by this dev box's ~62 MB/s "
                             "host<->TPU tunnel (transfers measured "
-                            "dominant; decode is 179 img/s host-side); "
+                            "dominant); decode path for this run is "
+                            "e2e_decode_path (native = first-party "
+                            "fused libjpeg codec, auto-built); "
                             "device-only is `value`",
+                "secondary_configs": secondary,
                 "device_kind": device.device_kind,
             }
         )
