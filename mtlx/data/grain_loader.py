@@ -147,14 +147,16 @@ def _bucket_batched(samples: Iterator[dict], canvas, batch_size: int,
     the largest group is flushed as a (partially mixed) batch. Tail
     samples that never fill a batch are dropped, matching grain.Batch
     drop_remainder=True."""
-    from mtlx.data.loader import _PACK_MULTIPLE, pack_batch_images
+    from mtlx.data.loader import pack_batch_images
+    from mtlx.utils.bucketing import bucket_multiple
 
+    mult = bucket_multiple()
     ch, cw = canvas
 
     def key(ts):
         return (
-            min(ch, -(-int(ts[0]) // _PACK_MULTIPLE) * _PACK_MULTIPLE),
-            min(cw, -(-int(ts[1]) // _PACK_MULTIPLE) * _PACK_MULTIPLE),
+            min(ch, -(-int(ts[0]) // mult) * mult),
+            min(cw, -(-int(ts[1]) // mult) * mult),
         )
 
     def collate(group):

@@ -333,11 +333,14 @@ class HostGeometry:
         )
         return out
 
-    def achievable_post_buckets(self, multiple: int = 128) -> List[Tuple[int, int]]:
-        """All 128-bucket shapes the post-augmentation keep-aspect rule can
+    def achievable_post_buckets(self, multiple: int = 0) -> List[Tuple[int, int]]:
+        """All bucket shapes the post-augmentation keep-aspect rule can
         produce (for train.py --precompile_buckets): the final shape is a
         pure function of the augmented aspect ratio, so sweeping aspects
         densely enumerates the finite bucket set."""
+        if not multiple:
+            from mtlx.utils.bucketing import bucket_multiple
+            multiple = bucket_multiple()
         ch, cw = self.canvas_size
         shapes = set()
         for a in np.geomspace(0.05, 20.0, 4096):

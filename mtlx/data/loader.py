@@ -368,7 +368,10 @@ class DetectionDataset:
         }
 
 
-_PACK_MULTIPLE = 128  # transfer-bucket granularity (keeps jit variants few)
+# Transfer-bucket granularity lives in mtlx.utils.bucketing (ONE knob
+# shared with the compute bucket in train_step.pad_batch_to_bucket —
+# the loader must ship at the same granularity the step computes at).
+from mtlx.utils.bucketing import bucket_multiple as _pack_multiple
 
 
 def achievable_bucket_shapes(
@@ -396,9 +399,10 @@ def achievable_bucket_shapes(
     not just in the two endpoint sets. The achievable set is the full
     bucket grid over that per-axis range (which is also max-closed, so
     batch combination adds nothing)."""
+    mult = _pack_multiple()
     per_record = set(record_bucket_keys(dataset, max_records))
     if host_geometry is not None:
-        post = set(host_geometry.achievable_post_buckets(_PACK_MULTIPLE))
+        post = set(host_geometry.achievable_post_buckets(mult))
         both = per_record | post
         lo_h = min(h for h, _ in both)
         lo_w = min(w for _, w in both)
@@ -406,8 +410,8 @@ def achievable_bucket_shapes(
         hi_w = max(w for _, w in both)
         return [
             (h, w)
-            for h in range(lo_h, hi_h + 1, _PACK_MULTIPLE)
-            for w in range(lo_w, hi_w + 1, _PACK_MULTIPLE)
+            for h in range(lo_h, hi_h + 1, mult)
+            for w in range(lo_w, hi_w + 1, mult)
         ]
     shapes = set(per_record)
     if batch_size > 1:
@@ -419,17 +423,18 @@ def achievable_bucket_shapes(
 
 def pack_batch_images(images: np.ndarray,
                       true_shapes: np.ndarray) -> np.ndarray:
-    """Crop a canvas-shaped image batch to its 128-bucketed true region:
+    """Crop a canvas-shaped image batch to its bucketed true region:
     host->device transfer is the e2e bottleneck on thin links (PCIe
     shared across chips; 62 MB/s on this dev tunnel) and the canvas
     padding is all zeros anyway. The device side pads back to the static
     canvas (train_step.pad_batch_to_canvas); each distinct bucket shape
     is one extra jit specialization."""
+    mult = _pack_multiple()
     ch, cw = images.shape[1:3]
     hs = int(true_shapes[:, 0].max())
     ws = int(true_shapes[:, 1].max())
-    hb = min(ch, -(-hs // _PACK_MULTIPLE) * _PACK_MULTIPLE)
-    wb = min(cw, -(-ws // _PACK_MULTIPLE) * _PACK_MULTIPLE)
+    hb = min(ch, -(-hs // mult) * mult)
+    wb = min(cw, -(-ws // mult) * mult)
     return np.ascontiguousarray(images[:, :hb, :wb])
 
 
@@ -459,11 +464,15 @@ def record_bucket_keys(
     reads every record once (proto parse + image header), so the result
     is cached on the dataset: aspect grouping and --precompile_buckets
     both need it."""
+    mult = _pack_multiple()
     ch, cw = dataset.canvas_size
     n = len(dataset)
     if max_records is not None:
         n = min(n, max_records)
-    cached = getattr(dataset, "_bucket_key_cache", None) or []
+    # cache is keyed by the bucket granularity in force when it was built
+    cache_mult, cached = getattr(dataset, "_bucket_key_cache", (None, []))
+    if cache_mult != mult:
+        cached = []
     if len(cached) >= n:
         return cached[:n]
     # extend the cached prefix instead of rescanning it: eval polls call
@@ -473,11 +482,11 @@ def record_bucket_keys(
     for i in range(len(out), n):
         th, tw = dataset.peek_target_shape(i)
         out.append((
-            min(ch, -(-th // _PACK_MULTIPLE) * _PACK_MULTIPLE),
-            min(cw, -(-tw // _PACK_MULTIPLE) * _PACK_MULTIPLE),
+            min(ch, -(-th // mult) * mult),
+            min(cw, -(-tw // mult) * mult),
         ))
     try:
-        dataset._bucket_key_cache = out
+        dataset._bucket_key_cache = (mult, out)
     except (AttributeError, TypeError):
         pass
     return out

@@ -40,7 +40,15 @@ def parse_args(argv=None):
                         "the wall-clock; set 1 for the reference's exact "
                         "execution shape; tail batches are padded and the "
                         "padding is ignored)")
-    return p.parse_args(argv)
+    p.add_argument("--bucket_multiple", type=int, default=0,
+                   help="transfer/compute bucket granularity in pixels "
+                        "(multiple of 32; default 128) — see train.py")
+    args = p.parse_args(argv)
+    if args.bucket_multiple:
+        from mtlx.utils.bucketing import set_bucket_multiple
+
+        set_bucket_multiple(args.bucket_multiple)
+    return args
 
 
 def build_evaluators(eval_config, categories):

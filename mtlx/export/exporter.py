@@ -354,10 +354,11 @@ class InferenceModel:
 
         canvas_h, canvas_w = self.model.cfg.canvas_size
         # bucketed compute (train_step.pad_batch_to_bucket semantics):
-        # serve on the 128-bucket of the batch's max true shape instead of
+        # serve on the bucket of the batch's max true shape instead of
         # the full padded canvas — fewer backbone rows, same detections
         if getattr(self.model, "supports_bucketed_compute", False):
-            from mtlx.train.train_step import BUCKET_MULTIPLE as _mult
+            from mtlx.utils.bucketing import bucket_multiple
+            _mult = bucket_multiple()
         else:
             _mult = None
         kind, params = self.resizer
@@ -411,7 +412,14 @@ def main(argv=None):
                    help="also write a TF SavedModel (jax2tf, frozen "
                         "weights) under <output_directory>/saved_model "
                         "for TF-serving stacks; requires TensorFlow")
+    p.add_argument("--bucket_multiple", type=int, default=0,
+                   help="serving compute-bucket granularity in pixels "
+                        "(multiple of 32; default 128) — see train.py")
     args = p.parse_args(argv)
+    if args.bucket_multiple:
+        from mtlx.utils.bucketing import set_bucket_multiple
+
+        set_bucket_multiple(args.bucket_multiple)
     out = export_inference_graph(
         args.pipeline_config_path,
         args.trained_checkpoint_dir,

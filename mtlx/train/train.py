@@ -155,6 +155,14 @@ def parse_args(argv=None):
                         "forces the full-canvas bucket, erasing the "
                         "bucketed-compute win); 0 = plain shuffled "
                         "batches. Only meaningful with --pack_transfer")
+    p.add_argument("--bucket_multiple", type=int, default=0,
+                   help="transfer/compute bucket granularity in pixels "
+                        "(multiple of 32; default 128). Finer buckets "
+                        "compute and ship fewer padding rows — measured "
+                        "+13%% train img/s at 32 on the R101 COCO point "
+                        "(tools/bucket_sweep.py) — at the cost of more "
+                        "jit bucket variants (--precompile_buckets "
+                        "covers them up front)")
     p.add_argument("--precompile_buckets", action="store_true",
                    help="scan the dataset's image headers, enumerate every "
                         "compute-bucket shape its batches can produce, and "
@@ -199,6 +207,10 @@ def main(argv=None):
     # producer 148 -> 175 img/s at 1ms vs the 5ms default)
     _sys.setswitchinterval(0.001)
     args = parse_args(argv)
+    if args.bucket_multiple:
+        from mtlx.utils.bucketing import set_bucket_multiple
+
+        set_bucket_multiple(args.bucket_multiple)
     if args.platform:
         import jax
 

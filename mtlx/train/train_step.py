@@ -102,11 +102,8 @@ def pad_batch_to_canvas(batch: Dict[str, jax.Array], canvas) -> Dict:
     return out
 
 
-BUCKET_MULTIPLE = 128  # == loader._PACK_MULTIPLE (keeps jit variants few)
-
-
 def pad_batch_to_bucket(batch: Dict[str, jax.Array], canvas,
-                        multiple: int = BUCKET_MULTIPLE) -> Dict:
+                        multiple: int = 0) -> Dict:
     """Pad a packed batch up to its compute BUCKET (next `multiple`,
     capped at the full canvas) instead of the max canvas: the detector
     computes on the bucket, so the backbone skips the all-zero canvas
@@ -120,6 +117,9 @@ def pad_batch_to_bucket(batch: Dict[str, jax.Array], canvas,
     gt instance masks (carried at canvas/mask_stride resolution) are
     cropped to the matching bucket so their frame tracks the images'.
     """
+    from mtlx.utils.bucketing import bucket_multiple
+
+    multiple = multiple or bucket_multiple()
     ch, cw = canvas
     img = batch["image"]
     h, w = img.shape[1], img.shape[2]

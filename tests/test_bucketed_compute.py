@@ -10,7 +10,6 @@ import pytest
 
 from mtlx.detector.faster_rcnn import FasterRCNN, FasterRCNNConfig, MTLConfig
 from mtlx.train.train_step import (
-    BUCKET_MULTIPLE,
     create_train_state,
     make_eval_step,
     make_optimizer,
@@ -176,9 +175,13 @@ def test_ssd_keeps_full_canvas():
 
 
 def test_bucket_multiple_matches_loader_pack():
-    from mtlx.data.loader import _PACK_MULTIPLE
+    # ONE knob: the loader's transfer granularity and the step's compute
+    # granularity are the same mtlx.utils.bucketing setting
+    from mtlx.data.loader import _pack_multiple
+    from mtlx.utils.bucketing import bucket_multiple
 
-    assert BUCKET_MULTIPLE == _PACK_MULTIPLE
+    assert _pack_multiple is bucket_multiple
+    assert bucket_multiple() in (32, 64, 128)
 
 
 # ---- bucket precompilation (train.py --precompile_buckets) ----------------

@@ -674,9 +674,11 @@ def test_achievable_buckets_cover_observed_pack_shapes(tmp_path):
     closure missed in-between buckets -> mid-run XLA compiles)."""
     from mtlx.data.loader import (
         DetectionDataset,
-        _PACK_MULTIPLE,
         achievable_bucket_shapes,
     )
+    from mtlx.utils.bucketing import bucket_multiple
+
+    _PACK_MULTIPLE = bucket_multiple()
     from mtlx.data import tfrecord
     from mtlx.data.example_decoder import build_example
     from PIL import Image
