@@ -70,9 +70,12 @@ def make_grain_loader(
     pack_images: bool = False,
     aspect_grouping: Optional[bool] = None,
     host_geometry=None,
+    max_bucket_variants: int = 0,
 ) -> Iterator[dict]:
     """Returns an iterator of batched numpy dicts via grain. pack_images
-    ships 128-bucketed true-shape images (see loader.pack_batch_images).
+    ships bucketed true-shape images (see loader.pack_batch_images;
+    granularity = mtlx.utils.bucketing, bounded by max_bucket_variants
+    via loader.BucketCoalescer).
     aspect_grouping (default: on when pack_images is) regroups the
     worker-decoded sample stream so each batch shares one compute bucket
     (grain's sampler shuffles globally, so unlike loader.batches the
@@ -107,8 +110,16 @@ def make_grain_loader(
         worker_count=worker_count,
     )
     if aspect_grouping:
+        coalescer = None
+        if max_bucket_variants:
+            from mtlx.data.loader import BucketCoalescer, record_bucket_keys
+
+            coalescer = BucketCoalescer(
+                record_bucket_keys(dataset), max_bucket_variants,
+                dataset.canvas_size,
+            )
         return _bucket_batched(iter(loader), dataset.canvas_size, batch_size,
-                               pack_images=pack_images)
+                               pack_images=pack_images, coalescer=coalescer)
     if not pack_images:
         if host_geometry is None:
             return iter(loader)
@@ -139,7 +150,8 @@ def make_grain_loader(
 
 def _bucket_batched(samples: Iterator[dict], canvas, batch_size: int,
                     max_buffered_batches: int = 8,
-                    pack_images: bool = True) -> Iterator[dict]:
+                    pack_images: bool = True,
+                    coalescer=None) -> Iterator[dict]:
     """Group a decoded per-sample stream into same-compute-bucket batches
     (mixed portrait/landscape batches force the full-canvas bucket and
     erase the bucketed-compute win). A bounded reservoir keeps memory and
@@ -154,10 +166,11 @@ def _bucket_batched(samples: Iterator[dict], canvas, batch_size: int,
     ch, cw = canvas
 
     def key(ts):
-        return (
+        k = (
             min(ch, -(-int(ts[0]) // mult) * mult),
             min(cw, -(-int(ts[1]) // mult) * mult),
         )
+        return coalescer.map(k) if coalescer is not None else k
 
     def collate(group):
         b = {k: np.stack([s[k] for s in group]) for k in group[0]}
@@ -166,7 +179,9 @@ def _bucket_batched(samples: Iterator[dict], canvas, batch_size: int,
         # runs), so honor pack_images=False: ship the full canvas
         if pack_images and "true_shape" in b:
             b["image"] = pack_batch_images(
-                b["image"], extents if extents is not None else b["true_shape"]
+                b["image"],
+                extents if extents is not None else b["true_shape"],
+                coalescer,
             )
         return b
 

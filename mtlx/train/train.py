@@ -163,6 +163,15 @@ def parse_args(argv=None):
                         "(tools/bucket_sweep.py) — at the cost of more "
                         "jit bucket variants (--precompile_buckets "
                         "covers them up front)")
+    p.add_argument("--max_bucket_variants", type=int, default=0,
+                   help="bound the compute-bucket set to at most N "
+                        "shapes: the N most frequent per-record buckets "
+                        "are kept (plus the full canvas) and rarer "
+                        "buckets pad up to their nearest kept superset. "
+                        "Makes fine --bucket_multiple granularity "
+                        "production-viable on varied-aspect datasets "
+                        "without an unbounded jit-variant count. "
+                        "0 = no bound. Requires --aspect_grouping")
     p.add_argument("--precompile_buckets", action="store_true",
                    help="scan the dataset's image headers, enumerate every "
                         "compute-bucket shape its batches can produce, and "
@@ -364,7 +373,8 @@ def main(argv=None):
             # buckets), and the batch template carries the aug_* fields
             # real batches will have
             shapes = achievable_bucket_shapes(
-                dataset, batch_size, host_geometry=host_geometry
+                dataset, batch_size, host_geometry=host_geometry,
+                max_bucket_variants=args.max_bucket_variants,
             )
             sample = dataset.get(0)
             if host_geometry is not None:
@@ -406,6 +416,7 @@ def main(argv=None):
                 pack_images=bool(args.pack_transfer),
                 aspect_grouping=bool(args.aspect_grouping),
                 host_geometry=host_geometry,
+                max_bucket_variants=args.max_bucket_variants,
             )
         )
     else:
@@ -413,7 +424,8 @@ def main(argv=None):
                             seed=args.seed, decode_threads=args.decode_threads,
                             epochs=num_epochs, host_geometry=host_geometry,
                             pack_images=bool(args.pack_transfer),
-                            aspect_grouping=bool(args.aspect_grouping))
+                            aspect_grouping=bool(args.aspect_grouping),
+                            max_bucket_variants=args.max_bucket_variants)
     data_iter = device_prefetch(
         host_iter,
         sharding=mesh_lib.batch_sharding(mesh),

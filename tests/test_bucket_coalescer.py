@@ -1,0 +1,164 @@
+"""BucketCoalescer (--max_bucket_variants): bounds the compute-bucket
+variant count under fine --bucket_multiple granularity. Kept set = the
+N-1 most frequent per-record buckets + the full canvas; everything else
+pads up to its minimum-area kept superset."""
+
+import numpy as np
+import pytest
+
+from mtlx.data.loader import (
+    BucketCoalescer,
+    achievable_bucket_shapes,
+    batches,
+    pack_batch_images,
+)
+from mtlx.utils import bucketing
+
+
+@pytest.fixture(autouse=True)
+def _restore_default():
+    yield
+    bucketing.set_bucket_multiple(bucketing.DEFAULT_BUCKET_MULTIPLE)
+
+
+CANVAS = (1024, 1024)
+
+
+def test_identity_when_few_buckets():
+    keys = [(608, 800)] * 5 + [(640, 1024)] * 3
+    co = BucketCoalescer(keys, 4, CANVAS)
+    assert not co.active
+    assert co.map((608, 800)) == (608, 800)
+    # unseen keys pass through untouched when inactive
+    assert co.map((320, 480)) == (320, 480)
+
+
+def test_keeps_most_frequent_plus_canvas():
+    keys = ([(608, 800)] * 10 + [(800, 608)] * 8 + [(640, 1024)] * 2
+            + [(1024, 640)] * 1)
+    co = BucketCoalescer(keys, 3, CANVAS)
+    assert co.active
+    assert set(co.kept) == {(608, 800), (800, 608), CANVAS}
+    # dropped buckets map to their min-area kept superset: nothing but
+    # the canvas covers (640, 1024)
+    assert co.map((640, 1024)) == CANVAS
+    assert co.map((1024, 640)) == CANVAS
+    # kept buckets map to themselves
+    assert co.map((608, 800)) == (608, 800)
+
+
+def test_min_area_superset_choice():
+    keys = ([(608, 800)] * 10 + [(640, 896)] * 8 + [(608, 832)] * 1
+            + [(992, 992)] * 1)
+    co = BucketCoalescer(keys, 3, CANVAS)
+    assert set(co.kept) == {(608, 800), (640, 896), CANVAS}
+    # (608, 832) fits inside (640, 896) (area 573k) — not the canvas
+    assert co.map((608, 832)) == (640, 896)
+
+
+def test_batch_max_stability():
+    """map(componentwise max of two keys with the same mapped bucket)
+    equals that bucket — mixed members of one group never create a new
+    variant."""
+    rs = np.random.RandomState(0)
+    keys = [(32 * rs.randint(10, 33), 32 * rs.randint(10, 33))
+            for _ in range(200)]
+    co = BucketCoalescer(keys, 5, CANVAS)
+    assert co.active
+    for a in keys[:40]:
+        for b in keys[:40]:
+            if co.map(a) == co.map(b):
+                m = (max(a[0], b[0]), max(a[1], b[1]))
+                assert co.map(m) == co.map(a)
+
+
+def test_pack_batch_images_pads_to_mapped_bucket():
+    bucketing.set_bucket_multiple(32)
+    co = BucketCoalescer(
+        [(608, 800)] * 10 + [(608, 832)] * 1 + [(640, 896)] * 5
+        + [(992, 992)] * 1,
+        3, CANVAS,
+    )
+    images = np.zeros((2, 1024, 1024, 3), np.uint8)
+    ts = np.asarray([[600, 830], [500, 700]], np.int32)  # fine (608, 832)
+    assert pack_batch_images(images, ts, co).shape == (2, 640, 896, 3)
+    # without the coalescer: the fine bucket
+    assert pack_batch_images(images, ts).shape == (2, 608, 832, 3)
+
+
+class _SynthDs:
+    """Duck-typed DetectionDataset: canvas-shaped images whose true
+    regions cycle through three shapes."""
+
+    canvas_size = (512, 512)
+
+    def __init__(self, shapes, n):
+        self._shapes = [shapes[i % len(shapes)] for i in range(n)]
+
+    def __len__(self):
+        return len(self._shapes)
+
+    def peek_target_shape(self, i):
+        return self._shapes[i]
+
+    def get(self, i):
+        th, tw = self._shapes[i]
+        img = np.zeros(self.canvas_size + (3,), np.uint8)
+        img[:th, :tw] = 1
+        return {
+            "image": img,
+            "true_shape": np.asarray([th, tw], np.int32),
+            "gt_boxes": np.zeros((4, 4), np.float32),
+            "gt_classes": np.zeros((4,), np.int32),
+            "gt_mask": np.zeros((4,), bool),
+            "source_id": str(i),
+        }
+
+
+def test_batches_bounded_variant_set():
+    bucketing.set_bucket_multiple(32)
+    # fine buckets: (224, 320) x12, (256, 352) x6, (320, 224) x2
+    ds = _SynthDs([(220, 300)] * 6 + [(250, 340)] * 3 + [(310, 200)] * 1,
+                  n=20)
+    shapes = set()
+    for b in batches(ds, batch_size=2, shuffle=True, epochs=2,
+                     pack_images=True, max_bucket_variants=2):
+        shapes.add(b["image"].shape[1:3])
+    kept = set(
+        achievable_bucket_shapes(ds, 2, max_bucket_variants=2)
+    )
+    assert kept == {(224, 320), (512, 512)}
+    assert shapes <= kept
+    # the dominant bucket actually occurs (the win is preserved)
+    assert (224, 320) in shapes
+
+
+def test_batches_unbounded_matches_fine_buckets():
+    bucketing.set_bucket_multiple(32)
+    ds = _SynthDs([(220, 300)] * 6 + [(250, 340)] * 3, n=18)
+    shapes = set()
+    for b in batches(ds, batch_size=2, shuffle=False, epochs=1,
+                     pack_images=True):
+        shapes.add(b["image"].shape[1:3])
+    assert shapes == {(224, 320), (256, 352)}
+
+
+def test_grain_bucket_batched_with_coalescer():
+    from mtlx.data.grain_loader import _bucket_batched
+
+    bucketing.set_bucket_multiple(32)
+    ds = _SynthDs([(220, 300)] * 10 + [(250, 340)] * 4 + [(310, 200)] * 2,
+                  n=16)
+    co = BucketCoalescer(
+        [tuple(
+            bucketing.bucket_extent(e, c)
+            for e, c in zip(ds.peek_target_shape(i), ds.canvas_size)
+        ) for i in range(len(ds))],
+        2, ds.canvas_size,
+    )
+    stream = (ds.get(i) for i in range(len(ds)))
+    shapes = set()
+    for b in _bucket_batched(stream, ds.canvas_size, 2, coalescer=co):
+        shapes.add(b["image"].shape[1:3])
+    assert shapes <= set(co.kept)
+    assert (224, 320) in shapes
