@@ -464,7 +464,9 @@ class BucketCoalescer:
             return
         # deterministic keep order: frequency desc, then shape
         by_freq = sorted(counts, key=lambda k: (-counts[k], k))
-        kept = set(by_freq[: max(1, max_variants - 1)])
+        # one slot is reserved for the canvas (the universal superset);
+        # N=1 therefore computes everything at the canvas
+        kept = set(by_freq[: max_variants - 1])
         kept.add(self.canvas)
         self.kept = sorted(kept)
         self._map = {}

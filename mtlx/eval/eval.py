@@ -43,6 +43,10 @@ def parse_args(argv=None):
     p.add_argument("--bucket_multiple", type=int, default=0,
                    help="transfer/compute bucket granularity in pixels "
                         "(multiple of 32; default 128) — see train.py")
+    p.add_argument("--max_bucket_variants", type=int, default=0,
+                   help="bound the eval compute-bucket set to at most N "
+                        "shapes (see train.py; metrics are "
+                        "padding-invariant). 0 = no bound")
     args = p.parse_args(argv)
     if args.bucket_multiple:
         from mtlx.utils.bucketing import set_bucket_multiple
@@ -92,7 +96,8 @@ def build_evaluators(eval_config, categories):
 
 
 def evaluate_checkpoint(model, state, dataset, eval_config, categories,
-                        batch_size: int = 1, writer=None, step: int = 0):
+                        batch_size: int = 1, writer=None, step: int = 0,
+                        max_bucket_variants: int = 0):
     """One full evaluation pass; returns the metrics dict. The first
     num_visualizations images are drawn with their detections and written
     as TensorBoard image summaries (reference eval_util behavior)."""
@@ -173,11 +178,20 @@ def evaluate_checkpoint(model, state, dataset, eval_config, categories,
     # at the full-canvas bucket; grouping keeps batches at their own
     # bucket (metrics are per-image, so order does not affect them)
     order = list(range(num))
+    coalescer = None
     if (batch_size > 1 and hasattr(dataset, "peek_target_shape")
             and hasattr(dataset, "canvas_size")):
-        from mtlx.data.loader import record_bucket_keys
+        from mtlx.data.loader import BucketCoalescer, record_bucket_keys
 
         keys = record_bucket_keys(dataset, max_records=num)
+        if max_bucket_variants:
+            # same variant bound as training (--max_bucket_variants):
+            # rare buckets pad up to their kept superset, metrics are
+            # padding-invariant
+            coalescer = BucketCoalescer(
+                keys, max_bucket_variants, dataset.canvas_size
+            )
+            keys = [coalescer.map(k) for k in keys]
         order.sort(key=lambda i: (keys[i], i))
     for start in range(0, num, batch_size):
         idx = order[start : start + batch_size]
@@ -193,7 +207,8 @@ def evaluate_checkpoint(model, state, dataset, eval_config, categories,
             # (4x fewer host->device bytes than float32); the eval step
             # pads back to the canvas and upcasts on device
             "image": pack_batch_images(
-                np.stack([s["image"] for s in samples]), true_shapes
+                np.stack([s["image"] for s in samples]), true_shapes,
+                coalescer,
             ),
             "true_shape": true_shapes,
         }
@@ -411,6 +426,7 @@ def main(argv=None):
             metrics = evaluate_checkpoint(
                 model, restored, dataset, eval_config, categories,
                 batch_size=args.eval_batch_size, writer=writer, step=step,
+                max_bucket_variants=args.max_bucket_variants,
             )
             print(f"[eval] step {step}: " + json.dumps(
                 {k: round(float(v), 4) for k, v in metrics.items()}

@@ -332,3 +332,73 @@ def test_eval_step_is_jitted_once_per_model(monkeypatch):
     for _ in range(3):
         eval_cli.evaluate_checkpoint(model, state, ds, ec, cats)
     assert sum(jit_calls) == 1, jit_calls
+
+
+def test_eval_max_bucket_variants_bounds_shapes(monkeypatch):
+    """--max_bucket_variants in eval: rare buckets pad up to kept
+    supersets, so the eval-step variant set is bounded (here N=1 ->
+    everything computes at the canvas)."""
+    import jax
+
+    from mtlx.config.protos import pipeline_pb2
+    from mtlx.eval import eval as eval_cli
+
+    shapes_seen = []
+
+    class StubModel:
+        supports_bucketed_compute = True
+
+        class cfg:
+            canvas_size = (512, 512)
+
+        def preprocess(self, images):
+            return images
+
+        def predict(self, variables, images, true_shape, training=False):
+            shapes_seen.append(tuple(images.shape[1:3]))
+            return {}
+
+        def postprocess(self, pred, true_shape):
+            b = true_shape.shape[0]
+            return {
+                "detection_boxes": np.zeros((b, 1, 4), np.float32),
+                "detection_scores": np.zeros((b, 1), np.float32),
+                "detection_classes": np.zeros((b, 1), np.int32),
+                "num_detections": np.zeros((b,), np.int32),
+            }
+
+    class StubState:
+        params = {}
+        batch_stats = {}
+
+    class StubDataset:
+        canvas_size = (512, 512)
+        _t = [(300, 500), (500, 300)] * 2
+
+        def __len__(self):
+            return 4
+
+        def peek_target_shape(self, i):
+            return self._t[i]
+
+        def get(self, i):
+            th, tw = self._t[i]
+            return {
+                "image": np.zeros((512, 512, 3), np.uint8),
+                "true_shape": np.asarray([th, tw]),
+                "gt_boxes": np.asarray([[1.0, 1.0, 8.0, 8.0]], np.float32),
+                "gt_classes": np.asarray([0]),
+                "gt_mask": np.asarray([True]),
+                "gt_difficult": np.asarray([0]),
+                "source_id": f"im{i}",
+            }
+
+    monkeypatch.setattr(jax, "jit", lambda f=None, **kw: f)
+    ec = pipeline_pb2.EvalConfig()
+    ec.num_examples = 4
+    cats = [{"id": 1, "name": "cat"}]
+    eval_cli.evaluate_checkpoint(
+        StubModel(), StubState(), StubDataset(), ec, cats, batch_size=2,
+        max_bucket_variants=1,
+    )
+    assert shapes_seen == [(512, 512), (512, 512)], shapes_seen
