@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(name, fn, args, n, peaks):
+def timed(name, fn, args, n, peaks, batch=None):
     peak_flops, peak_hbm = peaks
     jfn = jax.jit(fn)
     cost = {}
@@ -61,7 +61,7 @@ def timed(name, fn, args, n, peaks):
     dt = (time.perf_counter() - t0) / n
     gb = cost.get("bytes accessed", 0) / 1e9
     tf = cost.get("flops", 0) / 1e12
-    b = args_batch(args)
+    b = batch or args_batch(args)
     print(
         f"{name:28s} {dt * 1e3 / b:6.2f} ms/img  {gb / b:6.2f} GB/img  "
         f"{tf / b:6.3f} TF/img  MFU={tf / dt / (peak_flops / 1e12):5.1%}  "
@@ -93,8 +93,10 @@ def serving_decompose(fl):
     if fl.full_canvas:
         ih, iw = ch, cw
     else:
-        ih = min(ch, -(-th // 128) * 128)
-        iw = min(cw, -(-tw // 128) * 128)
+        from mtlx.utils.bucketing import bucket_extent
+
+        ih = bucket_extent(th, ch)
+        iw = bucket_extent(tw, cw)
     b = fl.batch
     batch = {
         "image": jnp.asarray(rs.uniform(0, 255, (b, ih, iw, 3)), jnp.uint8),
@@ -107,7 +109,7 @@ def serving_decompose(fl):
     n = fl.iters
 
     ev = make_eval_step(model)
-    timed("full eval step", ev, (state, batch), n, peaks)
+    timed("full eval step", ev, (state, batch), n, peaks, fl.batch)
 
     def predict_only(s, bb):
         bb = pad_for_model(model, bb)
@@ -115,13 +117,13 @@ def serving_decompose(fl):
         images = model.preprocess(bb["image"].astype(jnp.float32))
         return model.predict(v, images, bb["true_shape"], training=False)
 
-    timed("predict only", predict_only, (state, batch), n, peaks)
+    timed("predict only", predict_only, (state, batch), n, peaks, fl.batch)
 
     # materialize a prediction dict once, then time postprocess alone
     pred = jax.jit(predict_only)(state, batch)
     pred = jax.device_put(jax.device_get(pred))
     ts = batch["true_shape"]
-    timed("postprocess only", model.postprocess, (pred, ts), n, peaks)
+    timed("postprocess only", model.postprocess, (pred, ts), n, peaks, fl.batch)
 
     def bb_fwd(v, x):
         feats = model.modules.apply(v, model.preprocess(x), train=False,
@@ -129,7 +131,7 @@ def serving_decompose(fl):
         return jnp.sum(feats.astype(jnp.float32))
 
     images = jnp.asarray(batch["image"], jnp.float32)
-    timed("backbone fwd", bb_fwd, (variables, images), n, peaks)
+    timed("backbone fwd", bb_fwd, (variables, images), n, peaks, fl.batch)
 
 
 def main():
@@ -138,11 +140,19 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--full-canvas", action="store_true",
                     help="pad to the full static canvas instead of the "
-                         "128-bucketed true-image region")
+                         "bucketed true-image region")
+    ap.add_argument("--bucket_multiple", type=int, default=0,
+                    help="bucket granularity (see train.py "
+                         "--bucket_multiple; default 128, 32 is the "
+                         "measured-fastest operating point)")
     ap.add_argument("--serving", action="store_true",
                     help="decompose the serving/eval step instead of the "
                          "train step")
     fl = ap.parse_args()
+    if fl.bucket_multiple:
+        from mtlx.utils.bucketing import set_bucket_multiple
+
+        set_bucket_multiple(fl.bucket_multiple)
 
     if fl.serving:
         serving_decompose(fl)
@@ -171,7 +181,7 @@ def main():
 
     n = fl.iters
     timed("full train step", lambda s, b, r: step_fn(s, b, r),
-          (state, nb, rng), n, peaks)
+          (state, nb, rng), n, peaks, fl.batch)
 
     def fwd_loss(s, b, r):
         # forward pass + loss, no backward: isolates bwd cost by subtraction
@@ -186,7 +196,7 @@ def main():
         return losses["total_loss"]
 
     try:
-        timed("forward only", fwd_loss, (state, nb, rng), n, peaks)
+        timed("forward only", fwd_loss, (state, nb, rng), n, peaks, fl.batch)
     except Exception as e:
         print("forward only failed:", repr(e)[:200], flush=True)
 
@@ -195,10 +205,10 @@ def main():
                                     method=model.modules.features)
         return jnp.sum(feats.astype(jnp.float32))
 
-    timed("backbone fwd", bb_fwd, (variables, images), n, peaks)
+    timed("backbone fwd", bb_fwd, (variables, images), n, peaks, fl.batch)
     timed("backbone fwd+bwd",
           lambda v, x: jax.grad(lambda vv: bb_fwd(vv, x))(v),
-          (variables, images), n, peaks)
+          (variables, images), n, peaks, fl.batch)
 
 
 if __name__ == "__main__":
