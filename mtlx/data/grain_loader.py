@@ -109,15 +109,18 @@ def make_grain_loader(
         operations=operations,
         worker_count=worker_count,
     )
-    if aspect_grouping:
-        coalescer = None
-        if max_bucket_variants:
-            from mtlx.data.loader import BucketCoalescer, record_bucket_keys
+    # the variant bound applies whenever images pack (pack_batch_images
+    # is where the jit-variant shapes are born) — including batch_size 1
+    # and explicitly ungrouped runs, where batches still fan out shapes
+    coalescer = None
+    if max_bucket_variants and pack_images:
+        from mtlx.data.loader import BucketCoalescer, record_bucket_keys
 
-            coalescer = BucketCoalescer(
-                record_bucket_keys(dataset), max_bucket_variants,
-                dataset.canvas_size,
-            )
+        coalescer = BucketCoalescer(
+            record_bucket_keys(dataset), max_bucket_variants,
+            dataset.canvas_size,
+        )
+    if aspect_grouping:
         return _bucket_batched(iter(loader), dataset.canvas_size, batch_size,
                                pack_images=pack_images, coalescer=coalescer)
     if not pack_images:
@@ -142,6 +145,7 @@ def make_grain_loader(
                 b["image"] = pack_batch_images(
                     b["image"],
                     extents if extents is not None else b["true_shape"],
+                    coalescer,
                 )
             yield b
 

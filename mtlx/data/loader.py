@@ -629,11 +629,16 @@ def batches(
     n = len(dataset)
     keys = record_bucket_keys(dataset) if aspect_grouping else None
     coalescer = None
-    if max_bucket_variants and aspect_grouping:
+    # the variant bound applies whenever images pack (pack_batch_images
+    # is where the jit-variant shapes are born) — including batch_size 1,
+    # where aspect grouping is moot but per-record buckets still fan out
+    if max_bucket_variants and pack_images:
         coalescer = BucketCoalescer(
-            keys, max_bucket_variants, dataset.canvas_size
+            keys if keys is not None else record_bucket_keys(dataset),
+            max_bucket_variants, dataset.canvas_size,
         )
-        keys = [coalescer.map(k) for k in keys]
+        if keys is not None:
+            keys = [coalescer.map(k) for k in keys]
     while epochs is None or epoch < epochs:
         if aspect_grouping:
             epoch_batches = _grouped_epoch_order(keys, batch_size, rng, shuffle)

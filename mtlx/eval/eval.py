@@ -179,7 +179,8 @@ def evaluate_checkpoint(model, state, dataset, eval_config, categories,
     # bucket (metrics are per-image, so order does not affect them)
     order = list(range(num))
     coalescer = None
-    if (batch_size > 1 and hasattr(dataset, "peek_target_shape")
+    if ((batch_size > 1 or max_bucket_variants)
+            and hasattr(dataset, "peek_target_shape")
             and hasattr(dataset, "canvas_size")):
         from mtlx.data.loader import BucketCoalescer, record_bucket_keys
 
@@ -187,12 +188,17 @@ def evaluate_checkpoint(model, state, dataset, eval_config, categories,
         if max_bucket_variants:
             # same variant bound as training (--max_bucket_variants):
             # rare buckets pad up to their kept superset, metrics are
-            # padding-invariant
+            # padding-invariant. Applies at batch_size 1 too — per-image
+            # buckets fan out eval-step variants exactly the same way
             coalescer = BucketCoalescer(
                 keys, max_bucket_variants, dataset.canvas_size
             )
             keys = [coalescer.map(k) for k in keys]
-        order.sort(key=lambda i: (keys[i], i))
+        if batch_size > 1:
+            # bucket-major order only matters for mixed batches; batch 1
+            # keeps the reference's dataset order (drives which images
+            # get visualization summaries)
+            order.sort(key=lambda i: (keys[i], i))
     for start in range(0, num, batch_size):
         idx = order[start : start + batch_size]
         if hasattr(dataset, "get_batch"):

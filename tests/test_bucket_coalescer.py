@@ -143,6 +143,45 @@ def test_batches_unbounded_matches_fine_buckets():
     assert shapes == {(224, 320), (256, 352)}
 
 
+def test_batches_batch1_still_bounded():
+    """batch_size 1 forces aspect grouping off, but the variant bound
+    must still hold — per-record buckets fan out jit variants exactly
+    the same way (this was a silent-ignore hole)."""
+    bucketing.set_bucket_multiple(32)
+    ds = _SynthDs([(220, 300)] * 6 + [(250, 340)] * 3 + [(310, 200)] * 1,
+                  n=20)
+    shapes = set()
+    for b in batches(ds, batch_size=1, shuffle=False, epochs=1,
+                     pack_images=True, max_bucket_variants=2):
+        shapes.add(b["image"].shape[1:3])
+    kept = set(achievable_bucket_shapes(ds, 1, max_bucket_variants=2))
+    assert shapes <= kept
+    assert (224, 320) in shapes
+    assert len(shapes) <= 2
+
+
+def test_grain_loader_batch1_and_ungrouped_bounded():
+    """make_grain_loader honors the bound at batch_size 1 (grouping off)
+    and with aspect_grouping explicitly disabled at batch > 1."""
+    pytest.importorskip("grain")
+    from mtlx.data.grain_loader import make_grain_loader
+
+    bucketing.set_bucket_multiple(32)
+    ds = _SynthDs([(220, 300)] * 10 + [(250, 340)] * 4 + [(310, 200)] * 2,
+                  n=16)
+    for bs, grouping in ((1, None), (2, False)):
+        shapes = set()
+        for b in make_grain_loader(
+            ds, batch_size=bs, shuffle=False, num_epochs=1, worker_count=0,
+            pack_images=True, aspect_grouping=grouping,
+            max_bucket_variants=2,
+        ):
+            shapes.add(b["image"].shape[1:3])
+        kept = set(achievable_bucket_shapes(ds, bs, max_bucket_variants=2))
+        assert shapes <= kept, (bs, grouping, shapes, kept)
+        assert (224, 320) in shapes or bs > 1, (bs, grouping, shapes)
+
+
 def test_grain_bucket_batched_with_coalescer():
     from mtlx.data.grain_loader import _bucket_batched
 

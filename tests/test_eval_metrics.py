@@ -334,10 +334,15 @@ def test_eval_step_is_jitted_once_per_model(monkeypatch):
     assert sum(jit_calls) == 1, jit_calls
 
 
-def test_eval_max_bucket_variants_bounds_shapes(monkeypatch):
+import pytest
+
+
+@pytest.mark.parametrize("eval_batch", [1, 2])
+def test_eval_max_bucket_variants_bounds_shapes(monkeypatch, eval_batch):
     """--max_bucket_variants in eval: rare buckets pad up to kept
     supersets, so the eval-step variant set is bounded (here N=1 ->
-    everything computes at the canvas)."""
+    everything computes at the canvas). Applies at the default
+    batch_size 1 too — per-image buckets fan out variants the same way."""
     import jax
 
     from mtlx.config.protos import pipeline_pb2
@@ -398,7 +403,8 @@ def test_eval_max_bucket_variants_bounds_shapes(monkeypatch):
     ec.num_examples = 4
     cats = [{"id": 1, "name": "cat"}]
     eval_cli.evaluate_checkpoint(
-        StubModel(), StubState(), StubDataset(), ec, cats, batch_size=2,
-        max_bucket_variants=1,
+        StubModel(), StubState(), StubDataset(), ec, cats,
+        batch_size=eval_batch, max_bucket_variants=1,
     )
-    assert shapes_seen == [(512, 512), (512, 512)], shapes_seen
+    expected = [(512, 512)] * (4 // eval_batch)
+    assert shapes_seen == expected, shapes_seen
