@@ -171,7 +171,8 @@ def parse_args(argv=None):
                         "Makes fine --bucket_multiple granularity "
                         "production-viable on varied-aspect datasets "
                         "without an unbounded jit-variant count. "
-                        "0 = no bound. Requires --aspect_grouping")
+                        "0 = no bound. Only meaningful with "
+                        "--pack_transfer")
     p.add_argument("--precompile_buckets", action="store_true",
                    help="scan the dataset's image headers, enumerate every "
                         "compute-bucket shape its batches can produce, and "
