@@ -24,6 +24,9 @@ def get_configs_from_pipeline_file(path: str) -> Dict:
         "train_input_config": pipeline.train_input_reader,
         "eval_config": pipeline.eval_config,
         "eval_input_config": pipeline.eval_input_reader,
+        # TPU-native addition: pipeline-level compute-bucket knobs (one
+        # source of truth for train/eval/serving; see pipeline.proto)
+        "bucketing": pipeline.bucketing,
     }
 
 
@@ -34,6 +37,8 @@ def create_pipeline_proto_from_configs(configs: Dict):
     pipeline.train_input_reader.CopyFrom(configs["train_input_config"])
     pipeline.eval_config.CopyFrom(configs["eval_config"])
     pipeline.eval_input_reader.CopyFrom(configs["eval_input_config"])
+    if "bucketing" in configs:
+        pipeline.bucketing.CopyFrom(configs["bucketing"])
     return pipeline
 
 

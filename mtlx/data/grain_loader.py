@@ -164,16 +164,12 @@ def _bucket_batched(samples: Iterator[dict], canvas, batch_size: int,
     samples that never fill a batch are dropped, matching grain.Batch
     drop_remainder=True."""
     from mtlx.data.loader import pack_batch_images
-    from mtlx.utils.bucketing import bucket_multiple
+    from mtlx.utils.bucketing import bucket_extent
 
-    mult = bucket_multiple()
     ch, cw = canvas
 
     def key(ts):
-        k = (
-            min(ch, -(-int(ts[0]) // mult) * mult),
-            min(cw, -(-int(ts[1]) // mult) * mult),
-        )
+        k = (bucket_extent(ts[0], ch), bucket_extent(ts[1], cw))
         return coalescer.map(k) if coalescer is not None else k
 
     def collate(group):

@@ -371,6 +371,7 @@ class DetectionDataset:
 # Transfer-bucket granularity lives in mtlx.utils.bucketing (ONE knob
 # shared with the compute bucket in train_step.pad_batch_to_bucket —
 # the loader must ship at the same granularity the step computes at).
+from mtlx.utils.bucketing import bucket_extent
 from mtlx.utils.bucketing import bucket_multiple as _pack_multiple
 
 
@@ -435,9 +436,10 @@ def achievable_bucket_shapes(
 
 class BucketCoalescer:
     """Bounds the compute-bucket variant count (train.py
-    --max_bucket_variants): keeps the `max_variants` most frequent
-    per-record buckets (the full canvas is always kept — it is a
-    superset of every bucket, so a mapping always exists) and maps every
+    --max_bucket_variants): keeps the full canvas (a superset of every
+    bucket, so a mapping always exists) plus the `max_variants - 1`
+    most frequent other per-record buckets — exactly `max_variants`
+    jit variants — and maps every
     other bucket to its minimum-area kept superset. Rare shapes pay a
     little extra padding; the dominant shapes keep the exact fine
     bucket, and the jit-variant set is exactly the kept set. This is
@@ -465,8 +467,12 @@ class BucketCoalescer:
         # deterministic keep order: frequency desc, then shape
         by_freq = sorted(counts, key=lambda k: (-counts[k], k))
         # one slot is reserved for the canvas (the universal superset);
-        # N=1 therefore computes everything at the canvas
-        kept = set(by_freq[: max_variants - 1])
+        # N=1 therefore computes everything at the canvas. The canvas is
+        # excluded from the frequency ranking so its slot is never
+        # double-spent: the kept set always has exactly max_variants
+        # shapes (when the dataset supplies enough distinct buckets)
+        non_canvas = [k for k in by_freq if k != self.canvas]
+        kept = set(non_canvas[: max_variants - 1])
         kept.add(self.canvas)
         self.kept = sorted(kept)
         self._map = {}
@@ -499,12 +505,9 @@ def pack_batch_images(images: np.ndarray,
     padding is all zeros anyway. The device side pads back to the static
     canvas (train_step.pad_batch_to_canvas); each distinct bucket shape
     is one extra jit specialization."""
-    mult = _pack_multiple()
     ch, cw = images.shape[1:3]
-    hs = int(true_shapes[:, 0].max())
-    ws = int(true_shapes[:, 1].max())
-    hb = min(ch, -(-hs // mult) * mult)
-    wb = min(cw, -(-ws // mult) * mult)
+    hb = bucket_extent(true_shapes[:, 0].max(), ch)
+    wb = bucket_extent(true_shapes[:, 1].max(), cw)
     if coalescer is not None:
         hb, wb = coalescer.map((hb, wb))
         hb, wb = min(ch, hb), min(cw, wb)
@@ -556,10 +559,7 @@ def record_bucket_keys(
     out = list(cached)
     for i in range(len(out), n):
         th, tw = dataset.peek_target_shape(i)
-        out.append((
-            min(ch, -(-th // mult) * mult),
-            min(cw, -(-tw // mult) * mult),
-        ))
+        out.append((bucket_extent(th, ch, mult), bucket_extent(tw, cw, mult)))
     try:
         dataset._bucket_key_cache = (mult, out)
     except (AttributeError, TypeError):

@@ -59,12 +59,25 @@ def _build(name: str) -> bool:
         fcntl.flock(lock, fcntl.LOCK_EX)
     except Exception:
         lock = None
+    # unique per process so the no-lock fallback path (fcntl missing or
+    # flock failing, e.g. on odd filesystems) never has two racers
+    # interleaving output into the same file
+    tmp = out + f".tmp{os.getpid()}"
     try:
-        if os.path.exists(out):  # a racing process finished first
-            return True
+        if os.path.exists(out):
+            # the caller's import already failed, so an artifact that
+            # exists here was either just finished by a racing process
+            # (loadable) or is corrupt (e.g. an interrupted build that
+            # landed anyway) — probe it instead of trusting it, else a
+            # corrupt .so disables the native path forever
+            importlib.invalidate_caches()
+            try:
+                importlib.import_module(f"mtlx.data.{name}")
+                return True
+            except ImportError:
+                os.remove(out)  # corrupt: rebuild below
         compiler = "g++" if src.endswith(".cc") else "gcc"
         include = sysconfig.get_paths()["include"]
-        tmp = out + ".tmp"
         cmd = [compiler, "-O3", "-shared", "-fPIC", f"-I{include}",
                src, "-o", tmp] + extra
         proc = subprocess.run(
@@ -77,6 +90,11 @@ def _build(name: str) -> bool:
     except Exception:
         return False
     finally:
+        try:
+            if os.path.exists(tmp):  # failed/interrupted build leftovers
+                os.remove(tmp)
+        except OSError:
+            pass
         if lock is not None:
             try:
                 import fcntl

@@ -40,19 +40,17 @@ def parse_args(argv=None):
                         "the wall-clock; set 1 for the reference's exact "
                         "execution shape; tail batches are padded and the "
                         "padding is ignored)")
-    p.add_argument("--bucket_multiple", type=int, default=0,
+    from mtlx.utils.bucketing import bucket_multiple_arg
+
+    p.add_argument("--bucket_multiple", type=bucket_multiple_arg, default=0,
                    help="transfer/compute bucket granularity in pixels "
-                        "(multiple of 32; default 128) — see train.py")
+                        "(multiple of 32) — see train.py. Overrides the "
+                        "pipeline's `bucketing {}` block; default 128")
     p.add_argument("--max_bucket_variants", type=int, default=0,
                    help="bound the eval compute-bucket set to at most N "
                         "shapes (see train.py; metrics are "
                         "padding-invariant). 0 = no bound")
-    args = p.parse_args(argv)
-    if args.bucket_multiple:
-        from mtlx.utils.bucketing import set_bucket_multiple
-
-        set_bucket_multiple(args.bucket_multiple)
-    return args
+    return p.parse_args(argv)
 
 
 def build_evaluators(eval_config, categories):
@@ -380,6 +378,12 @@ def main(argv=None):
     configs = config_util.get_configs_from_pipeline_file(args.pipeline_config_path)
     for note in config_util.compatibility_notes(configs):
         print(f"[eval] note: {note}", flush=True)
+    from mtlx.utils.bucketing import resolve_bucketing
+
+    max_bucket_variants = resolve_bucketing(
+        configs.get("bucketing"), args.bucket_multiple,
+        args.max_bucket_variants,
+    )
     eval_config = configs["eval_config"]
     input_config = (
         configs["train_input_config"] if args.eval_training_data
@@ -432,7 +436,7 @@ def main(argv=None):
             metrics = evaluate_checkpoint(
                 model, restored, dataset, eval_config, categories,
                 batch_size=args.eval_batch_size, writer=writer, step=step,
-                max_bucket_variants=args.max_bucket_variants,
+                max_bucket_variants=max_bucket_variants,
             )
             print(f"[eval] step {step}: " + json.dumps(
                 {k: round(float(v), 4) for k, v in metrics.items()}

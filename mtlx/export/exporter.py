@@ -28,14 +28,21 @@ from mtlx.train import checkpoints as ckpt_lib
 
 
 def _load_trained(pipeline_config_path: str, trained_checkpoint_dir: str,
-                  checkpoint_step: int | None = None):
+                  checkpoint_step: int | None = None,
+                  bucket_multiple: int = 0):
     """(configs, eval model, restored state with EMA applied)."""
     import jax
 
     from mtlx.builders import model_builder
     from mtlx.train.train_step import create_train_state, make_optimizer
+    from mtlx.utils import bucketing
 
     configs = config_util.get_configs_from_pipeline_file(pipeline_config_path)
+    # resolve the serving bucket granularity (flag > pipeline `bucketing`
+    # block) and record it back so the export's pipeline.config carries
+    # the operating point the model trained/serves at
+    bucketing.resolve_bucketing(configs.get("bucketing"), bucket_multiple)
+    configs["bucketing"].bucket_multiple = bucketing.bucket_multiple()
     model = model_builder.build(configs["model"], is_training=False)
     use_ema = configs["eval_config"].use_moving_averages
     state = create_train_state(
@@ -57,10 +64,12 @@ def export_inference_graph(
     trained_checkpoint_dir: str,
     output_directory: str,
     checkpoint_step: int | None = None,
+    bucket_multiple: int = 0,
 ) -> str:
     """Bundle config + trained weights into `output_directory`."""
     configs, model, restored = _load_trained(
-        pipeline_config_path, trained_checkpoint_dir, checkpoint_step
+        pipeline_config_path, trained_checkpoint_dir, checkpoint_step,
+        bucket_multiple=bucket_multiple,
     )
     os.makedirs(output_directory, exist_ok=True)
     config_util.save_pipeline_config(
@@ -80,6 +89,7 @@ def export_saved_model(
     trained_checkpoint_dir: str,
     output_directory: str,
     checkpoint_step: int | None = None,
+    bucket_multiple: int = 0,
 ) -> str:
     """TF SavedModel export for TF-serving stacks (reference exporter.py
     frozen graph / SavedModel contract). Requires TensorFlow at export
@@ -108,7 +118,8 @@ def export_saved_model(
     from mtlx.ops import nms as nms_lib
 
     configs, model, restored = _load_trained(
-        pipeline_config_path, trained_checkpoint_dir, checkpoint_step
+        pipeline_config_path, trained_checkpoint_dir, checkpoint_step,
+        bucket_multiple=bucket_multiple,
     )
     variables = {
         "params": restored.params, "batch_stats": restored.batch_stats
@@ -259,14 +270,22 @@ def _resizer_of(pipeline_config_path: str):
 class InferenceModel:
     """Standalone detector loaded from an export directory."""
 
-    def __init__(self, model, variables, resizer):
+    def __init__(self, model, variables, resizer, bucket_multiple: int = 0):
         import jax
+
+        from mtlx.utils import bucketing
 
         self.model = model
         # device-commit once: host-resident params would be re-uploaded on
         # every predict call (dominates serving latency on thin links)
         self.variables = jax.device_put(variables)
         self.resizer = resizer
+        # per-instance serving granularity (the export's pipeline.config
+        # records the trained operating point; `load` passes it so a
+        # fresh serving process keeps it without any flag)
+        self.bucket_multiple = (
+            int(bucket_multiple) or bucketing.bucket_multiple()
+        )
 
         def fn(variables, images, true_shapes):
             pre = model.preprocess(images.astype(np.float32))
@@ -291,7 +310,9 @@ class InferenceModel:
         )
         which = configs["model"].WhichOneof("model")
         resizer = resizer_params(getattr(configs["model"], which).image_resizer)
-        return cls(model, variables, resizer)
+        bc = configs.get("bucketing")
+        return cls(model, variables, resizer,
+                   bucket_multiple=int(bc.bucket_multiple) if bc else 0)
 
     # ---- the three reference input types ----
 
@@ -357,8 +378,7 @@ class InferenceModel:
         # serve on the bucket of the batch's max true shape instead of
         # the full padded canvas — fewer backbone rows, same detections
         if getattr(self.model, "supports_bucketed_compute", False):
-            from mtlx.utils.bucketing import bucket_multiple
-            _mult = bucket_multiple()
+            _mult = self.bucket_multiple
         else:
             _mult = None
         kind, params = self.resizer
@@ -375,8 +395,10 @@ class InferenceModel:
             true_shapes.append([min(th, canvas_h), min(tw, canvas_w)])
         shapes = np.asarray(true_shapes, np.int32)
         if _mult is not None:
-            bh = min(canvas_h, -(-int(shapes[:, 0].max()) // _mult) * _mult)
-            bw = min(canvas_w, -(-int(shapes[:, 1].max()) // _mult) * _mult)
+            from mtlx.utils.bucketing import bucket_extent
+
+            bh = bucket_extent(shapes[:, 0].max(), canvas_h, _mult)
+            bw = bucket_extent(shapes[:, 1].max(), canvas_w, _mult)
         else:
             bh, bw = canvas_h, canvas_w
         images = []
@@ -412,19 +434,20 @@ def main(argv=None):
                    help="also write a TF SavedModel (jax2tf, frozen "
                         "weights) under <output_directory>/saved_model "
                         "for TF-serving stacks; requires TensorFlow")
-    p.add_argument("--bucket_multiple", type=int, default=0,
-                   help="serving compute-bucket granularity in pixels "
-                        "(multiple of 32; default 128) — see train.py")
-    args = p.parse_args(argv)
-    if args.bucket_multiple:
-        from mtlx.utils.bucketing import set_bucket_multiple
+    from mtlx.utils.bucketing import bucket_multiple_arg
 
-        set_bucket_multiple(args.bucket_multiple)
+    p.add_argument("--bucket_multiple", type=bucket_multiple_arg, default=0,
+                   help="serving compute-bucket granularity in pixels "
+                        "(multiple of 32) — see train.py. Overrides the "
+                        "pipeline's `bucketing {}` block and is recorded "
+                        "in the export's pipeline.config; default 128")
+    args = p.parse_args(argv)
     out = export_inference_graph(
         args.pipeline_config_path,
         args.trained_checkpoint_dir,
         args.output_directory,
         args.checkpoint_step,
+        bucket_multiple=args.bucket_multiple,
     )
     print(f"[export] wrote {out}")
     if args.saved_model:
@@ -433,6 +456,7 @@ def main(argv=None):
             args.trained_checkpoint_dir,
             os.path.join(args.output_directory, "saved_model"),
             args.checkpoint_step,
+            bucket_multiple=args.bucket_multiple,
         )
         print(f"[export] wrote SavedModel {sm}")
 

@@ -376,10 +376,15 @@ def multiclass_non_max_suppression(
         # classes chunk through lax.map, so the per-class [N, N] matrix
         # must fit the budget and the chunk serialization must stay
         # shallow (COCO K=90 x N=300 -> 3 blocks: in; SSD N=1917: out)
+        # the actual lax.map depth: classes per chunk is bounded by the
+        # per-chunk element budget, so the block count is ceil(K/chunk)
+        # — bounding K*N*N alone under-counts blocks when N is large
+        # relative to the budget (e.g. K=26, N=1100 -> 9 blocks)
+        chunk = max(1, _FIXED_POINT_MAX_ELEMS // max(n * n, 1))
+        blocks = -(-num_classes // chunk)
         use_fp = (
             n * n <= _FIXED_POINT_MAX_ELEMS
-            and num_classes * n * n
-            <= _FIXED_POINT_MAX_BLOCKS * _FIXED_POINT_MAX_ELEMS
+            and blocks <= _FIXED_POINT_MAX_BLOCKS
         )
 
     if use_fp:

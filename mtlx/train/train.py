@@ -155,14 +155,17 @@ def parse_args(argv=None):
                         "forces the full-canvas bucket, erasing the "
                         "bucketed-compute win); 0 = plain shuffled "
                         "batches. Only meaningful with --pack_transfer")
-    p.add_argument("--bucket_multiple", type=int, default=0,
+    from mtlx.utils.bucketing import bucket_multiple_arg
+
+    p.add_argument("--bucket_multiple", type=bucket_multiple_arg, default=0,
                    help="transfer/compute bucket granularity in pixels "
-                        "(multiple of 32; default 128). Finer buckets "
-                        "compute and ship fewer padding rows — measured "
-                        "+13%% train img/s at 32 on the R101 COCO point "
+                        "(multiple of 32). Finer buckets compute and "
+                        "ship fewer padding rows — measured +13%% train "
+                        "img/s at 32 on the R101 COCO point "
                         "(tools/bucket_sweep.py) — at the cost of more "
                         "jit bucket variants (--precompile_buckets "
-                        "covers them up front)")
+                        "covers them up front). Overrides the pipeline's "
+                        "`bucketing {}` block; default 128")
     p.add_argument("--max_bucket_variants", type=int, default=0,
                    help="bound the compute-bucket set to at most N "
                         "shapes: the N most frequent per-record buckets "
@@ -217,10 +220,6 @@ def main(argv=None):
     # producer 148 -> 175 img/s at 1ms vs the 5ms default)
     _sys.setswitchinterval(0.001)
     args = parse_args(argv)
-    if args.bucket_multiple:
-        from mtlx.utils.bucketing import set_bucket_multiple
-
-        set_bucket_multiple(args.bucket_multiple)
     if args.platform:
         import jax
 
@@ -252,6 +251,17 @@ def main(argv=None):
     configs = config_util.get_configs_from_pipeline_file(args.pipeline_config_path)
     for note in config_util.compatibility_notes(configs):
         print(f"[train] note: {note}", flush=True)
+    from mtlx.utils import bucketing
+
+    max_bucket_variants = bucketing.resolve_bucketing(
+        configs.get("bucketing"), args.bucket_multiple,
+        args.max_bucket_variants,
+    )
+    # record the resolved operating point so the pipeline.config saved
+    # into train_dir (and later exported) carries it: a model trained at
+    # --bucket_multiple 32 evals/serves at 32 without re-passing flags
+    configs["bucketing"].bucket_multiple = bucketing.bucket_multiple()
+    configs["bucketing"].max_bucket_variants = max_bucket_variants
     train_config = configs["train_config"]
     model = model_builder.build(
         configs["model"], is_training=True,
@@ -375,7 +385,7 @@ def main(argv=None):
             # real batches will have
             shapes = achievable_bucket_shapes(
                 dataset, batch_size, host_geometry=host_geometry,
-                max_bucket_variants=args.max_bucket_variants,
+                max_bucket_variants=max_bucket_variants,
             )
             sample = dataset.get(0)
             if host_geometry is not None:
@@ -417,7 +427,7 @@ def main(argv=None):
                 pack_images=bool(args.pack_transfer),
                 aspect_grouping=bool(args.aspect_grouping),
                 host_geometry=host_geometry,
-                max_bucket_variants=args.max_bucket_variants,
+                max_bucket_variants=max_bucket_variants,
             )
         )
     else:
@@ -426,7 +436,7 @@ def main(argv=None):
                             epochs=num_epochs, host_geometry=host_geometry,
                             pack_images=bool(args.pack_transfer),
                             aspect_grouping=bool(args.aspect_grouping),
-                            max_bucket_variants=args.max_bucket_variants)
+                            max_bucket_variants=max_bucket_variants)
     data_iter = device_prefetch(
         host_iter,
         sharding=mesh_lib.batch_sharding(mesh),

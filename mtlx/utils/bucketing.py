@@ -62,3 +62,34 @@ def bucket_extent(extent: int, cap: int, multiple: int = 0) -> int:
     canvas extent."""
     m = multiple or _multiple
     return min(int(cap), -(-int(extent) // m) * m)
+
+
+def bucket_multiple_arg(value: str):
+    """argparse `type=` validator for the CLIs' --bucket_multiple flag
+    (0 = unset, defer to the pipeline's `bucketing {}` block): invalid
+    values become a usage error instead of a mid-run traceback."""
+    import argparse
+
+    v = int(value)
+    if v and (v < 0 or v % 32):
+        raise argparse.ArgumentTypeError(
+            f"must be a positive multiple of 32, got {value}"
+        )
+    return v
+
+
+def resolve_bucketing(bucketing_config=None, bucket_multiple_flag: int = 0,
+                      max_bucket_variants_flag: int = 0) -> int:
+    """Resolve the bucket knobs for one CLI invocation and install the
+    granularity: explicit CLI flag > the pipeline's `bucketing {}` block
+    (pipeline.proto BucketingConfig — the persistent source of truth, so
+    a model trained at a granularity evals/serves at it too) > default.
+    Returns the resolved max_bucket_variants bound."""
+    cfg_mult = cfg_variants = 0
+    if bucketing_config is not None:
+        cfg_mult = int(bucketing_config.bucket_multiple)
+        cfg_variants = int(bucketing_config.max_bucket_variants)
+    set_bucket_multiple(
+        int(bucket_multiple_flag) or cfg_mult or DEFAULT_BUCKET_MULTIPLE
+    )
+    return int(max_bucket_variants_flag) or cfg_variants

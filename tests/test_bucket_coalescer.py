@@ -47,6 +47,19 @@ def test_keeps_most_frequent_plus_canvas():
     assert co.map((608, 800)) == (608, 800)
 
 
+def test_canvas_among_most_frequent_spends_no_extra_slot():
+    """When the full canvas is itself a frequent record bucket it must
+    not consume one of the max_variants-1 frequency slots — the kept set
+    always has exactly max_variants shapes (regression: datasets with
+    many max-size images kept one variant fewer than allowed)."""
+    keys = ([CANVAS] * 10 + [(608, 800)] * 8 + [(800, 608)] * 6
+            + [(640, 896)] * 2)
+    co = BucketCoalescer(keys, 3, CANVAS)
+    assert co.active
+    assert set(co.kept) == {CANVAS, (608, 800), (800, 608)}
+    assert len(co.kept) == 3
+
+
 def test_min_area_superset_choice():
     keys = ([(608, 800)] * 10 + [(640, 896)] * 8 + [(608, 832)] * 1
             + [(992, 992)] * 1)

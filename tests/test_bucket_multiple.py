@@ -97,23 +97,72 @@ def test_record_bucket_keys_cache_invalidates_on_knob_change():
     assert record_bucket_keys(ds) == [(608, 1024), (1024, 608)]
 
 
-def test_eval_cli_flag_sets_knob(tmp_path):
+def test_eval_cli_flag_resolves_knob(tmp_path):
+    """parse_args validates but no longer mutates the global as a side
+    effect; main() resolves flag > pipeline `bucketing {}` > default."""
     from mtlx.eval.eval import parse_args
 
-    parse_args([
+    args = parse_args([
         "--pipeline_config_path", "x.config",
         "--checkpoint_dir", str(tmp_path),
         "--eval_dir", str(tmp_path),
         "--bucket_multiple", "64",
     ])
+    assert bucketing.resolve_bucketing(None, args.bucket_multiple,
+                                       args.max_bucket_variants) == 0
     assert bucketing.bucket_multiple() == 64
-    with pytest.raises(ValueError):
+    # invalid values are a usage error at parse time, not a traceback
+    with pytest.raises(SystemExit):
         parse_args([
             "--pipeline_config_path", "x.config",
             "--checkpoint_dir", str(tmp_path),
             "--eval_dir", str(tmp_path),
             "--bucket_multiple", "48",
         ])
+
+
+def test_resolve_bucketing_precedence():
+    """Flag > pipeline bucketing block > default, and the variant bound
+    resolves the same way."""
+    from mtlx.config.protos import pipeline_pb2
+
+    pipeline = pipeline_pb2.TrainEvalPipelineConfig()
+    pipeline.bucketing.bucket_multiple = 64
+    pipeline.bucketing.max_bucket_variants = 3
+    try:
+        # config only
+        variants = bucketing.resolve_bucketing(pipeline.bucketing)
+        assert bucketing.bucket_multiple() == 64 and variants == 3
+        # flag overrides config
+        variants = bucketing.resolve_bucketing(pipeline.bucketing, 32, 5)
+        assert bucketing.bucket_multiple() == 32 and variants == 5
+        # no config, no flag -> default
+        variants = bucketing.resolve_bucketing(None)
+        assert (bucketing.bucket_multiple()
+                == bucketing.DEFAULT_BUCKET_MULTIPLE)
+        assert variants == 0
+    finally:
+        bucketing.set_bucket_multiple(bucketing.DEFAULT_BUCKET_MULTIPLE)
+
+
+def test_pipeline_config_roundtrips_bucketing(tmp_path):
+    """The bucketing block survives read -> dict -> proto -> save, so a
+    train_dir/export pipeline.config carries the operating point."""
+    from mtlx.config import config_util
+
+    path = tmp_path / "p.config"
+    path.write_text(
+        "model { faster_rcnn { num_classes: 3 } }\n"
+        "bucketing { bucket_multiple: 32 max_bucket_variants: 4 }\n"
+    )
+    configs = config_util.get_configs_from_pipeline_file(str(path))
+    assert configs["bucketing"].bucket_multiple == 32
+    assert configs["bucketing"].max_bucket_variants == 4
+    out = config_util.create_pipeline_proto_from_configs(configs)
+    saved = config_util.save_pipeline_config(out, str(tmp_path / "out"))
+    reread = config_util.get_configs_from_pipeline_file(saved)
+    assert reread["bucketing"].bucket_multiple == 32
+    assert reread["bucketing"].max_bucket_variants == 4
 
 
 def test_eval_step_fine_bucket_same_detections_frame():

@@ -193,3 +193,43 @@ def test_batches_with_decode_threads(tmp_path):
     b1 = next(loader_lib.batches(ds, 4, shuffle=False, decode_threads=0))
     np.testing.assert_array_equal(b0["image"], b1["image"])
     np.testing.assert_array_equal(b0["gt_boxes"], b1["gt_boxes"])
+
+
+def test_corrupt_extension_rebuilds():
+    """A corrupt installed .so (interrupted build, bad copy) must not
+    permanently disable the native path: _build probes an existing
+    artifact and rebuilds it when it fails to load (regression: an
+    existing file was trusted unconditionally -> silent PIL fallback
+    forever)."""
+    import importlib
+    import os
+    import sys
+    import sysconfig
+
+    from mtlx.data import native_build
+
+    name = "_crc32c_ext"
+    suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
+    out = os.path.join(os.path.dirname(native_build.__file__),
+                       f"{name}{suffix}")
+    assert native_build._build(name) and os.path.exists(out)
+    # simulate a fresh process hitting a corrupt artifact: the already-
+    # loaded module would make the probe vacuous (and ensure_native would
+    # never reach _build in that process anyway)
+    saved = sys.modules.pop(f"mtlx.data.{name}", None)
+    try:
+        # corrupt via a NEW inode (os.replace), like a real interrupted
+        # copy would: truncating the mapped .so in place would SIGBUS the
+        # running process, which is exactly why installs use os.replace
+        garbage = out + ".garbage"
+        with open(garbage, "wb") as f:
+            f.write(b"not a shared object")
+        os.replace(garbage, out)
+        native_build._failed.discard(name)
+        assert native_build._build(name)
+        importlib.invalidate_caches()
+        mod = importlib.import_module(f"mtlx.data.{name}")
+        assert mod.crc32c(b"123456789") is not None
+    finally:
+        if saved is not None:
+            sys.modules[f"mtlx.data.{name}"] = saved

@@ -297,10 +297,22 @@ def test_fixed_point_auto_dispatch_bound():
     on the vmapped greedy path (90 sequential chunk solves would lose)."""
     budget = nms._FIXED_POINT_MAX_ELEMS
     blocks = nms._FIXED_POINT_MAX_BLOCKS
+
+    def num_blocks(k, n):
+        # mirrors the dispatch: the real lax.map depth is ceil(K/chunk)
+        chunk = max(1, budget // (n * n))
+        return -(-k // chunk)
+
     assert 300 * 300 <= budget  # FRCNN stage 2 per-class matrix
-    assert 20 * 300 * 300 <= blocks * budget  # VOC: no chunking needed
-    assert 90 * 300 * 300 <= blocks * budget  # COCO: chunked, still fp
-    assert 90 * 1917 * 1917 > blocks * budget  # SSD300 COCO: greedy
+    assert num_blocks(20, 300) == 1  # VOC: no chunking needed
+    assert num_blocks(90, 300) <= blocks  # COCO: chunked, still fp
+    # SSD300 COCO: the per-class matrix fits but only one class per
+    # chunk does, so 90 sequential solves lose to the vmapped greedy
+    assert num_blocks(90, 1917) > blocks
+    # regression: a K*N*N product bound admitted K=26/N=1100 even though
+    # it serializes 9 blocks (> the depth where fp loses to greedy)
+    assert 26 * 1100 * 1100 <= blocks * budget
+    assert num_blocks(26, 1100) > blocks
 
 
 def test_priority_chunked_single_class_equals_greedy():

@@ -20,12 +20,10 @@ Usage (real TPU):
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -40,7 +38,7 @@ def main():
     fl = ap.parse_args()
 
     import bench
-    from mtlx.train.train_step import pad_batch_to_bucket
+    from mtlx.utils.bucketing import bucket_extent, set_bucket_multiple
 
     th, tw = (int(x) for x in fl.true.split("x"))
     multiples = [int(m) for m in fl.multiples.split(",")]
@@ -49,40 +47,22 @@ def main():
     peak_flops, peak_bw = bench._peaks(jax.devices()[0].device_kind)
     canvas = model.cfg.canvas_size
     rs = np.random.RandomState(0)
-
-    base = bench.synthetic_batch(model, fl.batch, rs, packed=True,
-                                 true_shape=(th, tw))
-    # strip any 128-padding back to the raw true region so each multiple
-    # pads from the same source
-    base["image"] = base["image"][:, :th, :tw]
+    bench.STEPS = fl.iters
 
     results = {}
     for mult in multiples:
-        st = jax.tree_util.tree_map(jnp.array, state)
-
-        def stepped(s, b, r, _m=mult):
-            return step_fn(s, pad_batch_to_bucket(b, canvas, multiple=_m), r)
-
-        step = jax.jit(stepped, donate_argnums=(0,))
-        rng = jax.random.PRNGKey(1)
-        cost = {}
-        try:
-            ca = step.lower(st, base, rng).compile().cost_analysis()
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0] if ca else {}
-            cost = dict(ca or {})
-        except Exception:
-            pass
-        st, metrics = step(st, base, rng)
-        float(jax.device_get(metrics["total_loss"]))
-        t0 = time.perf_counter()
-        for _ in range(fl.iters):
-            st, metrics = step(st, base, rng)
-        float(jax.device_get(metrics["total_loss"]))
-        dt = (time.perf_counter() - t0) / fl.iters
-        ips = fl.batch / dt
-        bh = min(canvas[0], -(-th // mult) * mult)
-        bw = min(canvas[1], -(-tw // mult) * mult)
+        # ONE knob: the packed synthetic batch, pad_for_model's compute
+        # bucket, and bench's timing loop all follow the global multiple
+        # — exactly the production composition (bench.time_batch handles
+        # state copies, cost analysis, warmup and honest device_get sync;
+        # non-bucketed models like SSD pad to their fixed canvas)
+        set_bucket_multiple(mult)
+        ips, dt, cost = bench.time_batch(
+            model, state, step_fn, fl.batch, rs, packed=True,
+            true_shape=(th, tw),
+        )
+        bh = bucket_extent(th, canvas[0])
+        bw = bucket_extent(tw, canvas[1])
         gb = cost.get("bytes accessed", 0) / 1e9
         tf = cost.get("flops", 0) / 1e12
         results[mult] = ips
