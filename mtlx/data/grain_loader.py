@@ -114,11 +114,10 @@ def make_grain_loader(
     # and explicitly ungrouped runs, where batches still fan out shapes
     coalescer = None
     if max_bucket_variants and pack_images:
-        from mtlx.data.loader import BucketCoalescer, record_bucket_keys
+        from mtlx.data.loader import build_bucket_coalescer
 
-        coalescer = BucketCoalescer(
-            record_bucket_keys(dataset), max_bucket_variants,
-            dataset.canvas_size,
+        coalescer = build_bucket_coalescer(
+            dataset, max_bucket_variants, host_geometry=host_geometry
         )
     if aspect_grouping:
         return _bucket_batched(iter(loader), dataset.canvas_size, batch_size,

@@ -242,6 +242,50 @@ class DetectionDataset:
         w0, h0 = _PILImage.open(io.BytesIO(enc)).size  # header only
         return keep_aspect_target(h0, w0, **params)
 
+    def peek_geometry_sample(self, i: int) -> Dict[str, np.ndarray]:
+        """Metadata-only sample (no pixel decode) sufficient for
+        host_geometry.HostGeometry: the geometry ops read shapes and
+        boxes, never pixels — powers post-geometry bucket ranking
+        (sampled_post_geometry_keys) at proto-parse + JPEG-header cost."""
+        ex = self._parse(i)
+        enc = ex[InputDataFields.image_encoded]
+        fmt = ex.get(InputDataFields.image_format, b"jpeg")
+        kind, params = self.resizer
+        h0 = w0 = None
+        if _imgcodec is not None and fmt in _JPEG_FORMATS:
+            try:
+                h0, w0 = _imgcodec.dims(enc)
+            except ValueError:
+                pass
+        if h0 is None:
+            import io
+
+            from PIL import Image as _PILImage
+
+            w0, h0 = _PILImage.open(io.BytesIO(enc)).size  # header only
+        if kind == "fixed":
+            th, tw = params["height"], params["width"]
+        else:
+            th, tw = keep_aspect_target(h0, w0, **params)
+        ch, cw = self.canvas_size
+        th, tw = min(th, ch), min(tw, cw)
+        boxes_norm = ex[InputDataFields.groundtruth_boxes]
+        difficult = ex[InputDataFields.groundtruth_difficult]
+        if not self.keep_difficult and len(difficult) == len(boxes_norm):
+            boxes_norm = boxes_norm[difficult == 0]
+        boxes_abs = boxes_norm * np.asarray([th, tw, th, tw], np.float32)
+        n = len(boxes_abs)
+        mask = np.zeros((self.max_boxes,), bool)
+        mask[: min(n, self.max_boxes)] = True
+        return {
+            "true_shape": np.asarray([th, tw], np.int32),
+            "original_shape": np.asarray([h0, w0], np.int32),
+            "gt_boxes": pad_or_clip_along_axis(
+                boxes_abs.astype(np.float32), self.max_boxes
+            ),
+            "gt_mask": mask,
+        }
+
     def get(self, i: int) -> Dict[str, np.ndarray]:
         """One canvas-shaped sample (numpy)."""
         ex = self._parse(i)
@@ -406,14 +450,16 @@ def achievable_bucket_shapes(
     per_record = set(record_keys)
     if max_bucket_variants:
         # every batch packs through the coalescer (batches() builds the
-        # same one from the same record scan), so the achievable set is
-        # exactly the kept set: map(max of member keys) == the group's
-        # kept key, and unseen host-geometry buckets map into kept too
-        co = BucketCoalescer(
-            record_keys, max_bucket_variants, dataset.canvas_size
+        # same one via build_bucket_coalescer from the same scan), so the
+        # achievable set is bounded by the kept set: map() always lands in
+        # kept — seen keys identity (when kept), unseen keys (host-geometry
+        # post-crop buckets, mixed tail-batch maxes) at their min-area
+        # kept superset. Returned even when no seen key was dropped: the
+        # canvas slot can still be visited by unseen keys.
+        co = build_bucket_coalescer(
+            dataset, max_bucket_variants, host_geometry=host_geometry
         )
-        if co.active:
-            return list(co.kept)
+        return list(co.kept)
     if host_geometry is not None:
         post = set(host_geometry.achievable_post_buckets(mult))
         both = per_record | post
@@ -438,18 +484,27 @@ class BucketCoalescer:
     """Bounds the compute-bucket variant count (train.py
     --max_bucket_variants): keeps the full canvas (a superset of every
     bucket, so a mapping always exists) plus the `max_variants - 1`
-    most frequent other per-record buckets — exactly `max_variants`
-    jit variants — and maps every
-    other bucket to its minimum-area kept superset. Rare shapes pay a
-    little extra padding; the dominant shapes keep the exact fine
-    bucket, and the jit-variant set is exactly the kept set. This is
-    what makes fine granularity (--bucket_multiple 32, measured +12.9%
-    at the R101 COCO point) production-viable on varied-aspect datasets
-    without an unbounded compile count.
+    most frequent other ranking buckets — at most `max_variants` jit
+    variants — and maps every other bucket (seen or unseen) to its
+    minimum-area kept superset. Rare shapes pay a little extra padding;
+    the dominant shapes keep the exact fine bucket, and the jit-variant
+    set is bounded by the kept set. This is what makes fine granularity
+    (--bucket_multiple 32, measured +12.9% at the R101 COCO point)
+    production-viable on varied-aspect datasets without an unbounded
+    compile count.
 
-    When the dataset has <= max_variants distinct buckets the map is the
-    identity (including for unseen keys, e.g. host-geometry post-crop
-    buckets) and behavior is exactly the uncoalesced path."""
+    The canvas is ALWAYS in the kept set and counts toward the bound:
+    unseen keys (host-geometry post-crop buckets, mixed tail-batch
+    maxes, grain reservoir flushes) can appear at runtime even when the
+    ranking keys had <= max_variants distinct buckets, and identity
+    pass-through for them would mint unbounded jit variants — exactly
+    what the flag exists to prevent. When the distinct ranking buckets
+    plus the canvas already fit the bound, seen keys map to themselves.
+
+    `runtime_stats` counts post-construction map() calls by outcome
+    (exact / padded-up / canvas) so callers can detect a mis-ranked kept
+    set (e.g. pre-augmentation ranking with host geometry shipping
+    mostly post-crop shapes — see build_bucket_coalescer)."""
 
     def __init__(self, keys: List[Tuple[int, int]], max_variants: int,
                  canvas: Tuple[int, int]):
@@ -458,41 +513,132 @@ class BucketCoalescer:
         if max_variants < 1:
             raise ValueError(f"max_variants must be >= 1, got {max_variants}")
         self.canvas = (int(canvas[0]), int(canvas[1]))
-        counts = Counter(tuple(k) for k in keys)
-        self.active = len(counts) > max_variants
+        counts = Counter(tuple(int(a) for a in k) for k in keys)
+        # active == some ranking key was dropped from the kept set (its
+        # batches pad up); the canvas slot alone does not make it active
+        self.active = len(set(counts) | {self.canvas}) > max_variants
         if not self.active:
-            self.kept = sorted(counts)
-            self._map = {k: k for k in counts}
-            return
-        # deterministic keep order: frequency desc, then shape
-        by_freq = sorted(counts, key=lambda k: (-counts[k], k))
-        # one slot is reserved for the canvas (the universal superset);
-        # N=1 therefore computes everything at the canvas. The canvas is
-        # excluded from the frequency ranking so its slot is never
-        # double-spent: the kept set always has exactly max_variants
-        # shapes (when the dataset supplies enough distinct buckets)
-        non_canvas = [k for k in by_freq if k != self.canvas]
-        kept = set(non_canvas[: max_variants - 1])
-        kept.add(self.canvas)
+            kept = set(counts) | {self.canvas}
+        else:
+            # deterministic keep order: frequency desc, then shape. One
+            # slot is reserved for the canvas (the universal superset);
+            # N=1 therefore computes everything at the canvas. The canvas
+            # is excluded from the frequency ranking so its slot is never
+            # double-spent.
+            by_freq = sorted(counts, key=lambda k: (-counts[k], k))
+            non_canvas = [k for k in by_freq if k != self.canvas]
+            kept = set(non_canvas[: max_variants - 1])
+            kept.add(self.canvas)
         self.kept = sorted(kept)
         self._map = {}
         for k in counts:
             self.map(k)
+        self.runtime_stats = Counter()
 
     def map(self, key: Tuple[int, int]) -> Tuple[int, int]:
-        """The kept bucket this (possibly unseen) bucket computes at."""
-        key = (int(key[0]), int(key[1]))
+        """The kept bucket this (possibly unseen) bucket computes at.
+
+        Keys exceeding the canvas in either dimension clamp to it first
+        (a dataset whose real image extent disagrees with the declared
+        canvas_size must degrade to canvas-bucket compute, not crash on
+        an empty superset set)."""
+        key = (min(int(key[0]), self.canvas[0]),
+               min(int(key[1]), self.canvas[1]))
         hit = self._map.get(key)
-        if hit is not None:
-            return hit
-        if not self.active:
-            return key
-        supers = [s for s in self.kept
-                  if s[0] >= key[0] and s[1] >= key[1]]
-        # canvas is kept and is a superset of every valid bucket
-        out = min(supers, key=lambda s: (s[0] * s[1], s))
-        self._map[key] = out
-        return out
+        if hit is None:
+            supers = [s for s in self.kept
+                      if s[0] >= key[0] and s[1] >= key[1]]
+            # canvas is kept and is a superset of every (clamped) bucket
+            hit = min(supers, key=lambda s: (s[0] * s[1], s))
+            self._map[key] = hit
+        stats = getattr(self, "runtime_stats", None)
+        if stats is not None:
+            if hit == key:
+                stats["exact"] += 1
+            elif hit == self.canvas:
+                stats["canvas"] += 1
+            else:
+                stats["padded"] += 1
+        return hit
+
+    def maybe_warn_misranked(self, min_calls: int = 64,
+                             canvas_fraction: float = 0.5) -> bool:
+        """Warn (once) when most runtime mappings fall through to the
+        full canvas: the kept set's ranking keys did not match the
+        shapes that actually ship, so the fine-granularity throughput
+        win the bound exists to preserve is being quietly lost."""
+        stats = self.runtime_stats
+        total = sum(stats.values())
+        if getattr(self, "_warned", False) or total < min_calls:
+            return False
+        if stats["canvas"] / total <= canvas_fraction:
+            return False
+        self._warned = True
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "max_bucket_variants: %d/%d runtime buckets mapped to the "
+            "full canvas %s — the kept set %s does not match the shapes "
+            "actually shipping (likely pre-augmentation ranking vs "
+            "post-geometry shapes); throughput degrades to canvas-bucket "
+            "compute.", stats["canvas"], total, self.canvas, self.kept,
+        )
+        return True
+
+
+# Deterministic seed for Monte Carlo post-geometry bucket ranking —
+# batches() and achievable_bucket_shapes() must build identical kept
+# sets (precompile must cover exactly the runtime variants), so the
+# draws are independent of the training seed.
+_GEOMETRY_RANK_SEED = 0x6B75
+_GEOMETRY_RANK_RECORDS = 512
+
+
+def sampled_post_geometry_keys(
+    dataset, host_geometry, max_records: int = _GEOMETRY_RANK_RECORDS
+) -> List[Tuple[int, int]]:
+    """Per-record post-geometry pack-shape buckets from a deterministic
+    Monte Carlo pass (one geometry draw per sampled record, fixed seed,
+    metadata only — HostGeometry never touches pixels, and
+    peek_geometry_sample avoids the JPEG decode entirely).
+
+    With host geometry, runtime batches pack at post-geometry pack_shape
+    buckets, not the pre-augmentation record buckets — ranking the kept
+    set from record buckets would keep shapes that rarely ship and pad
+    most batches up to the canvas (the bound would hold but the
+    fine-granularity win would be lost)."""
+    mult = _pack_multiple()
+    ch, cw = dataset.canvas_size
+    n = len(dataset)
+    take = min(n, max_records)
+    idx = sorted(set(np.linspace(0, n - 1, take).astype(int).tolist()))
+    peek = getattr(dataset, "peek_geometry_sample", dataset.get)
+    out = []
+    for i in idx:
+        sample = peek(int(i))
+        rng = np.random.default_rng([_GEOMETRY_RANK_SEED, int(i)])
+        post = host_geometry(sample, rng)
+        ph, pw = post["pack_shape"]
+        out.append((bucket_extent(int(ph), ch, mult),
+                    bucket_extent(int(pw), cw, mult)))
+    return out
+
+
+def build_bucket_coalescer(
+    dataset, max_variants: int, host_geometry=None,
+    record_keys: Optional[List[Tuple[int, int]]] = None,
+) -> BucketCoalescer:
+    """The one construction path for the --max_bucket_variants coalescer
+    (batches(), make_grain_loader, achievable_bucket_shapes/precompile,
+    eval) so every consumer agrees on the kept set. Ranks from the
+    shapes that actually ship: sampled post-geometry pack buckets when
+    host geometry is in play, per-record buckets otherwise."""
+    if host_geometry is not None:
+        keys = sampled_post_geometry_keys(dataset, host_geometry)
+    else:
+        keys = record_keys if record_keys is not None \
+            else record_bucket_keys(dataset)
+    return BucketCoalescer(keys, max_variants, dataset.canvas_size)
 
 
 def pack_batch_images(images: np.ndarray,
@@ -633,11 +779,15 @@ def batches(
     # is where the jit-variant shapes are born) — including batch_size 1,
     # where aspect grouping is moot but per-record buckets still fan out
     if max_bucket_variants and pack_images:
-        coalescer = BucketCoalescer(
-            keys if keys is not None else record_bucket_keys(dataset),
-            max_bucket_variants, dataset.canvas_size,
+        coalescer = build_bucket_coalescer(
+            dataset, max_bucket_variants,
+            host_geometry=host_geometry, record_keys=keys,
         )
-        if keys is not None:
+        # grouping keys coalesce too (records sharing a kept bucket batch
+        # together) — except under host geometry, where the kept set is
+        # ranked from post-geometry shapes and record buckets are only a
+        # grouping heuristic, not the buckets that ship
+        if keys is not None and host_geometry is None:
             keys = [coalescer.map(k) for k in keys]
     while epochs is None or epoch < epochs:
         if aspect_grouping:
@@ -664,6 +814,8 @@ def batches(
                     for s, i in zip(samples, idx)
                 ]
             yield _collate(samples, pack_images, coalescer)
+            if coalescer is not None:
+                coalescer.maybe_warn_misranked()
         epoch += 1
 
 

@@ -24,13 +24,62 @@ def _restore_default():
 CANVAS = (1024, 1024)
 
 
-def test_identity_when_few_buckets():
+def test_identity_for_seen_keys_when_few_buckets():
     keys = [(608, 800)] * 5 + [(640, 1024)] * 3
     co = BucketCoalescer(keys, 4, CANVAS)
     assert not co.active
     assert co.map((608, 800)) == (608, 800)
-    # unseen keys pass through untouched when inactive
-    assert co.map((320, 480)) == (320, 480)
+    # unseen keys NEVER pass through (they would mint jit variants beyond
+    # the bound — host-geometry post-crop buckets, mixed tail-batch
+    # maxes): they map to their min-area kept superset even when inactive
+    assert co.map((320, 480)) == (608, 800)
+    assert set(co.kept) == {(608, 800), (640, 1024), CANVAS}
+
+
+def test_bound_includes_canvas_slot():
+    """kept <= max_variants ALWAYS: when the distinct ranking buckets fill
+    the bound and the canvas is not among them, the least frequent key is
+    evicted to make room for the canvas (unseen keys need a superset)."""
+    keys = [(608, 800)] * 5 + [(640, 1024)] * 3 + (
+        [(320, 480)] * 2
+    )
+    co = BucketCoalescer(keys, 3, CANVAS)
+    assert co.active
+    assert len(co.kept) == 3
+    assert CANVAS in co.kept
+    assert set(co.kept) == {(608, 800), (640, 1024), CANVAS}
+    assert co.map((320, 480)) == (608, 800)
+
+
+def test_map_clamps_oversized_keys_to_canvas():
+    co = BucketCoalescer([(608, 800)] * 3, 2, CANVAS)
+    # a key exceeding the canvas in either dim clamps instead of raising
+    assert co.map((2048, 800)) == CANVAS
+    assert co.map((2048, 2048)) == CANVAS
+
+
+def test_runtime_stats_and_misranked_warning(caplog):
+    import logging
+
+    co = BucketCoalescer([(608, 800)] * 10 + [(640, 896)] * 5, 2, CANVAS)
+    co.runtime_stats.clear()
+    for _ in range(70):
+        co.map((700, 900))  # only the canvas covers it
+    assert co.runtime_stats["canvas"] == 70
+    with caplog.at_level(logging.WARNING):
+        assert co.maybe_warn_misranked()
+    assert "mapped to the full canvas" in caplog.text
+    # warns once
+    assert not co.maybe_warn_misranked()
+
+
+def test_no_warning_when_mostly_exact():
+    co = BucketCoalescer([(608, 800)] * 10, 2, CANVAS)
+    co.runtime_stats.clear()
+    for _ in range(100):
+        co.map((608, 800))
+    co.map((900, 900))
+    assert not co.maybe_warn_misranked()
 
 
 def test_keeps_most_frequent_plus_canvas():
@@ -193,6 +242,67 @@ def test_grain_loader_batch1_and_ungrouped_bounded():
         kept = set(achievable_bucket_shapes(ds, bs, max_bucket_variants=2))
         assert shapes <= kept, (bs, grouping, shapes, kept)
         assert (224, 320) in shapes or bs > 1, (bs, grouping, shapes)
+
+
+class _SynthBoxDs(_SynthDs):
+    """_SynthDs with real groundtruth boxes so crop geometry can fire."""
+
+    def get(self, i):
+        s = super().get(i)
+        th, tw = self._shapes[i]
+        s["gt_boxes"] = np.zeros((4, 4), np.float32)
+        s["gt_boxes"][0] = [th * 0.3, tw * 0.3, th * 0.6, tw * 0.6]
+        s["gt_mask"] = np.asarray([True, False, False, False])
+        return s
+
+
+def _crop_hg(canvas):
+    from mtlx.data.host_geometry import HostGeometry
+
+    return HostGeometry(
+        [("random_crop_image", {"min_object_covered": 0.3,
+                                "min_area": 0.2, "max_area": 0.5,
+                                "overlap_thresh": 0.3})],
+        300, 500, canvas,
+    )
+
+
+def test_host_geometry_ranking_uses_post_shapes():
+    """With host geometry, the kept set ranks from sampled post-geometry
+    pack buckets, not pre-augmentation record buckets: a dataset whose
+    record bucket IS the canvas must still keep the dominant post-crop
+    shapes (otherwise every batch pads to the canvas and the
+    fine-granularity win is lost — ADVICE r4)."""
+    from mtlx.data.loader import build_bucket_coalescer
+
+    bucketing.set_bucket_multiple(32)
+    ds = _SynthBoxDs([(512, 512)], n=24)
+    hg = _crop_hg(ds.canvas_size)
+    co = build_bucket_coalescer(ds, 4, host_geometry=hg)
+    non_canvas = [k for k in co.kept if k != ds.canvas_size]
+    assert non_canvas, co.kept
+    # deterministic: a second build yields the identical kept set
+    co2 = build_bucket_coalescer(ds, 4, host_geometry=hg)
+    assert co.kept == co2.kept
+
+
+def test_batches_host_geometry_bounded_and_consistent():
+    """batches() with host geometry: every emitted shape is in the kept
+    set achievable_bucket_shapes reports for the same arguments (the
+    precompile set covers the runtime variants)."""
+    bucketing.set_bucket_multiple(32)
+    ds = _SynthBoxDs([(512, 512)], n=24)
+    hg = _crop_hg(ds.canvas_size)
+    kept = set(achievable_bucket_shapes(
+        ds, 2, host_geometry=hg, max_bucket_variants=3
+    ))
+    assert len(kept) <= 3
+    shapes = set()
+    for b in batches(ds, batch_size=2, shuffle=False, epochs=2,
+                     pack_images=True, host_geometry=hg,
+                     max_bucket_variants=3):
+        shapes.add(b["image"].shape[1:3])
+    assert shapes <= kept, (shapes, kept)
 
 
 def test_grain_bucket_batched_with_coalescer():
