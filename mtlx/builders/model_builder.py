@@ -204,6 +204,7 @@ def _build_faster_rcnn(fr, is_training: bool, max_gt_boxes: int, dtype):
         foreground_weight=fr.mtl.edgemask_loss_weight,
         window_enlarge_factor=fr.mtl.window_enlarge_factor,
         closeness_sigma=fr.mtl.closeness_sigma,
+        window_sampling=fr.mtl.window_sampling,
         refine=fr.mtl.refine,
     )
 

@@ -62,6 +62,10 @@ class MTLConfig:
     foreground_weight: float = 1.0
     window_enlarge_factor: float = 2.0
     closeness_sigma: float = 0.5
+    # stochastic multi-object windows (proto MTL.window_sampling):
+    # per-axis scale ~ U[1, factor] + center jitter keeping the GT box
+    # covered; False = deterministic enlarged GT box (the default)
+    window_sampling: bool = False
     refine: bool = False  # paper's feature-refinement path
 
     @property
@@ -530,7 +534,9 @@ class FasterRCNN:
 
         # ---- MTL aux predictions (training only; zero inference cost) ----
         if training and c.mtl.any:
-            self._predict_aux(variables, pred, feats, groundtruth, canvas_hw)
+            self._predict_aux(
+                variables, pred, feats, groundtruth, canvas_hw, rng=rng
+            )
         return pred
 
     def _predict_second_stage(self, variables, feats, proposals, training,
@@ -588,7 +594,7 @@ class FasterRCNN:
         )
 
     def _predict_aux(self, variables, pred, feats, gt: GroundTruth,
-                     canvas_hw=None):
+                     canvas_hw=None, rng=None):
         """Aux heads on groundtruth-derived windows (annotation recycling)."""
         c = self.cfg
         apply = self.modules.apply
@@ -605,7 +611,21 @@ class FasterRCNN:
             lambda f, bx: roi_lib.mean_pooled_crop(f, bx, (7, 7))
         )(feats, boxes_norm).astype(jnp.float32)
         if c.mtl.multiobject:
-            windows = recycle.enlarged_windows(gt["boxes"], c.mtl.window_enlarge_factor)
+            if c.mtl.window_sampling and rng is not None:
+                # per-image keys, decorrelated from the proposal-sampler /
+                # dropout uses of the same step rng
+                keys = jax.random.split(
+                    jax.random.fold_in(rng, 0x517D), gt["boxes"].shape[0]
+                )
+                windows = jax.vmap(
+                    lambda k, bx: recycle.sampled_windows(
+                        k, bx, c.mtl.window_enlarge_factor
+                    )
+                )(keys, gt["boxes"])
+            else:
+                windows = recycle.enlarged_windows(
+                    gt["boxes"], c.mtl.window_enlarge_factor
+                )
             pred["multiobject_windows"] = windows
             pooled = pool_roi(windows / canvas)  # [B, G, C]
             logits, _ = apply(

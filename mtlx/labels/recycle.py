@@ -116,6 +116,40 @@ def foreground_mask(
 def enlarged_windows(gt_boxes: Array, factor: float = 2.0) -> Array:
     """Windows for the multi-object task: each groundtruth box enlarged
     about its center by `factor` (the paper samples windows covering and
-    around objects; an enlarged GT box is the deterministic variant)."""
+    around objects; an enlarged GT box is the deterministic variant —
+    see `sampled_windows` for the stochastic one)."""
     yc, xc, h, w = box_ops.center_coordinates_and_sizes(gt_boxes)
     return box_ops.from_center_coordinates(yc, xc, h * factor, w * factor)
+
+
+def sampled_windows(
+    rng: Array, gt_boxes: Array, factor: float = 2.0
+) -> Array:
+    """Stochastic windows for the multi-object task ("windows covering
+    and around objects", per the paper's description; MTL proto knob
+    `window_sampling` — `enlarged_windows` stays the default).
+
+    Per groundtruth box, each axis independently draws a scale
+    s ~ U[1, factor] and a center offset d ~ U[-1, 1] * (s - 1)/2 * size,
+    so the window always CONTAINS the GT box (|d| <= (s*size - size)/2)
+    but covers a randomly-placed surrounding region — the enlarged
+    deterministic window is the s = factor, d = 0 special case. Padding
+    rows produce degenerate windows exactly like enlarged_windows does;
+    callers mask them via gt_mask as usual.
+
+    Args:
+      rng: PRNG key; gt_boxes: [G, 4]; factor: max per-axis enlargement.
+
+    Returns: [G, 4] windows (same coordinate frame as gt_boxes).
+    """
+    g = gt_boxes.shape[0]
+    yc, xc, h, w = box_ops.center_coordinates_and_sizes(gt_boxes)
+    k_scale, k_off = jax.random.split(rng)
+    scale = jax.random.uniform(
+        k_scale, (g, 2), minval=1.0, maxval=factor
+    )  # [G, (sy, sx)]
+    off = jax.random.uniform(k_off, (g, 2), minval=-1.0, maxval=1.0)
+    sy, sx = scale[:, 0], scale[:, 1]
+    dy = off[:, 0] * (sy - 1.0) * 0.5 * h
+    dx = off[:, 1] * (sx - 1.0) * 0.5 * w
+    return box_ops.from_center_coordinates(yc + dy, xc + dx, h * sy, w * sx)

@@ -38,7 +38,7 @@ model {
       score_converter: SOFTMAX
     }
     second_stage_localization_loss_weight: 2.0
-    mtl { window: true closeness: true edgemask: true window_loss_weight: 0.25 }
+    mtl { window: true closeness: true edgemask: true window_loss_weight: 0.25 window_sampling: true }
   }
 }
 train_config {
@@ -165,6 +165,7 @@ def test_pipeline_config_to_model(tmp_path):
     assert cfg.second_stage_nms_score_threshold == pytest.approx(0.01)
     assert cfg.mtl.multiobject and cfg.mtl.closeness and cfg.mtl.foreground
     assert cfg.mtl.multiobject_weight == pytest.approx(0.25)
+    assert cfg.mtl.window_sampling
     # eval build drops MTL heads
     eval_model = model_builder.build(configs["model"], is_training=False)
     assert not eval_model.cfg.mtl.any

@@ -109,6 +109,38 @@ def test_train_predict_loss_all_tasks(model_and_vars):
     assert float(loss["total_loss"]) > 0
 
 
+def test_train_predict_sampled_windows():
+    """window_sampling: stochastic multi-object windows flow through the
+    train predict — windows cover GT, differ per step rng, and the loss
+    stays finite (MTL proto knob window_sampling; SURVEY.md §3.11)."""
+    cfg = tiny_config(
+        mtl=MTLConfig(multiobject=True, window_sampling=True)
+    )
+    model = FasterRCNN(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    gt = make_gt()
+    images = model.preprocess(jnp.full((2, 64, 64, 3), 128.0))
+    true_shapes = jnp.asarray([[64, 64], [64, 64]])
+
+    @jax.jit
+    def run(v, im, rng):
+        pred = model.predict(
+            v, im, true_shapes, training=True, rng=rng, groundtruth=gt
+        )
+        return pred, model.loss(pred, gt, rng)
+
+    pred1, loss1 = run(variables, images, jax.random.PRNGKey(1))
+    pred2, _ = run(variables, images, jax.random.PRNGKey(2))
+    w1 = np.asarray(pred1["multiobject_windows"])
+    w2 = np.asarray(pred2["multiobject_windows"])
+    assert not np.allclose(w1, w2)  # stochastic across step rngs
+    gtb = np.asarray(gt["boxes"])
+    gtm = np.asarray(gt["mask"])
+    assert (w1[gtm][:, 0] <= gtb[gtm][:, 0] + 1e-4).all()
+    assert (w1[gtm][:, 2] >= gtb[gtm][:, 2] - 1e-4).all()
+    assert np.isfinite(float(loss1["Loss/MTL/multiobject_loss"]))
+
+
 def test_gradients_flow_everywhere(model_and_vars):
     model, variables = model_and_vars
     gt = make_gt()

@@ -99,3 +99,52 @@ def test_enlarged_windows():
     gt = jnp.asarray([[10.0, 10.0, 20.0, 20.0]])
     w = np.asarray(recycle.enlarged_windows(gt, 2.0))
     np.testing.assert_allclose(w, [[5.0, 5.0, 25.0, 25.0]])
+
+
+def test_sampled_windows_cover_gt_within_factor():
+    import jax
+
+    rng = np.random.RandomState(3)
+    gt = np.stack(
+        [
+            np.asarray([10.0, 20.0, 10.0 + 5 * i + 4.0, 20.0 + 3 * i + 6.0])
+            for i in range(8)
+        ]
+    ).astype(np.float32)
+    for seed in range(4):
+        w = np.asarray(
+            recycle.sampled_windows(jax.random.PRNGKey(seed), jnp.asarray(gt), 2.0)
+        )
+        # every window fully covers its GT box ("covering and around")
+        assert (w[:, 0] <= gt[:, 0] + 1e-4).all()
+        assert (w[:, 1] <= gt[:, 1] + 1e-4).all()
+        assert (w[:, 2] >= gt[:, 2] - 1e-4).all()
+        assert (w[:, 3] >= gt[:, 3] - 1e-4).all()
+        # per-axis size within [1, factor] x GT size
+        gh, gw = gt[:, 2] - gt[:, 0], gt[:, 3] - gt[:, 1]
+        wh, ww = w[:, 2] - w[:, 0], w[:, 3] - w[:, 1]
+        assert (wh >= gh - 1e-4).all() and (wh <= 2.0 * gh + 1e-4).all()
+        assert (ww >= gw - 1e-4).all() and (ww <= 2.0 * gw + 1e-4).all()
+    # deterministic per key; varies across keys (not the enlarged window)
+    a = np.asarray(recycle.sampled_windows(jax.random.PRNGKey(0), jnp.asarray(gt), 2.0))
+    b = np.asarray(recycle.sampled_windows(jax.random.PRNGKey(0), jnp.asarray(gt), 2.0))
+    c = np.asarray(recycle.sampled_windows(jax.random.PRNGKey(1), jnp.asarray(gt), 2.0))
+    np.testing.assert_array_equal(a, b)
+    assert not np.allclose(a, c)
+    det = np.asarray(recycle.enlarged_windows(jnp.asarray(gt), 2.0))
+    assert not np.allclose(a, det)
+    del rng
+
+
+def test_sampled_windows_labels_still_sum_to_one():
+    import jax
+
+    gt = jnp.asarray(
+        [[0.0, 0.0, 10.0, 10.0], [20.0, 20.0, 40.0, 44.0], [0.0, 0.0, 0.0, 0.0]]
+    )
+    mask = jnp.asarray([True, True, False])
+    classes = jnp.asarray([1, 3, 0])
+    w = recycle.sampled_windows(jax.random.PRNGKey(7), gt, 2.0)
+    labels = np.asarray(recycle.multiobject_labels(w, gt, classes, mask, 5))
+    # each sampled window covers its own GT box -> nonzero row summing to 1
+    np.testing.assert_allclose(labels[:2].sum(-1), 1.0, rtol=1e-5)
