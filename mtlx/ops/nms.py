@@ -323,6 +323,106 @@ def _nms_priority_chunked(
     return jnp.where(keep, buf_idx, 0), keep
 
 
+# Class-parallel priority chunking for LARGE multiclass candidate sets
+# (SSD's N=1917 x K=20 serving postprocess): every class marches through
+# score-descending candidate chunks TOGETHER — one [K, C, C] fixed-point
+# solve per chunk instead of K sequential class blocks (class-chunked fp)
+# or K vmapped max_out-step greedy loops. The loop exits as soon as every
+# class holds max_size_per_class survivors, which at detection operating
+# points is typically after the first chunk. Exactness: chunks are
+# per-class priority prefixes (full per-class sort first), carried
+# survivors are complete while any class is below its quota, and the
+# score-ordered merge drops any late survivor that greedy would never
+# have reached — the same argument as `_nms_priority_chunked`, applied
+# per class. None = auto (on when N >= _MC_CHUNKED_MIN_N, where the
+# class-chunked fixed point's lax.map serializes); True/False force.
+USE_MC_CHUNKED: Optional[bool] = None
+_MC_CHUNKED_MIN_N = 1536
+_MC_CHUNK_SIZE = 256
+
+
+def _multiclass_priority_chunked(
+    boxes: Array,  # [K, N, 4] per-class candidate boxes
+    scores: Array,  # [K, N]
+    live0: Array,  # [K, N] bool — valid & area>0 & above score threshold
+    iou_threshold: float,
+    k: int,  # max survivors per class
+):
+    """Exact per-class greedy NMS, all classes chunk-stepping in lockstep.
+
+    Returns (cls_boxes [K, k, 4], cls_scores [K, k] (_NEG on empty slots),
+    cls_keep [K, k] bool, cls_idx [K, k] int32 indices into N) — the same
+    per-class contract the fixed-point branch of multiclass NMS produces.
+    """
+    kc, n = scores.shape
+    p = k
+    chunk = min(_MC_CHUNK_SIZE, n)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+
+    # full per-class priority sort (score desc, index asc — lax.top_k's
+    # tie order matches the greedy argmax order); dead rows sort last
+    masked = jnp.where(live0, scores, _NEG)
+    order_scores, order = jax.lax.top_k(masked, n)  # [K, N]
+    sboxes = jnp.pad(
+        jnp.take_along_axis(boxes, order[..., None], axis=1),
+        ((0, 0), (0, pad), (0, 0)),
+    )
+    sscores = jnp.pad(order_scores, ((0, 0), (0, pad)), constant_values=_NEG)
+    sidx = jnp.pad(order.astype(jnp.int32), ((0, 0), (0, pad)))
+
+    def cond(state):
+        ci, _, buf_scores, _, counts = state
+        return (ci < n_chunks) & jnp.any(counts < p)
+
+    def body(state):
+        ci, buf_boxes, buf_scores, buf_idx, _ = state
+        start = ci * chunk
+        cb = jax.lax.dynamic_slice(sboxes, (0, start, 0), (kc, chunk, 4))
+        cs = jax.lax.dynamic_slice(sscores, (0, start), (kc, chunk))
+        cidx = jax.lax.dynamic_slice(sidx, (0, start), (kc, chunk))
+        live = cs > _NEG / 2
+        # suppression by survivors carried from higher-priority chunks —
+        # complete per class while that class's count < p, and harmless
+        # otherwise (late survivors rank below every carried one and the
+        # top_k merge drops them)
+        carried = buf_scores > _NEG / 2  # [K, p]
+        iou_carry = jax.vmap(box_ops.iou)(buf_boxes, cb)  # [K, p, C]
+        live &= ~jnp.any(
+            (iou_carry > iou_threshold) & carried[..., None], axis=1
+        )
+        alive = _greedy_survivors_fixed_point(cb, cs, live, iou_threshold)
+        surv_scores = jnp.where(alive, cs, _NEG)
+        all_scores = jnp.concatenate([buf_scores, surv_scores], axis=1)
+        top_scores, sel = jax.lax.top_k(all_scores, p)  # [K, p]
+        buf_boxes = jnp.take_along_axis(
+            jnp.concatenate([buf_boxes, cb], axis=1), sel[..., None], axis=1
+        )
+        buf_idx = jnp.take_along_axis(
+            jnp.concatenate([buf_idx, cidx], axis=1), sel, axis=1
+        )
+        counts = jnp.sum(top_scores > _NEG / 2, axis=1).astype(jnp.int32)
+        return ci + 1, buf_boxes, top_scores, buf_idx, counts
+
+    state = (
+        jnp.asarray(0, jnp.int32),
+        jnp.zeros((kc, p, 4), boxes.dtype),
+        jnp.full((kc, p), _NEG, scores.dtype),
+        jnp.zeros((kc, p), jnp.int32),
+        jnp.zeros((kc,), jnp.int32),
+    )
+    _, buf_boxes, buf_scores, buf_idx, _ = jax.lax.while_loop(
+        cond, body, state
+    )
+    keep = buf_scores > _NEG / 2
+    return (
+        jnp.where(keep[..., None], buf_boxes, 0.0),
+        buf_scores,
+        keep,
+        jnp.where(keep, buf_idx, 0),
+    )
+
+
 class NMSResult(NamedTuple):
     boxes: Array  # [max_total, 4]
     scores: Array  # [max_total]
@@ -387,13 +487,31 @@ def multiclass_non_max_suppression(
             and blocks <= _FIXED_POINT_MAX_BLOCKS
         )
 
-    if use_fp:
+    use_mcc = USE_MC_CHUNKED
+    if use_mcc is None:
+        # auto: the class-parallel chunked path wins once N is large
+        # enough that the class-chunked fixed point would serialize deep
+        # lax.map blocks (r5 on-chip sweep, ROADMAP crossover table);
+        # a forced USE_FIXED_POINT keeps precedence
+        use_mcc = (
+            USE_FIXED_POINT is None and not use_fp and n >= _MC_CHUNKED_MIN_N
+        )
+
+    if use_mcc or use_fp:
         # all classes at once: survivors via fixed point, then per-class
         # top-k by score == greedy's capped, score-ordered output
         boxes_kn = jnp.swapaxes(per_class_boxes, 0, 1)  # [K, N, 4]
         scores_kn = jnp.swapaxes(scores, 0, 1)  # [K, N]
         area_ok = box_ops.area(boxes_kn) > 0
         live0 = valid_mask[None, :] & area_ok & (scores_kn > score_threshold)
+
+    if use_mcc:
+        cls_boxes, cls_scores, cls_keep, cls_idx = (
+            _multiclass_priority_chunked(
+                boxes_kn, scores_kn, live0, iou_threshold, k
+            )
+        )
+    elif use_fp:
         alive = _greedy_survivors_class_chunked(
             boxes_kn, scores_kn, live0, iou_threshold,
             # q == 1: one box set broadcast to all classes (clipping

@@ -395,3 +395,69 @@ def test_fixed_point_class_chunked_equals_greedy():
     finally:
         nms._FIXED_POINT_MAX_ELEMS = prev_budget
         nms.USE_FIXED_POINT = prev_fp
+
+
+def test_multiclass_priority_chunked_equals_greedy():
+    """The class-parallel priority-chunked path (SSD-scale postprocess:
+    every class solves score-ordered chunks in lockstep with carried
+    survivors) must equal the sequential greedy path exactly — for shared
+    (Q==1) and per-class boxes, across ragged chunk tails, score ties,
+    duplicate boxes, clip windows, validity masks and classes whose
+    survivors span several chunks."""
+    rs = np.random.RandomState(13)
+    prev_mcc, prev_chunk = nms.USE_MC_CHUNKED, nms._MC_CHUNK_SIZE
+    try:
+        nms._MC_CHUNK_SIZE = 16  # force many chunks at test sizes
+        for trial in range(6):
+            n = int(rs.choice([16, 50, 130]))
+            k = int(rs.choice([3, 9]))
+            for q in (1, k):
+                # clustered boxes -> heavy cross-chunk suppression chains
+                centers = rs.uniform(10, 90, (max(4, n // 8), 2))
+                pick = centers[rs.randint(0, len(centers), (n, q))]
+                jit = rs.uniform(-6, 6, (n, q, 2))
+                y0x0 = pick + jit - 10
+                y1x1 = pick + jit + 10 + rs.uniform(0, 8, (n, q, 2))
+                boxes = np.concatenate([y0x0, y1x1], -1).astype(np.float32)
+                scores = rs.uniform(0, 1, (n, k)).astype(np.float32)
+                if trial % 2 == 0:  # ties + duplicates exercise priority
+                    half = n // 2
+                    scores[:half] = scores[half : 2 * half]
+                    boxes[: n // 4] = boxes[n // 4 : 2 * (n // 4)]
+                vm = jnp.asarray(rs.uniform(0, 1, n) > 0.2)
+                kw = dict(score_threshold=0.05, iou_threshold=0.5,
+                          max_size_per_class=10, max_total_size=20,
+                          clip_window=jnp.asarray([0.0, 0.0, 90.0, 90.0]),
+                          change_coordinate_frame=bool(trial % 2),
+                          valid_mask=vm)
+                nms.USE_MC_CHUNKED = False
+                nms.USE_FIXED_POINT = False
+                a = nms.multiclass_non_max_suppression(
+                    jnp.asarray(boxes), jnp.asarray(scores), **kw)
+                nms.USE_FIXED_POINT = None
+                nms.USE_MC_CHUNKED = True
+                b = nms.multiclass_non_max_suppression(
+                    jnp.asarray(boxes), jnp.asarray(scores), **kw)
+                for name in ("boxes", "scores", "classes", "valid_mask",
+                             "num_valid"):
+                    np.testing.assert_array_equal(
+                        np.asarray(getattr(a, name)),
+                        np.asarray(getattr(b, name)),
+                        err_msg=f"trial {trial} q {q} field {name}")
+    finally:
+        nms.USE_MC_CHUNKED, nms._MC_CHUNK_SIZE = prev_mcc, prev_chunk
+        nms.USE_FIXED_POINT = None
+
+
+def test_mc_chunked_auto_dispatch_bound():
+    """Auto mode routes SSD-scale candidate sets (N=1917, any K) onto the
+    class-parallel chunked path — previously they fell through every fast
+    path onto K vmapped 100-step greedy loops, putting SSD serving at 51%
+    of SSD train throughput (BENCH_r04) — while FRCNN stage 2 (N=300)
+    stays on the class-chunked fixed point."""
+    assert 1917 >= nms._MC_CHUNKED_MIN_N  # SSD300: in
+    assert 300 < nms._MC_CHUNKED_MIN_N  # FRCNN stage 2: fp still wins
+    # the fp auto bound must not overlap: any N the fp path accepts with
+    # shallow chunking stays fp (mcc requires `not use_fp`)
+    chunk = max(1, nms._FIXED_POINT_MAX_ELEMS // (1917 * 1917))
+    assert -(-20 // chunk) > nms._FIXED_POINT_MAX_BLOCKS
