@@ -18,11 +18,17 @@ BLOCK_SIZES = (3, 4, 6, 3)
 DEPTHS = (256, 512, 1024, 2048)
 
 
+_RESNET_BLOCK_SIZES = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3),
+                       152: (3, 8, 36, 3)}
+
+
 def _slim_resnet50_vars(rng, num_classes=3, num_anchors=2, rpn_depth=16,
-                        with_heads=False):
-    """Variable name -> value for a slim resnet_v1_50 (classification) or a
-    TF-OD-API Faster R-CNN (detection) checkpoint."""
+                        with_heads=False, depth=50):
+    """Variable name -> value for a slim resnet_v1_{depth} (classification)
+    or a TF-OD-API Faster R-CNN (detection) checkpoint."""
     out = {}
+    prefix = f"resnet_v1_{depth}"
+    block_sizes = _RESNET_BLOCK_SIZES[depth]
 
     def bn(prefix, c):
         out[f"{prefix}/BatchNorm/gamma"] = rng.uniform(0.5, 1.5, (c,)).astype(np.float32)
@@ -30,12 +36,12 @@ def _slim_resnet50_vars(rng, num_classes=3, num_anchors=2, rpn_depth=16,
         out[f"{prefix}/BatchNorm/moving_mean"] = rng.normal(0, 0.1, (c,)).astype(np.float32)
         out[f"{prefix}/BatchNorm/moving_variance"] = rng.uniform(0.5, 1.5, (c,)).astype(np.float32)
 
-    out["resnet_v1_50/conv1/weights"] = rng.normal(0, 0.01, (7, 7, 3, 64)).astype(np.float32)
-    bn("resnet_v1_50/conv1", 64)
+    out[f"{prefix}/conv1/weights"] = rng.normal(0, 0.01, (7, 7, 3, 64)).astype(np.float32)
+    bn(f"{prefix}/conv1", 64)
     in_depth = 64
-    for b, (n, d) in enumerate(zip(BLOCK_SIZES, DEPTHS), start=1):
+    for b, (n, d) in enumerate(zip(block_sizes, DEPTHS), start=1):
         for u in range(1, n + 1):
-            base = f"resnet_v1_50/block{b}/unit_{u}/bottleneck_v1"
+            base = f"{prefix}/block{b}/unit_{u}/bottleneck_v1"
             db = d // 4
             unit_in = in_depth if u == 1 else d
             out[f"{base}/conv1/weights"] = rng.normal(0, 0.01, (1, 1, unit_in, db)).astype(np.float32)

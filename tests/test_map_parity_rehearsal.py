@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 import convert_checkpoint  # noqa: E402
 
 from test_checkpoint_convert import (  # noqa: E402
+    _slim_mobilenet_vars,
     _slim_resnet50_vars,
     _write_tf_checkpoint,
 )
@@ -201,3 +202,264 @@ def _rehearse(tmp_path, capsys, mtl_block):
     assert 0.0 <= metrics["Precision/mAP@0.5IOU"] <= 1.0
     per_cat = [k for k in metrics if k.startswith("PerformanceByCategory")]
     assert len(per_cat) == 3  # one AP per label-map class
+
+
+# --- SSD and R-FCN rehearsals (VERDICT r4 #5): the same chain for the
+# other two meta-architectures, so all three are first-real-data ready ---
+
+SSD_CONFIG = """
+model {{
+  ssd {{
+    num_classes: 3
+    image_resizer {{ fixed_shape_resizer {{ height: 64 width: 64 }} }}
+    feature_extractor {{
+      type: 'ssd_mobilenet_v1'
+      depth_multiplier: 1.0
+      min_depth: 16
+    }}
+    matcher {{
+      argmax_matcher {{ matched_threshold: 0.5 unmatched_threshold: 0.5
+                        force_match_for_each_row: true }}
+    }}
+    anchor_generator {{
+      ssd_anchor_generator {{
+        num_layers: 4 min_scale: 0.2 max_scale: 0.9
+        aspect_ratios: 1.0 aspect_ratios: 2.0 aspect_ratios: 0.5
+      }}
+    }}
+    box_predictor {{
+      convolutional_box_predictor {{
+        min_depth: 16 max_depth: 16 num_layers_before_predictor: 1
+        use_dropout: false kernel_size: 3
+      }}
+    }}
+    loss {{
+      classification_loss {{ weighted_sigmoid {{ }} }}
+      localization_loss {{ weighted_smooth_l1 {{ }} }}
+      hard_example_miner {{ max_negatives_per_positive: 3
+                            min_negatives_per_image: 3 }}
+    }}
+    post_processing {{
+      batch_non_max_suppression {{
+        score_threshold: 0.0 iou_threshold: 0.6
+        max_detections_per_class: 5 max_total_detections: 10
+      }}
+      score_converter: SIGMOID
+    }}
+    normalize_loss_by_num_matches: true
+  }}
+}}
+train_config {{
+  batch_size: 2
+  optimizer {{
+    momentum_optimizer {{
+      learning_rate {{ constant_learning_rate {{ learning_rate: 0.0001 }} }}
+      momentum_optimizer_value: 0.9
+    }}
+    use_moving_average: false
+  }}
+  num_steps: 1
+  fine_tune_checkpoint: "{warm_start}"
+  from_detection_checkpoint: false
+  max_number_of_boxes: 4
+}}
+train_input_reader {{
+  tf_record_input_reader {{ input_path: "{record}" }}
+  label_map_path: "{label_map}"
+}}
+eval_config {{
+  num_examples: 4
+  metrics_set: "pascal_voc_detection_metrics"
+}}
+eval_input_reader {{
+  tf_record_input_reader {{ input_path: "{record}" }}
+  label_map_path: "{label_map}"
+  shuffle: false
+}}
+"""
+
+RFCN_CONFIG = """
+model {{
+  faster_rcnn {{
+    num_classes: 3
+    image_resizer {{ fixed_shape_resizer {{ height: 64 width: 64 }} }}
+    feature_extractor {{ type: 'faster_rcnn_resnet101' }}
+    first_stage_anchor_generator {{
+      grid_anchor_generator {{
+        scales: [0.5, 1.0] aspect_ratios: [1.0] height: 32 width: 32
+      }}
+    }}
+    first_stage_box_predictor_depth: 16
+    first_stage_max_proposals: 8
+    first_stage_minibatch_size: 16
+    second_stage_batch_size: 4
+    second_stage_box_predictor {{
+      rfcn_box_predictor {{
+        num_spatial_bins_height: 3
+        num_spatial_bins_width: 3
+        depth: 64
+        crop_height: 6
+        crop_width: 6
+      }}
+    }}
+    second_stage_post_processing {{
+      batch_non_max_suppression {{
+        score_threshold: 0.0 iou_threshold: 0.6
+        max_detections_per_class: 5 max_total_detections: 10
+      }}
+      score_converter: SOFTMAX
+    }}
+  }}
+}}
+train_config {{
+  batch_size: 2
+  optimizer {{
+    momentum_optimizer {{
+      learning_rate {{ constant_learning_rate {{ learning_rate: 0.0001 }} }}
+      momentum_optimizer_value: 0.9
+    }}
+    use_moving_average: false
+  }}
+  num_steps: 1
+  fine_tune_checkpoint: "{warm_start}"
+  from_detection_checkpoint: false
+  max_number_of_boxes: 4
+}}
+train_input_reader {{
+  tf_record_input_reader {{ input_path: "{record}" }}
+  label_map_path: "{label_map}"
+}}
+eval_config {{
+  num_examples: 4
+  metrics_set: "pascal_voc_detection_metrics"
+}}
+eval_input_reader {{
+  tf_record_input_reader {{ input_path: "{record}" }}
+  label_map_path: "{label_map}"
+  shuffle: false
+}}
+"""
+
+
+def _write_records(tmp_path, rng):
+    """Synthetic varied-size JPEG records + a 3-class label map."""
+    import io as io_lib
+
+    from PIL import Image
+
+    from mtlx.data import tfrecord
+    from mtlx.data.example_decoder import build_example
+
+    record = str(tmp_path / "data.record")
+    with tfrecord.TFRecordWriter(record) as w:
+        for i, (h, w_src) in enumerate([(50, 70), (64, 64), (80, 56), (44, 90)]):
+            arr = rng.randint(0, 255, (h, w_src, 3)).astype(np.uint8)
+            arr[5 : h // 2, 5 : w_src // 2] = [240, 40, 40]
+            buf = io_lib.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG")
+            boxes = np.asarray(
+                [[5 / h, 5 / w_src, (h // 2) / h, (w_src // 2) / w_src]],
+                np.float32,
+            )
+            ex = build_example(
+                buf.getvalue(), b"jpeg", h, w_src, f"r{i}.jpg",
+                boxes, [1 + i % 3], ["x"],
+            )
+            w.write(ex.SerializeToString())
+    label_map = str(tmp_path / "label_map.pbtxt")
+    with open(label_map, "w") as f:
+        for i, name in enumerate(["a", "b", "c"]):
+            f.write(f"item {{ id: {i + 1} name: '{name}' }}\n")
+    return record, label_map
+
+
+def _run_chain(tmp_path, capsys, cfg_text, min_restored):
+    """warm-start config -> train CLI (1 step) -> eval CLI -> metrics."""
+    from mtlx.eval import eval as eval_cli
+    from mtlx.train import train as train_cli
+
+    cfg_path = str(tmp_path / "pipeline.config")
+    with open(cfg_path, "w") as f:
+        f.write(cfg_text)
+
+    train_dir = str(tmp_path / "train")
+    train_cli.main([
+        "--pipeline_config_path", cfg_path,
+        "--train_dir", train_dir,
+    ])
+    out = capsys.readouterr().out
+    assert "[train] done at step 1" in out
+    warm_line = [l for l in out.splitlines() if "warm start" in l]
+    assert warm_line, out
+    parts = warm_line[0].split("warm start: ")[1].split()
+    restored, skipped = int(parts[0]), int(parts[2])
+    # classification mode (`from_detection_checkpoint: false`) considers
+    # ONLY backbone subtrees — the full converted backbone must restore
+    # with nothing skipped; fresh heads (predictors / RPN / R-FCN
+    # position-sensitive maps) are outside consideration by design
+    assert restored >= min_restored, warm_line[0]
+    assert skipped == 0, warm_line[0]
+
+    metrics = eval_cli.main([
+        "--pipeline_config_path", cfg_path,
+        "--checkpoint_dir", train_dir,
+        "--eval_dir", str(tmp_path / "eval"),
+        "--run_once", "--tf1_resize",
+    ])
+    capsys.readouterr()
+    assert metrics is not None
+    assert "Precision/mAP@0.5IOU" in metrics
+    assert np.isfinite(metrics["Precision/mAP@0.5IOU"])
+
+
+def test_convert_warmstart_train_eval_compose_ssd(tmp_path, capsys):
+    """slim MobileNet-v1 classification checkpoint -> --arch=mobilenet_v1
+    --target=ssd convert -> SSD train CLI warm start -> eval CLI."""
+    from mtlx.train import checkpoints as ckpt_lib
+
+    rng = np.random.RandomState(0)
+    values = _slim_mobilenet_vars(rng)
+    tf_ckpt = str(tmp_path / "tf" / "model.ckpt")
+    os.makedirs(os.path.dirname(tf_ckpt))
+    _write_tf_checkpoint(values, tf_ckpt)
+    variables, n_conv, n_skip = convert_checkpoint.convert(
+        tf_ckpt, "classification", 0, arch="mobilenet_v1", target="ssd"
+    )
+    assert n_conv > 100 and n_skip == 2  # only the Logits head unmapped
+    warm = str(tmp_path / "warm_start")
+    ckpt_lib.save_variables(warm, variables)
+
+    record, label_map = _write_records(tmp_path, rng)
+    _run_chain(
+        tmp_path, capsys,
+        SSD_CONFIG.format(warm_start=warm, record=record,
+                          label_map=label_map),
+        min_restored=100,
+    )
+
+
+def test_convert_warmstart_train_eval_compose_rfcn(tmp_path, capsys):
+    """slim resnet_v1_101 classification checkpoint -> --depth=101 convert
+    -> R-FCN train CLI warm start -> eval CLI (the rfcn_resnet101 config
+    family's first-real-data chain)."""
+    from mtlx.train import checkpoints as ckpt_lib
+
+    rng = np.random.RandomState(0)
+    values = _slim_resnet50_vars(rng, depth=101)
+    tf_ckpt = str(tmp_path / "tf" / "model.ckpt")
+    os.makedirs(os.path.dirname(tf_ckpt))
+    _write_tf_checkpoint(values, tf_ckpt)
+    variables, n_conv, n_skip = convert_checkpoint.convert(
+        tf_ckpt, "classification", 101
+    )
+    assert n_conv == len(values) and n_skip == 0
+    warm = str(tmp_path / "warm_start")
+    ckpt_lib.save_variables(warm, variables)
+
+    record, label_map = _write_records(tmp_path, rng)
+    _run_chain(
+        tmp_path, capsys,
+        RFCN_CONFIG.format(warm_start=warm, record=record,
+                           label_map=label_map),
+        min_restored=500,
+    )
