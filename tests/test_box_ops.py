@@ -6,6 +6,7 @@ import jax.numpy as jnp
 
 from mtlx.geometry import box_ops, np_box_ops
 from mtlx.coders import box_coders
+import pytest
 
 RNG = np.random.RandomState(0)
 
@@ -23,6 +24,7 @@ def test_area():
     np.testing.assert_allclose(box_ops.area(jnp.asarray(b)), np_box_ops.area(b), rtol=1e-5)
 
 
+@pytest.mark.smoke
 def test_intersection_iou_ioa():
     b1, b2 = random_boxes(13), random_boxes(7)
     np.testing.assert_allclose(

@@ -41,6 +41,7 @@ def test_build_ssd_anchor_generator():
     assert anchors.shape[1] == 4
 
 
+@pytest.mark.smoke
 def test_build_box_coders():
     proto = _parse(
         components_pb2.BoxCoder,

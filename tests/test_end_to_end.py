@@ -96,6 +96,7 @@ def workdir(tmp_path_factory):
     return {"tmp": tmp, "config": cfg_path, "record": record, "label_map": label_map}
 
 
+@pytest.mark.smoke
 def test_train_checkpoint_eval_export(workdir, capsys):
     from mtlx.train import train as train_cli
 

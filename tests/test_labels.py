@@ -5,8 +5,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from mtlx.labels import recycle
+import pytest
 
 
+@pytest.mark.smoke
 def test_multiobject_labels_hand_computed():
     # window fully contains box0 (class 0) and half of box1 (class 2)
     windows = jnp.asarray([[0.0, 0.0, 10.0, 10.0]])

@@ -7,6 +7,7 @@ import numpy as np
 from mtlx.geometry import np_box_ops
 from mtlx.losses import losses
 from mtlx.ops import nms, roi
+import pytest
 
 
 def np_greedy_nms(boxes, scores, iou_thr, max_out, score_thr=-1e30):
@@ -397,6 +398,7 @@ def test_fixed_point_class_chunked_equals_greedy():
         nms.USE_FIXED_POINT = prev_fp
 
 
+@pytest.mark.smoke
 def test_multiclass_priority_chunked_equals_greedy():
     """The class-parallel priority-chunked path (SSD-scale postprocess:
     every class solves score-ordered chunks in lockstep with carried

@@ -50,6 +50,7 @@ def test_iou_pallas_degenerate_boxes():
 
 
 @pytest.mark.parametrize("n,max_out,thr", [(40, 10, 0.5), (200, 32, 0.7), (64, 64, 0.3)])
+@pytest.mark.smoke
 def test_nms_pallas_matches_reference(n, max_out, thr):
     boxes = random_boxes(n)
     scores = RNG.uniform(0, 1, n).astype(np.float32)

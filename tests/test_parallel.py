@@ -6,6 +6,7 @@ import numpy as np
 
 from mtlx.parallel import mesh as mesh_lib
 from mtlx.parallel import spatial
+import pytest
 
 
 def test_create_mesh_for_batch_divisibility():
@@ -52,6 +53,7 @@ def test_spatially_sharded_backbone_matches_unsharded():
     )
 
 
+@pytest.mark.smoke
 def test_spatial_train_step_matches_data_parallel():
     """FULL train step under the 2-D (data, spatial) mesh == plain DP step
     (losses and updated params), i.e. spatial partitioning covers the

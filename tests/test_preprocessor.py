@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mtlx.data import preprocessor
+import pytest
 
 
 def make_sample(h=32, w=32, tw=None, th=None):
@@ -25,6 +26,7 @@ def _flip_always(sample):
     return preprocessor.random_horizontal_flip(jax.random.PRNGKey(0), sample, 1.0)
 
 
+@pytest.mark.smoke
 def test_horizontal_flip_boxes_and_pixels():
     s = make_sample()
     out = _flip_always(s)

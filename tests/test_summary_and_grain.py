@@ -8,6 +8,7 @@ import numpy as np
 from mtlx.config.protos import event_pb2
 from mtlx.data.tfrecord import read_records
 from mtlx.utils.summary_writer import SummaryWriter
+import pytest
 
 
 def test_summary_writer_roundtrip(tmp_path):
@@ -32,6 +33,7 @@ def test_summary_writer_roundtrip(tmp_path):
     assert image.image.encoded_image_string.startswith(b"\x89PNG")
 
 
+@pytest.mark.smoke
 def test_grain_loader_batches(tmp_path):
     import io
 
