@@ -668,6 +668,9 @@ class FasterRCNN:
                 iou_threshold=c.first_stage_nms_iou_threshold,
                 score_threshold=c.first_stage_nms_score_threshold,
                 valid_mask=area_ok,
+                # batch-aware dispatch: vmap hides the batch below, and
+                # the chunked-vs-Pallas crossover flips at batch 1
+                batched=obj_logits.shape[0] > 1,
             )
             return (
                 jnp.take(top_boxes, idx, axis=0),

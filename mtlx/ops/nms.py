@@ -57,6 +57,7 @@ def non_max_suppression_padded(
     iou_threshold: float = 0.5,
     score_threshold: float = float("-inf"),
     valid_mask: Optional[Array] = None,
+    batched: bool = True,
 ):
     """Greedy single-class NMS with padded output.
 
@@ -66,6 +67,11 @@ def non_max_suppression_padded(
 
     Args:
       boxes: [N, 4]; scores: [N]; valid_mask: [N] bool (padding rows False).
+      batched: trace-time hint from the caller — True when this call is
+        vmapped over a batch (vmap hides the batch from this function).
+        The r5 crossover sweep splits the RPN shape by batch: chunked
+        1.19 ms vs Pallas 3.58 at 6000->300 b16, but Pallas 0.22 vs
+        chunked 0.42 at b1, so single-image serving keeps the kernel.
 
     Returns:
       indices: [max_output_size] int32 indices into boxes (0-padded),
@@ -74,7 +80,7 @@ def non_max_suppression_padded(
     n = boxes.shape[0]
     use_chunked = USE_CHUNKED
     if use_chunked is None:
-        use_chunked = n >= _CHUNKED_MIN_N
+        use_chunked = batched and n >= _CHUNKED_MIN_N
     if use_chunked:
         live = scores
         if valid_mask is not None:
@@ -245,6 +251,15 @@ def _greedy_survivors_class_chunked(
 # candidates in its own or earlier chunks, and greedy never looks past
 # its max_output-th pick. None = auto (chunked when N >= _CHUNKED_MIN_N),
 # True/False force.
+#
+# Constants set from the r5 on-chip crossover sweep (ROADMAP round-5
+# table): chunked wins every batched N >= 2048 row (6000->300 b16:
+# 1.19 ms vs Pallas 3.58, greedy 12.13; 2048->300 b16: 0.90 vs 2.84 /
+# 3.51). Below 2048 the Pallas kernel / greedy loop hold the batched
+# mid-window (1024: greedy 0.76*; 1917: Pallas 0.96*) and Pallas wins
+# the b1 RPN-serving shape (6000->300 b1: 0.22 vs chunked 0.42) — but
+# dispatch is per-sample (batch invisible under vmap), so the threshold
+# favors the train/batched case where the milliseconds actually are.
 USE_CHUNKED: Optional[bool] = None
 _CHUNKED_MIN_N = 2048
 _CHUNK_SIZE = 1024
@@ -338,7 +353,18 @@ def _nms_priority_chunked(
 # class-chunked fixed point's lax.map serializes); True/False force.
 USE_MC_CHUNKED: Optional[bool] = None
 _MC_CHUNKED_MIN_N = 1536
-_MC_CHUNK_SIZE = 256
+# chunk 128 measured best on-chip at the SSD serving point (r5 sweep,
+# ROADMAP crossover table: b32 mcc64 15.0 / mcc128 14.1 / mcc256 15.4 /
+# mcc512 21.8 ms)
+_MC_CHUNK_SIZE = 128
+# XLA codegen fence (ROADMAP r5 #2): chunk 128 at K=90 reliably kills
+# the v5e TPU worker for batch >= 8 (the vmapped while_loop faults;
+# sort/fixed-point stages alone are fine, chunk 256 at the identical
+# shape is fine, K=45 is fine — tools/mcc_crash_probe.py reproduces in
+# isolation). For K past the last measured-safe point, force the chunk
+# up to the measured-safe 256 (validated K=90 at b=8 and b=32).
+_MC_CHUNK_FENCE_MIN_K = 46
+_MC_CHUNK_FENCE_SIZE = 256
 
 
 def _multiclass_priority_chunked(
@@ -356,7 +382,10 @@ def _multiclass_priority_chunked(
     """
     kc, n = scores.shape
     p = k
-    chunk = min(_MC_CHUNK_SIZE, n)
+    chunk = _MC_CHUNK_SIZE
+    if kc >= _MC_CHUNK_FENCE_MIN_K:
+        chunk = max(chunk, _MC_CHUNK_FENCE_SIZE)
+    chunk = min(chunk, n)
     n_chunks = -(-n // chunk)
     pad = n_chunks * chunk - n
 

@@ -463,3 +463,45 @@ def test_mc_chunked_auto_dispatch_bound():
     # shallow chunking stays fp (mcc requires `not use_fp`)
     chunk = max(1, nms._FIXED_POINT_MAX_ELEMS // (1917 * 1917))
     assert -(-20 // chunk) > nms._FIXED_POINT_MAX_BLOCKS
+
+
+def test_mc_chunked_codegen_fence():
+    """Large-K mcc must route through the measured-safe chunk size: the
+    v5e TPU worker faults on the vmapped while_loop at (K=90, chunk=128,
+    batch>=8) while chunk 256 at the identical shape passes (ROADMAP r5
+    #2, tools/mcc_crash_probe.py). The fence must cover the measured
+    crash point and stay exact (chunking never changes results)."""
+    # K=90 (the crash) is above the fence threshold; the fenced chunk is
+    # the measured-safe 256
+    assert nms._MC_CHUNK_FENCE_MIN_K <= 90
+    assert nms._MC_CHUNK_FENCE_SIZE >= 256
+    # K=45 measured safe at chunk 128 -> the fence must not reroute the
+    # measured-fastest small-K chunk
+    assert nms._MC_CHUNK_FENCE_MIN_K > 45
+
+    rs = np.random.RandomState(7)
+    n, k = 80, nms._MC_CHUNK_FENCE_MIN_K  # first fenced K
+    boxes = np.zeros((n, 1, 4), np.float32)
+    y0x0 = rs.uniform(0, 80, (n, 1, 2))
+    boxes[..., :2] = y0x0
+    boxes[..., 2:] = y0x0 + rs.uniform(5, 30, (n, 1, 2))
+    scores = rs.uniform(0, 1, (n, k)).astype(np.float32)
+    kw = dict(score_threshold=0.05, iou_threshold=0.5,
+              max_size_per_class=8, max_total_size=16)
+    prev = nms.USE_MC_CHUNKED, nms.USE_FIXED_POINT, nms._MC_CHUNK_SIZE
+    try:
+        nms.USE_MC_CHUNKED = False
+        nms.USE_FIXED_POINT = False
+        a = nms.multiclass_non_max_suppression(
+            jnp.asarray(boxes), jnp.asarray(scores), **kw)
+        nms.USE_FIXED_POINT = None
+        nms.USE_MC_CHUNKED = True
+        nms._MC_CHUNK_SIZE = 16  # fence must lift this to >= 256
+        b = nms.multiclass_non_max_suppression(
+            jnp.asarray(boxes), jnp.asarray(scores), **kw)
+    finally:
+        nms.USE_MC_CHUNKED, nms.USE_FIXED_POINT, nms._MC_CHUNK_SIZE = prev
+    for name in ("boxes", "scores", "classes", "valid_mask", "num_valid"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+            err_msg=f"field {name}")

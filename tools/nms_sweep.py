@@ -112,6 +112,9 @@ def main():
         nms._FIXED_POINT_MAX_ELEMS = elems or 4_000_000
         nms.USE_MC_CHUNKED = mcc
         nms._MC_CHUNK_SIZE = mc_chunk or 256
+        # sweep rows measure the named chunk verbatim — the production
+        # codegen fence (K>=46 -> chunk 256) would silently re-route
+        nms._MC_CHUNK_FENCE_MIN_K = 1 << 30
 
     results = []
 
