@@ -281,7 +281,51 @@ def host_pipeline_images_per_sec(model, state, step_fn, configs,
                 (done - measured0) * batch_size
                 / max(time.perf_counter() - t0, 1e-9)
             ]
-        return max(window_rates)
+        it.close()  # stop the headline producer before the probe epoch
+
+        # --- transfer/compute overlap decomposition (VERDICT r4 #7) ---
+        # A short instrumented epoch over the same dataset with the same
+        # compiled step: PrefetchStats records producer host time,
+        # device_put-to-ready time (the tunnel transfer), and consumer
+        # q.get stall. Kept OUT of the headline windows above because
+        # honest transfer accounting blocks the producer per batch.
+        overlap = None
+        try:
+            from mtlx.data.loader import PrefetchStats
+
+            stats = PrefetchStats()
+            it2 = device_prefetch(
+                batches(dataset, batch_size, shuffle=True, seed=1,
+                        decode_threads=2, pack_images=True),
+                stats=stats,
+            )
+            steps_done = 0
+            step_s = []
+            for batch, _ in it2:
+                batch = {k: v for k, v in batch.items() if k not in drop}
+                ts = time.perf_counter()
+                state, metrics = step(state, batch, rng)
+                float(jax.device_get(metrics["total_loss"]))
+                step_s.append(time.perf_counter() - ts)
+                steps_done += 1
+                if steps_done >= num_steps:
+                    break
+            it2.close()
+            overlap = stats.summary()
+            # drop the warm-up batch (prefetch fill) from the stall view
+            stall = stats.stall[1:] or stats.stall
+            sstep = step_s[1:] or step_s
+            mean_stall = sum(stall) / max(len(stall), 1)
+            mean_step = sum(sstep) / max(len(sstep), 1)
+            overlap["step_s_per_batch"] = round(mean_step, 4)
+            # fraction of wall time the device sat idle waiting for the
+            # pipeline; 0 == transfers fully hidden behind compute
+            overlap["overlap_efficiency"] = round(
+                1.0 - mean_stall / max(mean_stall + mean_step, 1e-9), 4
+            )
+        except Exception as e:  # measurement must never sink the bench
+            overlap = f"failed: {type(e).__name__}: {e}"
+        return max(window_rates), overlap
 
 
 def inference_images_per_sec(model, state, batch_size: int = 8,
@@ -449,12 +493,13 @@ def main():
         hbm_frac = round(float(byts) / best_dt / peak_bw, 4)
 
     try:
-        e2e = round(
-            host_pipeline_images_per_sec(model, state, step_fn, configs,
-                                         batch_size=min(8, best_bs or 8)), 2
+        e2e, e2e_overlap = host_pipeline_images_per_sec(
+            model, state, step_fn, configs, batch_size=min(8, best_bs or 8)
         )
+        e2e = round(e2e, 2)
     except Exception as e:
         e2e = f"failed: {type(e).__name__}"
+        e2e_overlap = None
 
     # serving runs at the headline granularity too (measured: 145.3 ->
     # 148.4 img/s at 32 on this point — same detections, fewer padding
@@ -503,6 +548,7 @@ def main():
                 "mfu": mfu,
                 "hbm_roofline_frac": hbm_frac,
                 "e2e_images_per_sec_with_host_pipeline": e2e,
+                "e2e_overlap": e2e_overlap,
                 "e2e_decode_path": decode,
                 "inference_images_per_sec": infer,
                 "inference_latency_ms_b1": lat,

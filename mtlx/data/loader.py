@@ -15,6 +15,7 @@ process_index` (per-host sharding, SURVEY.md §6.8).
 from __future__ import annotations
 
 import threading
+import time
 import queue as queue_lib
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -819,13 +820,51 @@ def batches(
         epoch += 1
 
 
-def device_prefetch(iterator, size: int = 2, sharding=None):
+class PrefetchStats:
+    """Per-batch timing of the prefetch pipeline, to locate the e2e
+    serialization point (is the host producer, the host->device transfer,
+    or the device step the bottleneck?). All lists are seconds per batch:
+
+      host:  iterator pull (decode+collate) on the producer thread
+      put:   device_put dispatch + readiness of the shipped tree (the
+             transfer itself, bounded by block_until_ready — a LOWER
+             bound on the remote axon tunnel, which can under-wait)
+      stall: consumer time blocked in q.get() (0 == perfectly overlapped:
+             the producer kept the buffer ahead of the step loop)
+    """
+
+    def __init__(self):
+        self.host = []
+        self.put = []
+        self.stall = []
+
+    def summary(self):
+        import numpy as _np
+
+        def _m(xs):
+            return float(_np.mean(xs)) if xs else 0.0
+
+        wall = sum(self.stall) + 0.0  # stall is the non-overlapped part
+        return {
+            "host_s_per_batch": round(_m(self.host), 4),
+            "put_s_per_batch": round(_m(self.put), 4),
+            "consumer_stall_s_per_batch": round(_m(self.stall), 4),
+            "batches": len(self.stall),
+            "total_stall_s": round(wall, 3),
+        }
+
+
+def device_prefetch(iterator, size: int = 2, sharding=None, stats=None):
     """Background-thread prefetch + device_put (double buffering) —
     replaces the reference's prefetch queue (SURVEY.md §3.1 prefetcher).
 
     The producer thread shuts down when the consumer stops iterating
     (generator close / GC) — an abandoned producer must not keep pulling
-    from `iterator` (it would race later readers of the same dataset)."""
+    from `iterator` (it would race later readers of the same dataset).
+
+    stats: optional PrefetchStats; recording adds a block_until_ready
+    per batch on the producer thread (honest transfer accounting), so
+    only pass one when measuring."""
     import jax
 
     q: queue_lib.Queue = queue_lib.Queue(maxsize=size)
@@ -842,27 +881,43 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
         return False
 
     def producer():
+        import time as time_lib
+
         try:
-            for batch in iterator:
+            while True:
+                t0 = time_lib.perf_counter()
+                try:
+                    batch = next(iterator)
+                except StopIteration:
+                    break
                 if stop.is_set():
                     return
+                t1 = time_lib.perf_counter()
                 ids = batch.pop("source_id", None)
                 # one device_put over the whole tree: fewer dispatch
                 # round-trips than a per-leaf tree_map
                 batch = jax.device_put(
                     batch, sharding if sharding is not None else None
                 )
+                if stats is not None:
+                    jax.block_until_ready(batch)
+                    stats.host.append(t1 - t0)
+                    stats.put.append(time_lib.perf_counter() - t1)
                 if not _put((batch, ids)):
                     return
             _put(_END)
         except BaseException as e:  # surface errors to the consumer
             _put(e)
 
+    iterator = iter(iterator)
     t = threading.Thread(target=producer, daemon=True)
     t.start()
     try:
         while True:
+            t0 = time.perf_counter() if stats is not None else 0.0
             item = q.get()
+            if stats is not None:
+                stats.stall.append(time.perf_counter() - t0)
             if item is _END:
                 return
             if isinstance(item, BaseException):

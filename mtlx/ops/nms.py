@@ -287,9 +287,12 @@ def _nms_priority_chunked(
     pad = n_chunks * chunk - n
 
     # full priority sort (scores desc, index asc — lax.top_k tie order);
-    # the padding rows sort last with _NEG scores
+    # the padding rows sort last with _NEG scores. Boxes are gathered
+    # per chunk in the body, not upfront: the whole-array gather is the
+    # dominant cost of the sorted layout (measured on the multiclass
+    # variant: 11.5 of 14.1 ms at N=1917), and early exit usually
+    # visits a single chunk.
     order_scores, order = jax.lax.top_k(scores, n)
-    sboxes = jnp.pad(jnp.take(boxes, order, axis=0), ((0, pad), (0, 0)))
     sscores = jnp.pad(order_scores, (0, pad), constant_values=_NEG)
     sidx = jnp.pad(order.astype(jnp.int32), (0, pad))
 
@@ -300,9 +303,9 @@ def _nms_priority_chunked(
     def body(state):
         ci, buf_boxes, buf_scores, buf_idx, _ = state
         start = ci * chunk
-        cb = jax.lax.dynamic_slice(sboxes, (start, 0), (chunk, 4))
         cs = jax.lax.dynamic_slice(sscores, (start,), (chunk,))
         cidx = jax.lax.dynamic_slice(sidx, (start,), (chunk,))
+        cb = jnp.take(boxes, cidx, axis=0)
         live0 = cs > _NEG / 2
         # suppression by survivors carried from earlier (higher-priority)
         # chunks — all of them, since the loop only runs while count < p
@@ -357,14 +360,16 @@ _MC_CHUNKED_MIN_N = 1536
 # ROADMAP crossover table: b32 mcc64 15.0 / mcc128 14.1 / mcc256 15.4 /
 # mcc512 21.8 ms)
 _MC_CHUNK_SIZE = 128
-# XLA codegen fence (ROADMAP r5 #2): chunk 128 at K=90 reliably kills
-# the v5e TPU worker for batch >= 8 (the vmapped while_loop faults;
-# sort/fixed-point stages alone are fine, chunk 256 at the identical
-# shape is fine, K=45 is fine — tools/mcc_crash_probe.py reproduces in
-# isolation). For K past the last measured-safe point, force the chunk
-# up to the measured-safe 256 (validated K=90 at b=8 and b=32).
-_MC_CHUNK_FENCE_MIN_K = 46
-_MC_CHUNK_FENCE_SIZE = 256
+# Retired XLA codegen fence (ROADMAP r5 #2/#3): with the OLD loop body
+# (upfront [K, N, 4] sorted-box gather + dynamic_slice per chunk),
+# chunk 128 at K=90 b>=8 reliably killed the v5e TPU worker (3/3
+# isolated repros, tools/mcc_crash_probe.py), so K >= 46 was fenced up
+# to the measured-safe chunk 256. The per-chunk gather body (r5 #3)
+# removed the faulting dynamic-slice-of-gathered-boxes pattern and runs
+# clean at the exact crash shape (b8 6x, b32 3x isolated repeats, same
+# checksums) at HALF the fenced cost (4.40 vs 8.53 ms) — the fence is
+# gone. If a Mosaic/XLA update re-faults, re-fence here and re-run the
+# probe matrix in tools/mcc_crash_probe.py.
 
 
 def _multiclass_priority_chunked(
@@ -382,21 +387,18 @@ def _multiclass_priority_chunked(
     """
     kc, n = scores.shape
     p = k
-    chunk = _MC_CHUNK_SIZE
-    if kc >= _MC_CHUNK_FENCE_MIN_K:
-        chunk = max(chunk, _MC_CHUNK_FENCE_SIZE)
-    chunk = min(chunk, n)
+    chunk = min(_MC_CHUNK_SIZE, n)
     n_chunks = -(-n // chunk)
     pad = n_chunks * chunk - n
 
     # full per-class priority sort (score desc, index asc — lax.top_k's
-    # tie order matches the greedy argmax order); dead rows sort last
+    # tie order matches the greedy argmax order); dead rows sort last.
+    # Boxes are NOT gathered here: the upfront [K, N, 4] take_along_axis
+    # measured 11.5 ms of the 14.1 ms call at the SSD serving point (the
+    # top_k itself is 0.55 ms) — each loop iteration gathers only its
+    # [K, C, 4] chunk below, and the early exit usually visits one chunk.
     masked = jnp.where(live0, scores, _NEG)
     order_scores, order = jax.lax.top_k(masked, n)  # [K, N]
-    sboxes = jnp.pad(
-        jnp.take_along_axis(boxes, order[..., None], axis=1),
-        ((0, 0), (0, pad), (0, 0)),
-    )
     sscores = jnp.pad(order_scores, ((0, 0), (0, pad)), constant_values=_NEG)
     sidx = jnp.pad(order.astype(jnp.int32), ((0, 0), (0, pad)))
 
@@ -407,9 +409,9 @@ def _multiclass_priority_chunked(
     def body(state):
         ci, buf_boxes, buf_scores, buf_idx, _ = state
         start = ci * chunk
-        cb = jax.lax.dynamic_slice(sboxes, (0, start, 0), (kc, chunk, 4))
         cs = jax.lax.dynamic_slice(sscores, (0, start), (kc, chunk))
         cidx = jax.lax.dynamic_slice(sidx, (0, start), (kc, chunk))
+        cb = jnp.take_along_axis(boxes, cidx[..., None], axis=1)
         live = cs > _NEG / 2
         # suppression by survivors carried from higher-priority chunks —
         # complete per class while that class's count < p, and harmless

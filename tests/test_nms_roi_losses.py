@@ -465,22 +465,16 @@ def test_mc_chunked_auto_dispatch_bound():
     assert -(-20 // chunk) > nms._FIXED_POINT_MAX_BLOCKS
 
 
-def test_mc_chunked_codegen_fence():
-    """Large-K mcc must route through the measured-safe chunk size: the
-    v5e TPU worker faults on the vmapped while_loop at (K=90, chunk=128,
-    batch>=8) while chunk 256 at the identical shape passes (ROADMAP r5
-    #2, tools/mcc_crash_probe.py). The fence must cover the measured
-    crash point and stay exact (chunking never changes results)."""
-    # K=90 (the crash) is above the fence threshold; the fenced chunk is
-    # the measured-safe 256
-    assert nms._MC_CHUNK_FENCE_MIN_K <= 90
-    assert nms._MC_CHUNK_FENCE_SIZE >= 256
-    # K=45 measured safe at chunk 128 -> the fence must not reroute the
-    # measured-fastest small-K chunk
-    assert nms._MC_CHUNK_FENCE_MIN_K > 45
-
+def test_mc_chunked_large_k_crash_shape_exact():
+    """COCO-scale K through mcc at the retired codegen-fence point: the
+    OLD loop body faulted the v5e TPU worker at (K=90, chunk 128,
+    batch >= 8) and large K was fenced to chunk 256; the per-chunk
+    gather body (ROADMAP r5 #3) runs the shape clean at half the fenced
+    cost, so the fence is gone. Pin exactness at K=90 with deep
+    chunking — the shape that exercised the fence — vs the greedy
+    reference."""
     rs = np.random.RandomState(7)
-    n, k = 80, nms._MC_CHUNK_FENCE_MIN_K  # first fenced K
+    n, k = 80, 90
     boxes = np.zeros((n, 1, 4), np.float32)
     y0x0 = rs.uniform(0, 80, (n, 1, 2))
     boxes[..., :2] = y0x0
@@ -496,7 +490,7 @@ def test_mc_chunked_codegen_fence():
             jnp.asarray(boxes), jnp.asarray(scores), **kw)
         nms.USE_FIXED_POINT = None
         nms.USE_MC_CHUNKED = True
-        nms._MC_CHUNK_SIZE = 16  # fence must lift this to >= 256
+        nms._MC_CHUNK_SIZE = 16  # many chunks at test N, as 128 at 1917
         b = nms.multiclass_non_max_suppression(
             jnp.asarray(boxes), jnp.asarray(scores), **kw)
     finally:

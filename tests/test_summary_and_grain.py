@@ -137,6 +137,29 @@ def test_device_prefetch_sequential_iterators_share_dataset(tmp_path):
         it.close()
 
 
+def test_device_prefetch_stats_decomposition():
+    """PrefetchStats records one (host, put) sample per produced batch
+    and one stall sample per consumer pull, and the summary carries the
+    per-phase means the bench's e2e overlap report is built from."""
+    from mtlx.data.loader import PrefetchStats, device_prefetch
+
+    def src():
+        for _ in range(4):
+            yield {"image": np.zeros((1, 4, 4, 3), np.uint8),
+                   "source_id": ["x"]}
+
+    stats = PrefetchStats()
+    it = device_prefetch(src(), stats=stats)
+    n = sum(1 for _ in it)
+    assert n == 4
+    assert len(stats.host) == 4 and len(stats.put) == 4
+    assert len(stats.stall) == 5  # 4 batches + the END pull
+    s = stats.summary()
+    assert s["batches"] == 5
+    assert s["host_s_per_batch"] >= 0 and s["put_s_per_batch"] >= 0
+    assert all(v >= 0 for v in stats.stall)
+
+
 def test_tf1_resize_mode(tmp_path):
     """DetectionDataset(tf1_resize=True) decodes with the TF1
     resize_images convention (cross-checked against real TF in

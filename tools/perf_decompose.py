@@ -78,6 +78,47 @@ def args_batch(args):
     return 8
 
 
+def make_backbone_fwd(model):
+    """Backbone-only forward, agnostic to the meta-architecture: FRCNN
+    exposes `features`; SSD runs its trunk via the `backbone` submodule."""
+    m = model.modules
+
+    def bb_fwd(v, x):
+        im = model.preprocess(x)
+        if hasattr(m, "features"):
+            feats = m.apply(v, im, train=False, method=m.features)
+        else:
+            feats = m.apply(
+                v, im, method=lambda mm, z: mm.backbone(z, train=False)
+            )
+        return sum(
+            jnp.sum(f.astype(jnp.float32)) for f in jax.tree.leaves(feats)
+        )
+
+    return bb_fwd
+
+
+def resolve_config(fl):
+    """(config_path, true_shape) for --config/--true_shape; defaults to
+    the flagship MTL config at the bench's VOC operating point."""
+    import bench
+
+    if not fl.config:
+        return bench.CONFIG, tuple(bench.TRUE_SHAPE)
+    path = fl.config
+    if not os.path.isabs(path) and not os.path.exists(path):
+        path = os.path.join(bench._CONFIG_DIR, path)
+    if fl.true_shape:
+        th, tw = (int(v) for v in fl.true_shape.split(","))
+    else:  # a secondary bench point carries its own typical true region
+        th, tw = next(
+            (ts for _, cfg, ts, _ in bench.SECONDARY_CONFIGS
+             if cfg == os.path.basename(path)),
+            bench.TRUE_SHAPE,
+        )
+    return path, (th, tw)
+
+
 def serving_decompose(fl):
     """Split the serving/eval step (preprocess+predict+postprocess) into
     phases to locate inference hotspots (the bench's
@@ -85,11 +126,12 @@ def serving_decompose(fl):
     import bench
     from mtlx.train.train_step import make_eval_step, pad_for_model
 
-    model, state, _, _ = bench.build_from_config()
+    cfg_path, true_shape = resolve_config(fl)
+    model, state, _, _ = bench.build_from_config(cfg_path)
     peaks = bench._peaks(jax.devices()[0].device_kind)
     rs = np.random.RandomState(0)
     ch, cw = model.cfg.canvas_size
-    th, tw = bench.TRUE_SHAPE
+    th, tw = true_shape
     if fl.full_canvas:
         ih, iw = ch, cw
     else:
@@ -125,11 +167,7 @@ def serving_decompose(fl):
     ts = batch["true_shape"]
     timed("postprocess only", model.postprocess, (pred, ts), n, peaks, fl.batch)
 
-    def bb_fwd(v, x):
-        feats = model.modules.apply(v, model.preprocess(x), train=False,
-                                    method=model.modules.features)
-        return jnp.sum(feats.astype(jnp.float32))
-
+    bb_fwd = make_backbone_fwd(model)
     images = jnp.asarray(batch["image"], jnp.float32)
     timed("backbone fwd", bb_fwd, (variables, images), n, peaks, fl.batch)
 
@@ -148,6 +186,13 @@ def main():
     ap.add_argument("--serving", action="store_true",
                     help="decompose the serving/eval step instead of the "
                          "train step")
+    ap.add_argument("--config", default=None,
+                    help="pipeline config (absolute path or a name under "
+                         "configs/, e.g. ssd_inception_v2_voc.config); "
+                         "default: the flagship MTL config")
+    ap.add_argument("--true_shape", default=None,
+                    help="true image region 'H,W' (default: the config's "
+                         "bench operating point, else 600,1000)")
     fl = ap.parse_args()
     if fl.bucket_multiple:
         from mtlx.utils.bucketing import set_bucket_multiple
@@ -161,11 +206,13 @@ def main():
     import bench
     from mtlx.train.train_step import pad_for_model
 
-    model, state, step_fn, _ = bench.build_from_config()
+    cfg_path, true_shape = resolve_config(fl)
+    model, state, step_fn, _ = bench.build_from_config(cfg_path)
     peaks = bench._peaks(jax.devices()[0].device_kind)
     rs = np.random.RandomState(0)
     batch = bench.synthetic_batch(model, fl.batch, rs,
-                                  packed=not fl.full_canvas)
+                                  packed=not fl.full_canvas,
+                                  true_shape=true_shape)
     nb = pad_for_model(model, batch)
     print("compute shape:", tuple(nb["image"].shape), flush=True)
 
@@ -200,15 +247,38 @@ def main():
     except Exception as e:
         print("forward only failed:", repr(e)[:200], flush=True)
 
-    def bb_fwd(v, x):
-        feats = model.modules.apply(v, model.preprocess(x), train=False,
-                                    method=model.modules.features)
-        return jnp.sum(feats.astype(jnp.float32))
-
+    bb_fwd = make_backbone_fwd(model)
     timed("backbone fwd", bb_fwd, (variables, images), n, peaks, fl.batch)
     timed("backbone fwd+bwd",
           lambda v, x: jax.grad(lambda vv: bb_fwd(vv, x))(v),
           (variables, images), n, peaks, fl.batch)
+
+    # assignment + mining + loss alone, on a materialized prediction —
+    # isolates the non-backbone train cost (the SSD step audit's target:
+    # is the 98.7%-of-roofline byte traffic in the trunk or the matcher?)
+    try:
+        def predict_train(s, b, r):
+            r_predict, _ = jax.random.split(jax.random.fold_in(r, s.step))
+            gt = {"boxes": b["gt_boxes"], "classes": b["gt_classes"],
+                  "mask": b["gt_mask"]}
+            imgs = model.preprocess(b["image"].astype(jnp.float32))
+            v = {"params": s.params, "batch_stats": s.batch_stats}
+            return model.predict(v, imgs, b["true_shape"], training=True,
+                                 rng=r_predict, groundtruth=gt)
+
+        pred = jax.jit(predict_train)(state, nb, rng)
+        pred = jax.device_put(jax.device_get(pred))
+        gt = {"boxes": nb["gt_boxes"], "classes": nb["gt_classes"],
+              "mask": nb["gt_mask"]}
+
+        def loss_only(p, g, r):
+            losses = dict(model.loss(p, g, r))
+            return losses["total_loss"]
+
+        timed("assign+mine+loss only", loss_only, (pred, gt, rng), n,
+              peaks, fl.batch)
+    except Exception as e:
+        print("loss-only phase failed:", repr(e)[:200], flush=True)
 
 
 if __name__ == "__main__":
