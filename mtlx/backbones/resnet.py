@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Any, NamedTuple, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -147,16 +148,151 @@ class SpaceToDepthConv1(nn.Module):
         )
 
 
+def _bn_reduce_axes(x):
+    return tuple(range(x.ndim - 1))
+
+
+def _bn_train_impl(x, gamma, beta, epsilon, dtype):
+    xf = x.astype(jnp.float32)
+    axes = _bn_reduce_axes(x)
+    mean = jnp.mean(xf, axis=axes)
+    mean2 = jnp.mean(xf * xf, axis=axes)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    inv = gamma * jax.lax.rsqrt(var + epsilon)
+    y = x.astype(dtype) * inv.astype(dtype) + (beta - mean * inv).astype(dtype)
+    return y, mean, var, inv
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _bn_train(x, gamma, beta, epsilon, dtype):
+    """Train-mode BN as one folded affine with a hand-written backward.
+
+    Autodiff through the fp32 batch statistics emits full-size fp32
+    cotangents (broadcast / multiply / add chains w.r.t. the promoted
+    input) that XLA materializes at fusion boundaries — measured 43.9%
+    of the SSD step's HBM bytes even after the forward was folded (HLO
+    dtype audit, ROADMAP round 5). The analytic BN backward folds to
+
+        dx = dy * a_c + x * b_c + c_c
+
+    with per-channel constants from two reductions (S1 = sum(dy),
+    Sx = sum(dy * x), fp32 accumulation): a fully `dtype` elementwise
+    fusion, so no full-size fp32 tensor exists in either direction.
+    Gradient equivalence vs flax nn.BatchNorm is tested at fp32 in
+    tests/test_keypoints_backbones.py.
+    """
+    y, mean, var, _ = _bn_train_impl(x, gamma, beta, epsilon, dtype)
+    return y, mean, var
+
+
+def _bn_train_fwd(x, gamma, beta, epsilon, dtype):
+    y, mean, var, inv = _bn_train_impl(x, gamma, beta, epsilon, dtype)
+    n = x.size // x.shape[-1]
+    return (y, mean, var), (x, gamma, mean, var, inv, n)
+
+
+def _bn_train_bwd(epsilon, dtype, res, cts):
+    gy, gmean, gvar = cts
+    x, gamma, mean, var, inv, n = res
+    axes = _bn_reduce_axes(x)
+    # both reductions fuse over (gy, x) with fp32 accumulation; the
+    # converts/product live inside the reduce's input fusion (no
+    # full-size fp32 materialization)
+    s1 = jnp.sum(gy.astype(jnp.float32), axis=axes)
+    sx = jnp.sum(gy.astype(jnp.float32) * x.astype(jnp.float32), axis=axes)
+    # d/d(scale) through y = x*s + (beta - mean*s):  Sx - mean*S1
+    stot = sx - mean * s1
+    rsig = jax.lax.rsqrt(var + epsilon)  # inv / gamma, but gamma may be 0
+    dgamma = rsig * stot
+    dbeta = s1
+    gv = gvar - 0.5 * rsig * rsig * rsig * gamma * stot
+    gmu = gmean - inv * s1 - 2.0 * mean * gv
+    a_c = inv.astype(dtype)
+    b_c = (2.0 * gv / n).astype(dtype)
+    c_c = (gmu / n).astype(dtype)
+    dx = (gy.astype(dtype) * a_c + x.astype(dtype) * b_c + c_c).astype(x.dtype)
+    return dx, dgamma, dbeta
+
+
+_bn_train.defvjp(_bn_train_fwd, _bn_train_bwd)
+
+
+class LiveBatchNorm(nn.Module):
+    """Trainable BatchNorm whose full-size math runs in the compute dtype.
+
+    Batch statistics are reduced in fp32 (stability), then mean/var and
+    gamma/beta are folded into per-channel scale/offset VECTORS, cast to
+    `dtype`, and applied as one multiply-add — so the only full-size
+    tensors in either the forward or the backward pass are `dtype`
+    (bf16 in production). flax ``nn.BatchNorm`` instead computes
+    ``(x - mean) * rsqrt(var + eps) * gamma + beta`` with fp32-promoted
+    broadcasts: autodiff saves the fp32 ``x - mean`` intermediate for the
+    backward, and on the SSD train step those fp32 residuals were 54.5%
+    of all fusion-boundary HBM bytes (13.6 of 24.9 GB/step — HLO dtype
+    audit, ROADMAP round 5). Folding reduces the saved residuals to the
+    bf16 conv output (already materialized) plus per-channel vectors.
+
+    Semantics match ``nn.BatchNorm(use_fast_variance=True)``: same stats
+    (E[x^2] - E[x]^2 in fp32), same running-average update
+    ``ra = momentum * ra + (1 - momentum) * batch_stat``, gradients flow
+    through the batch statistics. Param (scale/bias) and batch_stats
+    (mean/var) names match nn.BatchNorm and FrozenBatchNorm, so
+    checkpoints are interchangeable across all three. The only delta is
+    the per-channel scale/offset rounding to `dtype` before the affine —
+    at bf16 that is the same order as the output cast flax applies
+    anyway (equivalence tested in tests/test_keypoints_backbones.py).
+    """
+
+    momentum: float = 0.99
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+    center: bool = True
+    scale: bool = True
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = False):
+        features = x.shape[-1]
+        gamma = (
+            self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+            if self.scale else jnp.ones((features,), jnp.float32)
+        )
+        beta = (
+            self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+            if self.center else jnp.zeros((features,), jnp.float32)
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
+        )
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+            inv = gamma * jax.lax.rsqrt(var + self.epsilon)
+            scale_c = inv.astype(self.dtype)
+            offset_c = (beta - mean * inv).astype(self.dtype)
+            return x.astype(self.dtype) * scale_c + offset_c
+        y, mean, var = _bn_train(x, gamma, beta, self.epsilon, self.dtype)
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * var
+        return y
+
+
 def make_norm(trainable: bool, dtype, name: str, bn: BNSpec = BNSpec()):
-    """BN factory: frozen affine (fine-tuning default) or real BatchNorm
+    """BN factory: frozen affine (fine-tuning default) or live BN
     (feature_extractor.batch_norm_trainable). Both use the same param
     (scale/bias) and batch_stats (mean/var) names, so checkpoints are
     interchangeable between the two modes. `bn` carries the reference's
     batch_norm.{decay,epsilon,center,scale} sub-knobs."""
     if trainable:
-        return nn.BatchNorm(
+        return LiveBatchNorm(
             momentum=bn.momentum, epsilon=bn.epsilon,
-            use_bias=bn.center, use_scale=bn.scale,
+            center=bn.center, scale=bn.scale,
             dtype=dtype, name=name,
         )
     return FrozenBatchNorm(
@@ -166,7 +302,7 @@ def make_norm(trainable: bool, dtype, name: str, bn: BNSpec = BNSpec()):
 
 
 def apply_norm(norm, x, train: bool):
-    if isinstance(norm, nn.BatchNorm):
+    if isinstance(norm, (nn.BatchNorm, LiveBatchNorm)):
         return norm(x, use_running_average=not train)
     return norm(x)
 

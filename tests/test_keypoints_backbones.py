@@ -106,6 +106,79 @@ def test_inception_trainable_bn_updates_stats():
     assert np.all(bf == af), "frozen BN must not touch stats"
 
 
+def test_live_batch_norm_matches_flax_batch_norm():
+    """LiveBatchNorm (bf16-affine live BN — the make_norm trainable
+    branch) must be numerically equivalent to flax nn.BatchNorm at f32:
+    same train/eval outputs, same running-average update, same gradients
+    through the batch statistics, identical variable tree. At bf16 the
+    only delta is per-channel scale/offset rounding (same order as the
+    output cast flax applies)."""
+    import numpy as np
+    import flax.linen as nn
+    from mtlx.backbones.resnet import LiveBatchNorm
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (4, 8, 8, 16), jnp.float32) * 3 + 1.5
+    ref = nn.BatchNorm(momentum=0.9, epsilon=1e-3, dtype=jnp.float32)
+    live = LiveBatchNorm(momentum=0.9, epsilon=1e-3, dtype=jnp.float32)
+    vr = ref.init(rng, x, use_running_average=False)
+    vl = live.init(rng, x, use_running_average=False)
+    assert jax.tree_util.tree_structure(vr) == jax.tree_util.tree_structure(vl)
+
+    yr, mr = ref.apply(vr, x, use_running_average=False, mutable=["batch_stats"])
+    yl, ml = live.apply(vl, x, use_running_average=False, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(yl), atol=2e-6)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(mr["batch_stats"][k]), np.asarray(ml["batch_stats"][k]),
+            atol=1e-6,
+        )
+    ye_r = ref.apply(
+        {"params": vr["params"], "batch_stats": mr["batch_stats"]},
+        x, use_running_average=True,
+    )
+    ye_l = live.apply(
+        {"params": vl["params"], "batch_stats": ml["batch_stats"]},
+        x, use_running_average=True,
+    )
+    np.testing.assert_allclose(np.asarray(ye_r), np.asarray(ye_l), atol=2e-6)
+
+    # gradient equivalence — both the input grad and the param grads go
+    # through LiveBatchNorm's hand-written custom_vjp (folded BN
+    # backward); nontrivial gamma/beta so dgamma/dbeta are exercised
+    params = {"scale": jnp.linspace(0.5, 1.5, 16),
+              "bias": jnp.linspace(-0.3, 0.4, 16)}
+
+    def loss(mod, stats, p, xx):
+        y, _ = mod.apply({"params": p, "batch_stats": stats}, xx,
+                         use_running_average=False, mutable=["batch_stats"])
+        return jnp.sum(jnp.sin(y * 1.3))
+
+    gr_p, gr_x = jax.grad(
+        lambda p, xx: loss(ref, vr["batch_stats"], p, xx), argnums=(0, 1)
+    )(params, x)
+    gl_p, gl_x = jax.grad(
+        lambda p, xx: loss(live, vl["batch_stats"], p, xx), argnums=(0, 1)
+    )(params, x)
+    np.testing.assert_allclose(np.asarray(gr_x), np.asarray(gl_x), atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(gr_p["scale"]), np.asarray(gl_p["scale"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gr_p["bias"]), np.asarray(gl_p["bias"]),
+        rtol=1e-4, atol=1e-4,
+    )
+
+    live16 = LiveBatchNorm(momentum=0.9, epsilon=1e-3, dtype=jnp.bfloat16)
+    v16 = live16.init(rng, x.astype(jnp.bfloat16), use_running_average=False)
+    y16, _ = live16.apply(
+        v16, x.astype(jnp.bfloat16), use_running_average=False,
+        mutable=["batch_stats"],
+    )
+    assert y16.dtype == jnp.bfloat16
+    assert float(jnp.abs(y16.astype(jnp.float32) - yl).max()) < 0.1
+
+
 def test_resnet_classifier_logits():
     from mtlx.backbones.resnet import ResNetClassifier
 
