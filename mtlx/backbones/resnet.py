@@ -152,12 +152,30 @@ def _bn_reduce_axes(x):
     return tuple(range(x.ndim - 1))
 
 
+def _paired_sums(a, b, axes):
+    """sum(a) and sum(a*b) as ONE variadic lax.reduce (fp32 accumulation).
+
+    Two separate jnp.sum calls over shared inputs make XLA materialize
+    the fp32 convert and the product as full-size tensors (each reduce
+    gets its own input fusion and the common producers are CSE'd out of
+    both); a single two-operand reduce keeps them inside one fusion —
+    measured on the SSD step HLO audit (ROADMAP round 5)."""
+    af = a.astype(jnp.float32)
+    bf = af * b.astype(jnp.float32)
+    zero = jnp.zeros((), jnp.float32)
+    return jax.lax.reduce(
+        (af, bf), (zero, zero),
+        lambda acc, val: (acc[0] + val[0], acc[1] + val[1]),
+        axes,
+    )
+
+
 def _bn_train_impl(x, gamma, beta, epsilon, dtype):
-    xf = x.astype(jnp.float32)
     axes = _bn_reduce_axes(x)
-    mean = jnp.mean(xf, axis=axes)
-    mean2 = jnp.mean(xf * xf, axis=axes)
-    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    n = x.size // x.shape[-1]
+    s1, s2 = _paired_sums(x, x, axes)
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
     inv = gamma * jax.lax.rsqrt(var + epsilon)
     y = x.astype(dtype) * inv.astype(dtype) + (beta - mean * inv).astype(dtype)
     return y, mean, var, inv
@@ -198,11 +216,10 @@ def _bn_train_bwd(epsilon, dtype, res, cts):
     gy, gmean, gvar = cts
     x, gamma, mean, var, inv, n = res
     axes = _bn_reduce_axes(x)
-    # both reductions fuse over (gy, x) with fp32 accumulation; the
+    # one variadic reduce over (gy, gy*x) with fp32 accumulation; the
     # converts/product live inside the reduce's input fusion (no
-    # full-size fp32 materialization)
-    s1 = jnp.sum(gy.astype(jnp.float32), axis=axes)
-    sx = jnp.sum(gy.astype(jnp.float32) * x.astype(jnp.float32), axis=axes)
+    # full-size fp32 materialization — see _paired_sums)
+    s1, sx = _paired_sums(gy, x, axes)
     # d/d(scale) through y = x*s + (beta - mean*s):  Sx - mean*S1
     stot = sx - mean * s1
     rsig = jax.lax.rsqrt(var + epsilon)  # inv / gamma, but gamma may be 0

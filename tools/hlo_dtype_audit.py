@@ -75,19 +75,40 @@ def main():
                "all-gather(", "dynamic-slice(", "dynamic-update-slice(",
                "sort(", "scatter(", "gather(", "reduce-window(")
     rows = []
+    # Instructions INSIDE fusion computations are free (no HBM traffic);
+    # only count instruction results in materializing computations
+    # (ENTRY, while bodies/conditions, called computations). A fusion
+    # body opens with `%fused_computation...{` / `%region_...{` and the
+    # instructions are the indented lines until the closing brace.
+    in_fusion_body = False
     for line in txt.splitlines():
         s = line.strip()
-        if not any(op in s for op in mat_ops):
+        if not in_fusion_body and re.match(
+            r"%?(fused_computation|region_)[\w.\-]*\s.*\{", s
+        ):
+            in_fusion_body = True
             continue
-        m = _SHAPE_RE.search(s.split("=", 1)[-1])
+        if in_fusion_body:
+            if s.startswith("}"):
+                in_fusion_body = False
+            continue
+        # opcode = the called operation on the RHS of `=`, first token
+        # after the result type (operand names like %transpose.3 or
+        # metadata strings must not match)
+        rhs = s.split("=", 1)
+        if len(rhs) != 2:
+            continue
+        opm = re.match(r"\s*\S+\s+(\S+?)\(", rhs[1])
+        if not opm or opm.group(1) + "(" not in mat_ops:
+            continue
+        m = _SHAPE_RE.search(rhs[1])
         if not m:
             continue
         dt, dims = m.groups()
         b = tensor_bytes(dt, dims)
         if b < fl.min_mb * 1e6:
             continue
-        opcode = next(op[:-1] for op in mat_ops if op in s)
-        rows.append((b, dt, dims, opcode, s[:110]))
+        rows.append((b, dt, dims, opm.group(1), s[:110]))
     rows.sort(reverse=True)
     f32_total = sum(r[0] for r in rows if r[1] == "f32")
     all_total = sum(r[0] for r in rows)
