@@ -553,6 +553,13 @@ def main():
                 "value": round(best_ips, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(best_ips / A100_REFERENCE_IMG_PER_SEC, 3),
+                "baseline_note": (
+                    "vs_baseline is PROVISIONAL: BASELINE.json published={} "
+                    f"(empty reference mount), so it divides by an assumed "
+                    f"{A100_REFERENCE_IMG_PER_SEC:g} img/s for the TF1 "
+                    "reference on A100; replace with a measured number when "
+                    "one exists (RUNBOOK.md)"
+                ),
                 "operating_point": {
                     "config": os.path.basename(CONFIG),
                     "canvas": list(model.cfg.canvas_size),
